@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes each implemented operator stage from SURVEY.md §2 over
+the driver testdata ``documents``/``embeddings`` tables; ``oracle_sql()``
+gives the DuckDB-equivalent SQL. Stemming is not SQL-expressible, so the
+SQL-checked pipeline queries run the engine with ``stem=False`` (the stemmer
+itself is pinned byte-identical to the reference's Snowball C stemmer by
+``tests/test_porter2.py``); stemmed variants are included as rows-only checks.
+
+Testdata text is pure lowercase ASCII (verified), so DuckDB's
+``regexp_split_to_array``+``lower`` tokenization is exactly the reference
+tokenizer semantics for these inputs.
 """
 
 from __future__ import annotations
@@ -12,27 +17,392 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+K1, B = 1.2, 0.75
+TOPK = 10
+
+# Fixed query set over the testdata vocabulary. Tokens are given
+# post-tokenization (duplicates preserved — reference accumulates per query
+# token occurrence, inverted_index_engine.cpp:119-135).
+QUERY_TOKENS: list[tuple[str, str]] = [
+    ("q1", "join"),
+    ("q1", "filter"),
+    ("q2", "query"),
+    ("q2", "query"),
+    ("q2", "window"),
+    ("q4", "dup"),
+    ("q5", "spark"),
+    ("q5", "merge"),
+    ("q5", "sort"),
+    ("q5", "fast"),
+]
+
+_TOKEN_SPLIT_SQL = "[^0-9a-z$%&+@]+"
+
+
+def _stop_list_sql() -> str:
+    from fulltextsearch_spark.functions.tokenizer import STOP_WORDS
+
+    return ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tok_cte() -> str:
+    """Shared DuckDB CTEs: tokens list / exploded tokens / doc lengths."""
+    return f"""
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_SPLIT_SQL}'),
+                     x -> x <> '' AND x NOT IN ({_stop_list_sql()})) AS tokens
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+dls AS (SELECT doc_id, len(tokens)::BIGINT AS dl FROM toks)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+
+def q_tf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-(doc, term) term frequency."""
+    from fulltextsearch_spark.operators.index_build import doc_term_frequencies
+
+    return doc_term_frequencies(_docs(spark, sf_dir), stem=False).select(
+        "doc_id", "term", F.col("tf").cast("long").alias("tf")
+    )
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-doc token count (dl), 0-token docs included."""
+    from fulltextsearch_spark.functions.tokenizer import term_counts_udf
+
+    tc = term_counts_udf(do_stem=False)
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tc(F.col("text"))["dl"].cast("long").alias("dl"),
+    )
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5: N = max(doc_id)+1, avgdl = sum(dl)/N (reference semantics)."""
+    return q_doc_stats(spark, sf_dir).agg(
+        (F.max("doc_id") + F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / (F.max("doc_id") + F.lit(1))).alias("avgdl"),
+    )
+
+
+def q_df_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: document frequency per term."""
+    return (
+        q_tf_table(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+
+
+def q_postings_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: posting-list build, summarized per term (sorted-list invariants)."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+
+    idx = build_index(
+        spark, _docs(spark, sf_dir), EngineConfig(stem=False), persist=False
+    )
+    return idx.postings.select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.element_at("postings", 1)["doc_id"].cast("long").alias("first_doc"),
+        F.element_at("postings", -1)["doc_id"].cast("long").alias("last_doc"),
+        F.aggregate(
+            "postings", F.lit(0).cast("long"), lambda acc, p: acc + p["tf"]
+        ).alias("sum_tf"),
+    )
+
+
+def _q_topk(spark: SparkSession, sf_dir: str, scoring: str, stem: bool) -> DataFrame:
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.query import search
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=stem)
+    idx = build_index(spark, _docs(spark, sf_dir), cfg, persist=False)
+    queries = spark.createDataFrame(
+        [(qid, " ".join(t for q, t in QUERY_TOKENS if q == qid)) for qid in
+         sorted({q for q, _ in QUERY_TOKENS})],
+        ["query_id", "content"],
+    )
+    res = search(idx, queries, cfg, scoring=scoring)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F4 + J1/J2 + K1/K2: end-to-end BM25 top-k (unstemmed)."""
+    return _q_topk(spark, sf_dir, "bm25", stem=False)
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: end-to-end TF-IDF top-k (unstemmed)."""
+    return _q_topk(spark, sf_dir, "tfidf", stem=False)
+
+
+def q_bm25_topk_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference path incl. Snowball stemming (rows-only driver check;
+    stemming is pinned vs the C stemmer in tests/test_porter2.py)."""
+    return _q_topk(spark, sf_dir, "bm25", stem=True)
+
+
+def q_stop_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: compactify — drop terms with df > n_docs/stop_share (trigram
+    engine's stop-key pruning, trigram_index_engine.cpp:36-38)."""
+    df_tbl = q_df_table(spark, sf_dir)
+    stats = q_corpus_stats(spark, sf_dir).collect()[0]
+    stop_share = max(2, min(10, int(stats["n_docs"] / (stats["avgdl"] + 1))))
+    threshold = stats["n_docs"] / stop_share
+    return df_tbl.filter(F.col("df") <= F.lit(threshold)).select("term", "df")
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op: exact dedup groups by content hash."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+        )
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op: whitespace token counting."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op: cheap text-quality features per doc."""
+    from fulltextsearch_spark.functions.tokenizer import STOP_WORDS
+
+    docs = _docs(spark, sf_dir)
+    all_words = F.split(F.trim(F.col("text")), r"\s+")
+    stop_arr = F.array(*[F.lit(w) for w in sorted(STOP_WORDS)])
+    n_words = F.size(all_words)
+    # count stopwords among whitespace words
+    n_stop = F.aggregate(
+        all_words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.when(F.array_contains(stop_arr, w), 1).otherwise(0),
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        F.round(n_stop.cast("double") / F.greatest(n_words, F.lit(1)), 4).alias("stop_ratio"),
+        F.round(F.length("text").cast("double") / F.greatest(n_words, F.lit(1)), 4).alias(
+            "chars_per_word"
+        ),
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search: brute-force cosine top-k vs the vec_id=0 vector."""
+    emb = _embeddings(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("vec").alias("qvec"))
+    joined = emb.crossJoin(F.broadcast(qvec))
+    dot = F.aggregate(
+        F.zip_with("vec", "qvec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    sim = dot / (norm(F.col("vec")) * norm(F.col("qvec")))
+    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        joined.select("vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(F.col("rank").cast("long").alias("rank"), "vec_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver API
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full stemmed BM25 top-k pipeline on sf0.001."""
+    return q_bm25_topk_stemmed(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tf_table": q_tf_table,
+        "doc_stats": q_doc_stats,
+        "corpus_stats": q_corpus_stats,
+        "df_table": q_df_table,
+        "postings_summary": q_postings_summary,
+        "bm25_topk": q_bm25_topk,
+        "tfidf_topk": q_tfidf_topk,
+        "bm25_topk_stemmed": q_bm25_topk_stemmed,
+        "stop_prune": q_stop_prune,
+        "exact_dedup": q_exact_dedup,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "ann_cosine_topk": q_ann_cosine_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _values_query_tokens() -> str:
+    return ", ".join(f"('{q}', '{t}')" for q, t in QUERY_TOKENS)
+
+
+def _scored_sql(score_expr: str) -> str:
+    """Shared CTE block computing per-(query, doc) accumulated scores."""
+    return f"""
+WITH {_tok_cte()},
+stats AS (
+  SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+         sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl
+  FROM dls
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qt AS (SELECT * FROM (VALUES {_values_query_tokens()}) AS v(query_id, term)),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qt GROUP BY 1, 2),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * {score_expr}) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN dft ON dft.term = q.term
+  JOIN dls ON dls.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= {TOPK}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    bm25 = (
+        "ln((s.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0) * "
+        f"(tf.tf * ({K1} + 1.0)) / (tf.tf + {K1} * (1.0 - {B} + {B} * dls.dl / s.avgdl))"
+    )
+    tfidf = (
+        "(tf.tf::DOUBLE / dls.dl) * ln((s.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0)"
+    )
+    return {
+        "tf_table": f"""
+WITH {_tok_cte()}
+SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+""",
+        "doc_stats": f"""
+WITH {_tok_cte()}
+SELECT doc_id, dl FROM dls
+""",
+        "corpus_stats": f"""
+WITH {_tok_cte()}
+SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+       sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl
+FROM dls
+""",
+        "df_table": f"""
+WITH {_tok_cte()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+""",
+        "postings_summary": f"""
+WITH {_tok_cte()},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2)
+SELECT term, count(*)::BIGINT AS df, min(doc_id)::BIGINT AS first_doc,
+       max(doc_id)::BIGINT AS last_doc, sum(tf)::BIGINT AS sum_tf
+FROM tf GROUP BY 1
+""",
+        "bm25_topk": _scored_sql(bm25),
+        "tfidf_topk": _scored_sql(tfidf),
+        "stop_prune": f"""
+WITH {_tok_cte()},
+stats AS (
+  SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+         sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl
+  FROM dls
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+SELECT term, df FROM dft, stats s
+WHERE df <= s.n_docs / greatest(2, least(10, (s.n_docs / (s.avgdl + 1))::BIGINT))
+""",
+        "exact_dedup": """
+SELECT md5(text) AS text_hash, count(*)::BIGINT AS dup_count,
+       min(doc_id)::BIGINT AS keep_doc_id
+FROM documents GROUP BY text
+""",
+        "token_count": r"""
+SELECT doc_id::BIGINT AS doc_id,
+       len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::BIGINT AS n_ws_tokens
+FROM documents
+""",
+        "quality_score": rf"""
+WITH words AS (
+  SELECT doc_id, n_chars, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,
+       len(ws)::BIGINT AS n_words,
+       round(len(list_filter(ws, x -> x IN ({_stop_list_sql()})))::DOUBLE
+             / greatest(len(ws), 1), 4) AS stop_ratio,
+       round(length(text)::DOUBLE / greatest(len(ws), 1), 4) AS chars_per_word
+FROM words
+""",
+        "ann_cosine_topk": f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id::BIGINT AS vec_id,
+         list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                 p -> p[1]::DOUBLE * p[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT vec_id, sim,
+         row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM sims
+)
+SELECT rank::BIGINT AS rank, vec_id, round(sim, 4) AS sim
+FROM ranked WHERE rank <= {TOPK}
+""",
+    }

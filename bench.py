@@ -1,0 +1,140 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Headline queries:
+  * build_docs      — stemmed inverted-index build over testdata documents
+  * bm25_topk       — BM25 top-k query batch over that index
+  * tfidf_topk      — TF-IDF variant
+  * build_web50k    — index build over a 50k-doc synthetic webpages corpus
+                      (Common-Crawl-shaped, deterministic seed) incl. dense
+                      doc_id assignment; the 100TB-scale path
+  * bm25_web50k     — reference query set over the web index
+  * exact_dedup / ann_cosine_topk / quality_score — training-pipeline ops
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+WEB_DOCS = int(os.environ.get("SPARK_GRAFT_WEB_DOCS", "50000"))
+CACHE = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/fts_bench_cache")
+
+
+def _ensure_web_corpus(path: str, n_docs: int) -> None:
+    """Deterministic synthetic corpus, generated once and cached as parquet."""
+    marker = os.path.join(path, "_SUCCESS_LOCAL")
+    if os.path.exists(marker):
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fulltextsearch_spark.sources.webpages import generate_webpages_pdf
+
+    os.makedirs(path, exist_ok=True)
+    chunk = 10_000
+    done = 0
+    part = 0
+    while done < n_docs:
+        n = min(chunk, n_docs - done)
+        pdf = generate_webpages_pdf(n, seed=42 + part)
+        pdf["url"] = pdf["url"].str.replace("/page/", f"/p{part}/", regex=False)
+        pdf["warc_ts"] = pdf["warc_ts"].astype("datetime64[us]")  # Spark rejects NANOS
+        pq.write_table(pa.Table.from_pandas(pdf), os.path.join(path, f"part-{part:04d}.parquet"))
+        done += n
+        part += 1
+    open(marker, "w").close()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.query import search
+    from fulltextsearch_spark.session import get_spark
+    from fulltextsearch_spark.sources.ingest import assign_dense_doc_ids
+    from fulltextsearch_spark.sources.webpages import QUERY_SET
+
+    web_path = os.path.join(CACHE, f"web{WEB_DOCS}")
+    _ensure_web_corpus(web_path, WEB_DOCS)
+
+    spark = get_spark(app_name="fts-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    cfg = EngineConfig(k1=1.2, b=0.75, k=10, stem=True)
+
+    # --- testdata documents ------------------------------------------------
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _build_docs():
+        idx = build_index(spark, docs, cfg)
+        idx.postings.count()  # materialize
+        return idx
+
+    idx = timed("build_docs", _build_docs)
+
+    qdf = spark.createDataFrame(
+        [("q1", "join filter"), ("q2", "query query window"), ("q4", "dup"),
+         ("q5", "spark merge sort fast")],
+        ["query_id", "content"],
+    )
+    timed("bm25_topk", lambda: search(idx, qdf, cfg).collect())
+    timed("tfidf_topk", lambda: search(idx, qdf, cfg, scoring="tfidf").collect())
+
+    # --- synthetic web corpus (the scale path) ------------------------------
+    web_raw = spark.read.parquet(web_path)
+
+    def _build_web():
+        web = assign_dense_doc_ids(web_raw, order_col="url")
+        widx = build_index(spark, web, cfg)
+        widx.postings.count()
+        return widx
+
+    widx = timed("build_web50k", _build_web)
+    wq = spark.createDataFrame(QUERY_SET, ["query_id", "content"])
+    timed("bm25_web50k", lambda: search(widx, wq, cfg).collect())
+
+    # --- training-pipeline ops at sf ----------------------------------------
+    timed("exact_dedup", lambda: entrymod.q_exact_dedup(spark, sf_dir).count())
+    timed("quality_score", lambda: entrymod.q_quality_score(spark, sf_dir).count())
+    timed("ann_cosine_topk", lambda: entrymod.q_ann_cosine_topk(spark, sf_dir).collect())
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(WEB_DOCS / timings["build_web50k"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "fts_pipeline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "web_docs": WEB_DOCS,
+                "index_docs_per_sec": docs_per_sec,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""Tokenizer with the reference engine's exact byte semantics, vectorized.
+
+Semantics pinned against the reference (cited file:line for parity checks):
+
+* A token is a maximal run of bytes in ``[0-9A-Za-z$%&+@]``; every other
+  byte — including all non-ASCII bytes — is a delimiter
+  (``/root/reference/src/tokenizer/tokenizer_rules.hpp:30-53``).
+* Lowercasing is bytewise C-locale ``tolower``: only ``A-Z`` map to
+  ``a-z``; nothing else changes
+  (``/root/reference/src/tokenizer/stemmingtokenizer.cpp:42-47``). Python's
+  Unicode-aware ``str.lower`` must NOT be used.
+* Stop words are dropped after lowercasing and before stemming
+  (``tokenizer_rules.hpp:12-29``, ``stemmingtokenizer.cpp:49-51``); the
+  128-word list below is copied verbatim (it is data, not code).
+* Remaining tokens are stemmed with Snowball 2.2.0 English
+  (:mod:`fulltextsearch_spark.functions.porter2`).
+* Document length ``dl`` = number of surviving (non-stop) tokens
+  (``/root/reference/src/algorithms/inverted/inverted_index_engine.cpp:37-51``).
+
+All Spark entry points are Arrow-vectorized ``pandas_udf``s — no per-row
+Python UDFs. Stemming is memoized per Arrow batch (Zipf distribution of
+tokens makes the hit rate very high).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+from fulltextsearch_spark.functions.porter2 import stem
+
+__all__ = [
+    "STOP_WORDS",
+    "ascii_lower",
+    "tokenize",
+    "tokenize_series",
+    "tokenize_udf",
+    "term_counts_udf",
+    "TERM_COUNTS_SCHEMA",
+]
+
+# Verbatim stop list from /root/reference/src/tokenizer/tokenizer_rules.hpp:12-29
+STOP_WORDS = frozenset(
+    """i me my myself we our ours ourselves you your yours yourself yourselves
+    he him his himself she her hers herself it its itself they them their
+    theirs themselves what which who whom this that these those am is are was
+    were be been being have has had having do does did doing a an the and but
+    if or because as until while of at by for with about against between into
+    through during before after above below to from up down in out on off
+    over under again further then once here there when where why how all any
+    both each few more most other some such no nor not only own same so than
+    too very s t can will just don should now n like good go going get one
+    got could""".split()
+)
+
+# Token = maximal run of the 67 whitelisted ASCII chars (tokenizer_rules.hpp:11).
+_TOKEN_RE = re.compile(r"[0-9a-zA-Z$%&+@]+")
+
+# ASCII-only lowercase map (A-Z -> a-z, everything else untouched).
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+
+def ascii_lower(text: str) -> str:
+    """Bytewise C-locale tolower: only A-Z change (parity with reference)."""
+    return text.translate(_ASCII_LOWER)
+
+
+def tokenize(text: str, do_stem: bool = True, memo: dict | None = None) -> list[str]:
+    """Tokenize one document/query string, preserving token order.
+
+    Order preservation matters: query scoring sums over query-token
+    occurrences *including duplicates*
+    (``inverted_index_engine.cpp:119-135``).
+    """
+    if memo is None:
+        memo = {}
+    out = []
+    for tok in _TOKEN_RE.findall(text.translate(_ASCII_LOWER)):
+        if tok in STOP_WORDS:
+            continue
+        if do_stem:
+            cached = memo.get(tok)
+            if cached is None:
+                cached = stem(tok)
+                memo[cached] = cached
+                memo[tok] = cached
+            out.append(cached)
+        else:
+            out.append(tok)
+    return out
+
+
+def tokenize_series(texts: pd.Series, do_stem: bool = True) -> pd.Series:
+    """Vectorized core: Series[str] -> Series[list[str]], shared stem memo."""
+    memo: dict[str, str] = {}
+    return texts.map(lambda t: tokenize(t, do_stem, memo) if isinstance(t, str) else [])
+
+
+def tokenize_udf(do_stem: bool = True):
+    """Arrow-batched tokenizer: STRING -> ARRAY<STRING> (ordered tokens)."""
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _tokenize(texts: pd.Series) -> pd.Series:
+        return tokenize_series(texts, do_stem)
+
+    return _tokenize
+
+
+TERM_COUNTS_SCHEMA = T.StructType(
+    [
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("tfs", T.ArrayType(T.LongType())),
+        T.StructField("dl", T.LongType()),
+    ]
+)
+
+
+def term_counts_udf(do_stem: bool = True):
+    """Arrow-batched per-doc aggregation: STRING -> (terms[], tfs[], dl).
+
+    Computes the per-document term-frequency map inside the UDF (the
+    reference's per-doc ``unordered_map`` at
+    ``inverted_index_engine.cpp:37-51``). Doing this map-side shrinks the
+    explode volume from one row per token occurrence to one row per distinct
+    (doc, term) — a large win before the big term shuffle at scale.
+    """
+
+    @pandas_udf(TERM_COUNTS_SCHEMA)
+    def _term_counts(texts: pd.Series) -> pd.DataFrame:
+        memo: dict[str, str] = {}
+        terms_col: list[list[str]] = []
+        tfs_col: list[list[int]] = []
+        dl_col: list[int] = []
+        for t in texts:
+            toks = tokenize(t, do_stem, memo) if isinstance(t, str) else []
+            counts: dict[str, int] = {}
+            for tok in toks:
+                counts[tok] = counts.get(tok, 0) + 1
+            terms_col.append(list(counts.keys()))
+            tfs_col.append(list(counts.values()))
+            dl_col.append(len(toks))
+        return pd.DataFrame({"terms": terms_col, "tfs": tfs_col, "dl": dl_col})
+
+    return _term_counts
+
+
+def tokenized_docs(df, text_col: str = "text", do_stem: bool = True):
+    """doc DataFrame -> (doc_id, term, tf, dl) exploded term-frequency rows.
+
+    Narrow (no shuffle): tokenization + per-doc tf happen map-side in one
+    Arrow pass; ``explode`` stays in the same stage.
+    """
+    tc = term_counts_udf(do_stem)
+    with_tc = df.withColumn("_tc", tc(F.col(text_col)))
+    return (
+        with_tc.select(
+            "doc_id",
+            F.col("_tc.dl").alias("dl"),
+            F.explode(F.arrays_zip(F.col("_tc.terms"), F.col("_tc.tfs"))).alias("_z"),
+        )
+        .select(
+            "doc_id",
+            F.col("_z.terms").alias("term"),
+            F.col("_z.tfs").cast("long").alias("tf"),
+            "dl",
+        )
+    )

@@ -1,0 +1,104 @@
+"""Top-k query serving over the logical inverted index (exhaustive path).
+
+Mirrors the reference's ``search()``
+(``/root/reference/src/algorithms/inverted/inverted_index_engine.cpp:109-162``)
+as declarative DataFrame ops:
+
+* query tokenization uses the *same* Arrow tokenizer; duplicate query tokens
+  contribute multiple times to the score (the reference loops over tokens,
+  not unique terms, ``:119-135``) — expressed deterministically as
+  ``score * qtf`` after a groupBy on query terms;
+* missing terms drop out via the inner join (``find()`` miss, ``:121-126``);
+* top-k order is (score DESC, doc_id ASC) — the reference's heap breaks
+  boundary ties by hash order (nondeterministic, ``:137-152``); we define
+  the deterministic tiebreak;
+* the query side is tiny and **broadcast**; postings never shuffle at query
+  time. The per-(query, doc) sum shuffles candidates only.
+
+This exhaustive path is the semantic oracle for the block-max WAND path
+(:mod:`fulltextsearch_spark.operators.wand`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fulltextsearch_spark.config import DEFAULT_CONFIG, EngineConfig
+from fulltextsearch_spark.functions.scoring import bm25_col, tfidf_col
+from fulltextsearch_spark.functions.tokenizer import tokenize_udf
+from fulltextsearch_spark.operators.index_build import IndexTables
+
+__all__ = ["query_terms", "search", "topk"]
+
+
+def query_terms(queries: DataFrame, stem: bool = True) -> DataFrame:
+    """(query_id, term, qtf) — tokenized queries with duplicate multiplicity."""
+    tok = tokenize_udf(stem)
+    return (
+        queries.select("query_id", F.explode(tok(F.col("content"))).alias("term"))
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+
+
+def _scored_candidates(
+    index: IndexTables, q_terms: DataFrame, cfg: EngineConfig, scoring: str
+) -> DataFrame:
+    """(query_id, doc_id, score) — per-(query, doc) accumulated scores."""
+    joined = index.postings.join(F.broadcast(q_terms), "term", "inner")
+    flat = joined.select(
+        "query_id",
+        "qtf",
+        "df",
+        F.explode("postings").alias("p"),
+    ).select(
+        "query_id",
+        "qtf",
+        "df",
+        F.col("p.doc_id").alias("doc_id"),
+        F.col("p.tf").alias("tf"),
+        F.col("p.dl").alias("dl"),
+    )
+    if scoring == "bm25":
+        per_term = bm25_col(
+            F.col("tf"), F.col("df"), F.col("dl"), index.n_docs, index.avgdl, cfg.k1, cfg.b
+        )
+    elif scoring == "tfidf":
+        per_term = tfidf_col(F.col("tf"), F.col("df"), F.col("dl"), index.n_docs)
+    else:
+        raise ValueError(f"unknown scoring {scoring!r} (use 'bm25' or 'tfidf')")
+    return (
+        flat.withColumn("_s", per_term * F.col("qtf").cast("double"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_s").alias("score"))
+    )
+
+
+def topk(scored: DataFrame, k: int) -> DataFrame:
+    """(query_id, rank, doc_id, score) — deterministic per-query top-k.
+
+    Window + row_number compiles to WindowGroupLimit (rank pushdown): each
+    shuffle partition keeps only its local top-k before the final per-query
+    selection — the distributed analogue of the reference's size-k min-heap
+    (``inverted_index_engine.cpp:137-161``).
+    """
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def search(
+    index: IndexTables,
+    queries: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    scoring: str = "bm25",
+    k: int | None = None,
+) -> DataFrame:
+    """queries(query_id, content) -> (query_id, rank, doc_id, score)."""
+    q_terms = query_terms(queries, stem=cfg.stem)
+    scored = _scored_candidates(index, q_terms, cfg, scoring)
+    return topk(scored, k if k is not None else cfg.k)

@@ -1,0 +1,78 @@
+"""Property tests: varint/delta round-trip identity and per-block decode."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fulltextsearch_spark.operators.compression import (
+    block_metadata,
+    decode_block,
+    decode_postings,
+    encode_postings,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_varint_edge_values():
+    v = np.array([0, 1, 127, 128, 16383, 16384, 2**32, 2**62, 2**63 - 1], dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(v)), v)
+
+
+def test_varint_empty():
+    assert varint_encode(np.empty(0, dtype=np.int64)) == b""
+    assert varint_decode(b"").size == 0
+
+
+@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("block_size", [7, 128])
+def test_roundtrip_random(seed, block_size):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 3000))
+    doc_ids = np.sort(rng.choice(10**9, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 1000, n).astype(np.int64)
+    dls = rng.integers(1, 100000, n).astype(np.int64)
+    enc = encode_postings(doc_ids, tfs, dls, block_size=block_size, avgdl=500.0)
+    d, t, dl = decode_postings(enc, block_size=block_size)
+    assert np.array_equal(d, doc_ids)
+    assert np.array_equal(t, tfs)
+    assert np.array_equal(dl, dls)
+    for bi in range(len(enc.block_first_doc)):
+        bd, bt, bdl = decode_block(enc, bi, block_size=block_size)
+        s, e = bi * block_size, min((bi + 1) * block_size, n)
+        assert np.array_equal(bd, doc_ids[s:e])
+        assert np.array_equal(bt, tfs[s:e])
+        assert np.array_equal(bdl, dls[s:e])
+
+
+def test_block_max_is_safe_upper_bound():
+    rng = np.random.default_rng(42)
+    n = 1000
+    doc_ids = np.sort(rng.choice(10**7, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 50, n).astype(np.int64)
+    dls = rng.integers(10, 500, n).astype(np.int64)
+    k1, b, avgdl = 1.2, 0.75, 120.0
+    enc = encode_postings(doc_ids, tfs, dls, block_size=128, k1=k1, b=b, avgdl=avgdl)
+    tf_f = tfs.astype(np.float64)
+    tfpart = tf_f * (k1 + 1.0) / (tf_f + k1 * (1.0 - b + b * dls / avgdl))
+    for bi in range(len(enc.block_first_doc)):
+        s, e = bi * 128, min((bi + 1) * 128, n)
+        assert enc.block_max_tfpart[bi] >= tfpart[s:e].max() - 1e-300
+        assert enc.block_max_tf[bi] == tfs[s:e].max()
+        assert enc.block_first_doc[bi] == doc_ids[s]
+
+
+def test_unsorted_rejected():
+    with pytest.raises(ValueError):
+        encode_postings(np.array([5, 3]), np.array([1, 1]), np.array([1, 1]))
+
+
+def test_compression_ratio_dense():
+    rng = np.random.default_rng(1)
+    doc_ids = np.sort(rng.choice(10**6, size=200_000, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 5, doc_ids.size).astype(np.int64)
+    dls = rng.integers(20, 150, doc_ids.size).astype(np.int64)
+    enc = encode_postings(doc_ids, tfs, dls, avgdl=80.0)
+    raw = doc_ids.size * 24
+    assert block_metadata(enc)["bytes"] * 4 < raw  # >4x smaller than raw int64 triples

@@ -1,0 +1,97 @@
+"""Tokenizer parity tests — ported from the reference GTest suite
+(``/root/reference/test/tokenizer/stemmingtokenizer_tests.cpp``) plus the
+byte-semantics pins from SURVEY.md §2.2.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from fulltextsearch_spark.functions.tokenizer import (
+    STOP_WORDS,
+    ascii_lower,
+    tokenize,
+    tokenize_series,
+)
+
+
+def test_basic_stemming():
+    assert tokenize("running jumped quickly") == ["run", "jump", "quick"]
+
+
+def test_stop_word_filtering():
+    # stemmingtokenizer_tests.cpp:35-50
+    assert tokenize("The quick brown fox jumps over the lazy dog") == [
+        "quick", "brown", "fox", "jump", "lazi", "dog",
+    ]
+
+
+def test_case_insensitivity():
+    assert tokenize("RUNNING Running running") == ["run", "run", "run"]
+
+
+def test_empty_input():
+    assert tokenize("") == []
+
+
+def test_all_delimiters():
+    assert tokenize("!!! ... ,,, ???") == []
+
+
+def test_only_stop_words():
+    assert tokenize("the is at which on") == []
+
+
+def test_mixed_delimiters():
+    # stemmingtokenizer_tests.cpp:115-128
+    assert tokenize("token1, token2.token3!token4?token5", do_stem=False) == [
+        "token1", "token2", "token3", "token4", "token5",
+    ]
+
+
+def test_non_ascii_bytes_are_delimiters():
+    # Pinned to the CODE (tokenizer_rules.hpp:30-53: delims.fill(true)), not
+    # the contradictory unit test — non-ASCII splits tokens. The trailing
+    # "s" fragment is then dropped by the stop list ("s" is a stop word).
+    assert tokenize("résumés", do_stem=False) == ["r", "sum"]
+    assert tokenize("naïve", do_stem=False) == ["na", "ve"]
+
+
+def test_special_word_chars():
+    assert tokenize("c++ $100 me&you @user 50%off", do_stem=False) == [
+        "c++", "$100", "me&you", "@user", "50%off",
+    ]
+
+
+def test_ascii_only_lowercase():
+    # Unicode-aware lower() would map 'É' -> 'é'; bytewise tolower must not.
+    assert ascii_lower("ÉABCz") == "ÉABCz".replace("A", "a").replace("B", "b").replace("C", "c")
+    assert ascii_lower("HTTP") == "http"
+    assert ascii_lower("Straße") == "straße"
+
+
+def test_stop_words_checked_after_lowercase_before_stem():
+    # "Running" lowercases to "running" (not a stop word) then stems;
+    # "GOING" lowercases to stop word "going" -> dropped before stemming.
+    assert tokenize("GOING Running") == ["run"]
+    # exactly the 136-entry list from tokenizer_rules.hpp:12-29
+    assert len(STOP_WORDS) == 136
+
+
+def test_10k_char_token():
+    long_tok = "a" * 10_000
+    out = tokenize(long_tok, do_stem=False)
+    assert out == [long_tok]
+
+
+def test_duplicates_preserved_in_order():
+    assert tokenize("salmon cat salmon") == ["salmon", "cat", "salmon"]
+
+
+def test_series_vectorized_matches_scalar():
+    texts = pd.Series(["The cats RUNNING fast!", "", None, "résumés c++"])
+    out = tokenize_series(texts).tolist()
+    assert out[0] == tokenize("The cats RUNNING fast!")
+    assert out[1] == []
+    assert out[2] == []
+    assert out[3] == tokenize("résumés c++")
