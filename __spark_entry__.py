@@ -162,6 +162,30 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_topk(spark, sf_dir, "tfidf", stem=False)
 
 
+def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max MaxScore/WAND path over the compressed (delta+varint) index —
+    provably rank-identical to the exhaustive path, so it shares the same
+    DuckDB oracle as bm25_topk."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.compressed_index import build_compressed_index
+    from fulltextsearch_spark.operators.wand import search_wand
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    cidx = build_compressed_index(spark, _docs(spark, sf_dir), cfg)
+    queries = spark.createDataFrame(
+        [(qid, " ".join(t for q, t in QUERY_TOKENS if q == qid)) for qid in
+         sorted({q for q, _ in QUERY_TOKENS})],
+        ["query_id", "content"],
+    )
+    res = search_wand(cidx, queries, cfg)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_bm25_topk_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full reference path incl. Snowball stemming (rows-only driver check;
     stemming is pinned vs the C stemmer in tests/test_porter2.py)."""
@@ -267,6 +291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "df_table": q_df_table,
         "postings_summary": q_postings_summary,
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_wand": q_bm25_topk_wand,
         "tfidf_topk": q_tfidf_topk,
         "bm25_topk_stemmed": q_bm25_topk_stemmed,
         "stop_prune": q_stop_prune,
@@ -351,6 +376,7 @@ SELECT term, count(*)::BIGINT AS df, min(doc_id)::BIGINT AS first_doc,
 FROM tf GROUP BY 1
 """,
         "bm25_topk": _scored_sql(bm25),
+        "bm25_topk_wand": _scored_sql(bm25),
         "tfidf_topk": _scored_sql(tfidf),
         "stop_prune": f"""
 WITH {_tok_cte()},

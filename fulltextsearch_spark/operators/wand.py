@@ -1,0 +1,263 @@
+"""Block-max MaxScore/WAND top-k over the compressed index.
+
+The reference scores every posting of every query term exhaustively
+(``/root/reference/src/algorithms/inverted/inverted_index_engine.cpp:119-135``).
+This module adds the safe-pruning query path the north_star requires at
+10^12-doc scale: term-at-a-time **MaxScore** with **block-max** metadata and
+skip pointers, provably rank-identical to the exhaustive path.
+
+Dataflow: tokenized queries broadcast-join the compressed postings (only the
+needed term rows move), then one ``applyInPandas`` group per query runs the
+numpy kernel below. The kernel is Arrow-batched and vectorized — block decode
+(varint), scoring, and set merges are all numpy; the only Python-level loops
+are per-term (a handful) and per-needed-block (bounded by the candidate set).
+
+Safety argument (why pruning never changes top-k — each prune uses a strict
+``<`` against theta, a *lower bound* of the true kth score since partial
+scores only grow):
+
+1. terms are processed in descending upper-bound order
+   (``UB_t = qtf_t * idf_t * max_block_tfpart_t``); after processing a prefix,
+   ``theta`` = kth largest partial score;
+2. if the remaining terms' total bound ``S_rest < theta``, docs never seen so
+   far have final score ``<= S_rest < theta`` — they can never reach top-k, so
+   the remaining terms only update existing candidates ("candidates-only");
+3. a candidate with ``partial + S_rest < theta`` is dropped — its final score
+   is strictly below the final kth;
+4. a block is decoded only if some candidate lives in it and
+   ``max_cand_partial_in_block + UB_block + S_after < theta`` fails — a doc in
+   a skipped block has final computed score ``< theta`` forever, so it cannot
+   surface in the returned top-k with a truncated score.
+
+Ties at the boundary keep ``>=`` (never pruned), so the deterministic
+(score DESC, doc_id ASC) order matches the exhaustive path exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fulltextsearch_spark.config import DEFAULT_CONFIG, EngineConfig
+from fulltextsearch_spark.operators.compressed_index import CompressedIndex
+from fulltextsearch_spark.operators.compression import varint_decode
+from fulltextsearch_spark.operators.query import query_terms
+
+__all__ = ["maxscore_topk", "search_wand"]
+
+RESULT_SCHEMA = "query_id STRING, rank LONG, doc_id LONG, score DOUBLE"
+
+
+def _decode_all(enc: bytes, n: int) -> np.ndarray:
+    return varint_decode(bytes(enc), n).astype(np.int64)
+
+
+def _docids_from_deltas(deltas: np.ndarray, block_size: int) -> np.ndarray:
+    """Undo block-restarting delta encoding, fully vectorized.
+
+    Within a block, doc_id[i] = sum(deltas[s..i]) (delta at the block start is
+    absolute), so doc_ids = cumsum - cumsum_before_own_block.
+    """
+    n = deltas.size
+    g = np.cumsum(deltas)
+    starts = np.arange(0, n, block_size)
+    prev = np.zeros(starts.size, dtype=np.int64)
+    prev[1:] = g[starts[1:] - 1]
+    lens = np.diff(np.append(starts, n))
+    return g - np.repeat(prev, lens)
+
+
+def _decode_blocks(
+    term: dict, blocks: np.ndarray, block_size: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode only the given block indices (skip-pointer path)."""
+    n = term["count"]
+    off_d, off_t, off_l = term["block_off_doc"], term["block_off_tf"], term["block_off_dl"]
+    end_d = np.append(off_d[1:], len(term["doc_ids_enc"]))
+    end_t = np.append(off_t[1:], len(term["tfs_enc"]))
+    end_l = np.append(off_l[1:], len(term["dls_enc"]))
+    docs_parts, tf_parts, dl_parts = [], [], []
+    for j in blocks:
+        s = j * block_size
+        cnt = min(block_size, n - s)
+        deltas = varint_decode(term["doc_ids_enc"][off_d[j]: end_d[j]], cnt).astype(np.int64)
+        docs_parts.append(np.cumsum(deltas))
+        tf_parts.append(varint_decode(term["tfs_enc"][off_t[j]: end_t[j]], cnt).astype(np.int64))
+        dl_parts.append(varint_decode(term["dls_enc"][off_l[j]: end_l[j]], cnt).astype(np.int64))
+    if not docs_parts:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    return np.concatenate(docs_parts), np.concatenate(tf_parts), np.concatenate(dl_parts)
+
+
+def _tf_component(
+    tfs: np.ndarray, dls: np.ndarray, scoring: str, k1: float, b: float, avgdl: float
+) -> np.ndarray:
+    tf = tfs.astype(np.float64)
+    if scoring == "bm25":
+        return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * (dls.astype(np.float64) / avgdl)))
+    dl = dls.astype(np.float64)
+    return np.divide(tf, dl, out=np.zeros_like(tf), where=dl > 0)
+
+
+def maxscore_topk(
+    terms: list[dict],
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    scoring: str = "bm25",
+    k1: float = 1.2,
+    b: float = 0.75,
+    block_size: int = 128,
+    stats: dict | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pure-numpy block-max MaxScore kernel for ONE query.
+
+    ``terms``: one dict per distinct query term with keys qtf, df, count,
+    doc_ids_enc, tfs_enc, dls_enc, block_first_doc, block_off_doc/tf/dl and
+    block_max_tfpart / block_max_tfdl (numpy int64 arrays for offsets).
+    Returns (doc_ids, scores) of the top-k in (score DESC, doc_id ASC) order.
+    ``stats`` (optional dict) receives pruning counters for tests/metrics.
+    """
+    if stats is None:
+        stats = {}
+    stats.update({"blocks_total": 0, "blocks_decoded": 0, "terms": len(terms)})
+    if not terms:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+
+    bmax_key = "block_max_tfpart" if scoring == "bm25" else "block_max_tfdl"
+    for t in terms:
+        df = float(t["df"])
+        t["idf"] = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        t["w"] = float(t["qtf"]) * t["idf"]
+        t["bub"] = t["w"] * np.asarray(t[bmax_key], dtype=np.float64)  # per-block UB
+        t["ub"] = float(t["bub"].max()) if t["bub"].size else 0.0
+        stats["blocks_total"] += int(t["bub"].size)
+
+    terms = sorted(terms, key=lambda t: -t["ub"])
+    ubs = np.array([t["ub"] for t in terms])
+    suffix = np.append(np.cumsum(ubs[::-1])[::-1], 0.0)  # suffix[i] = sum ub[i:]
+
+    cand_docs = np.empty(0, dtype=np.int64)
+    cand_scores = np.empty(0, dtype=np.float64)
+    theta = -np.inf
+
+    for i, t in enumerate(terms):
+        rest_after = suffix[i + 1]
+        candidates_only = cand_docs.size >= k and suffix[i] < theta
+
+        if candidates_only:
+            # (3) drop candidates that can no longer reach theta
+            keep = cand_scores + suffix[i] >= theta
+            cand_docs, cand_scores = cand_docs[keep], cand_scores[keep]
+            if cand_docs.size == 0:
+                break
+            # (4) needed blocks: block of each candidate, upper-bound-filtered
+            bfd = np.asarray(t["block_first_doc"], dtype=np.int64)
+            pos = np.searchsorted(bfd, cand_docs, side="right") - 1
+            valid = pos >= 0
+            if not valid.any():
+                continue
+            pos_v, cd_scores = pos[valid], cand_scores[valid]
+            order = np.argsort(pos_v, kind="stable")
+            blk_sorted = pos_v[order]
+            blocks, first_idx = np.unique(blk_sorted, return_index=True)
+            # max candidate partial per block + block UB + rest must reach theta
+            max_part = np.maximum.reduceat(cd_scores[order], first_idx)
+            ok = max_part + t["bub"][blocks] + rest_after >= theta
+            blocks = blocks[ok]
+            stats["blocks_decoded"] += int(blocks.size)
+            t_docs, t_tfs, t_dls = _decode_blocks(t, blocks, block_size)
+            if t_docs.size == 0:
+                continue
+            comp = _tf_component(t_tfs, t_dls, scoring, k1, b, avgdl) * t["w"]
+            # add contributions only for docs that are candidates
+            idx = np.searchsorted(t_docs, cand_docs)
+            idx_c = np.minimum(idx, t_docs.size - 1)
+            hit = t_docs[idx_c] == cand_docs
+            cand_scores = cand_scores + np.where(hit, comp[idx_c], 0.0)
+        else:
+            # full decode of this term; union-merge into the accumulator
+            nblocks = (t["count"] + block_size - 1) // block_size
+            stats["blocks_decoded"] += nblocks
+            deltas = _decode_all(t["doc_ids_enc"], t["count"])
+            t_docs = _docids_from_deltas(deltas, block_size)
+            t_tfs = _decode_all(t["tfs_enc"], t["count"])
+            t_dls = _decode_all(t["dls_enc"], t["count"])
+            comp = _tf_component(t_tfs, t_dls, scoring, k1, b, avgdl) * t["w"]
+            all_docs = np.union1d(cand_docs, t_docs)
+            scores = np.zeros(all_docs.size, dtype=np.float64)
+            scores[np.searchsorted(all_docs, cand_docs)] += cand_scores
+            scores[np.searchsorted(all_docs, t_docs)] += comp
+            cand_docs, cand_scores = all_docs, scores
+
+        if cand_docs.size >= k:
+            theta = np.partition(cand_scores, cand_scores.size - k)[cand_scores.size - k]
+
+    if cand_docs.size == 0:
+        return cand_docs, cand_scores
+    take = min(k, cand_docs.size)
+    order = np.lexsort((cand_docs, -cand_scores))[:take]
+    return cand_docs[order], cand_scores[order]
+
+
+def search_wand(
+    index: CompressedIndex,
+    queries: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    scoring: str = "bm25",
+    k: int | None = None,
+) -> DataFrame:
+    """queries(query_id, content) -> (query_id, rank, doc_id, score).
+
+    Plan shape: tiny query side tokenized and **broadcast** into the postings
+    join (only matching term rows leave the scan — Parquet footer min/max on
+    the term-sorted files prunes most of the index), then one pandas group per
+    query runs :func:`maxscore_topk`. No full-corpus shuffle at query time.
+    """
+    if scoring == "bm25" and (cfg.k1 != index.k1 or cfg.b != index.b):
+        raise ValueError(
+            f"index block-max metadata was built with (k1={index.k1}, b={index.b}); "
+            f"query config has (k1={cfg.k1}, b={cfg.b}) — rebuild or re-encode"
+        )
+    kk = k if k is not None else cfg.k
+    n_docs, avgdl, k1, b, block_size = index.n_docs, index.avgdl, cfg.k1, cfg.b, index.block_size
+
+    q_terms = query_terms(queries, stem=cfg.stem)
+    joined = index.postings.join(F.broadcast(q_terms), "term", "inner")
+
+    def _score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        terms = []
+        for row in pdf.to_dict("records"):
+            terms.append(
+                {
+                    "qtf": int(row["qtf"]),
+                    "df": int(row["df"]),
+                    "count": int(row["count"]),
+                    "doc_ids_enc": bytes(row["doc_ids_enc"]),
+                    "tfs_enc": bytes(row["tfs_enc"]),
+                    "dls_enc": bytes(row["dls_enc"]),
+                    "block_first_doc": np.asarray(row["block_first_doc"], dtype=np.int64),
+                    "block_off_doc": np.asarray(row["block_off_doc"], dtype=np.int64),
+                    "block_off_tf": np.asarray(row["block_off_tf"], dtype=np.int64),
+                    "block_off_dl": np.asarray(row["block_off_dl"], dtype=np.int64),
+                    "block_max_tfpart": np.asarray(row["block_max_tfpart"], dtype=np.float64),
+                    "block_max_tfdl": np.asarray(row["block_max_tfdl"], dtype=np.float64),
+                }
+            )
+        doc_ids, scores = maxscore_topk(
+            terms, n_docs, avgdl, kk, scoring=scoring, k1=k1, b=b, block_size=block_size
+        )
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "rank": np.arange(1, doc_ids.size + 1, dtype=np.int64),
+                "doc_id": doc_ids,
+                "score": scores,
+            }
+        )
+
+    return joined.groupBy("query_id").applyInPandas(_score_group, schema=RESULT_SCHEMA)

@@ -1,0 +1,191 @@
+"""Compressed index + block-max MaxScore/WAND: round-trip identity, safe
+pruning (rank-identical to exhaustive), and that pruning actually happens.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fulltextsearch_spark.config import EngineConfig
+from fulltextsearch_spark.operators.compressed_index import (
+    _encode_one,
+    build_compressed_index,
+    compress_postings,
+    decompress_postings,
+    load_compressed_index,
+    save_compressed_index,
+)
+from fulltextsearch_spark.operators.index_build import build_index
+from fulltextsearch_spark.operators.query import search
+from fulltextsearch_spark.operators.wand import maxscore_topk, search_wand
+from fulltextsearch_spark.sources.ingest import assign_dense_doc_ids
+from fulltextsearch_spark.sources.webpages import QUERY_SET, generate_webpages
+
+K = 10
+CFG = EngineConfig(k1=1.2, b=0.75, k=K, block_size=16)  # small blocks: many per term
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages = generate_webpages(spark, 400, seed=7, num_partitions=4)
+    return assign_dense_doc_ids(pages, order_col="url")
+
+
+@pytest.fixture(scope="module")
+def cindex(spark, corpus):
+    return build_compressed_index(spark, corpus, CFG)
+
+
+def _result_map(rows):
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for v in by_q.values():
+        v.sort()
+    return by_q
+
+
+def test_compress_roundtrip(spark, corpus):
+    logical = build_index(spark, corpus, CFG)
+    compressed = compress_postings(logical, CFG)
+    back = decompress_postings(compressed, CFG.block_size)
+    orig = {
+        r["term"]: [(p["doc_id"], p["tf"], p["dl"]) for p in r["postings"]]
+        for r in logical.postings.collect()
+    }
+    got = {
+        r["term"]: [(p["doc_id"], p["tf"], p["dl"]) for p in r["postings"]]
+        for r in back.collect()
+    }
+    assert got == orig
+
+
+def test_compression_actually_compresses(cindex):
+    row = cindex.postings.filter("term = 'http'").collect()[0]
+    raw_bytes = row["count"] * 24  # 3 longs per posting
+    enc_bytes = len(row["doc_ids_enc"]) + len(row["tfs_enc"]) + len(row["dls_enc"])
+    assert enc_bytes < raw_bytes / 4
+    # block metadata is consistent
+    n_blocks = (row["count"] + CFG.block_size - 1) // CFG.block_size
+    assert len(row["block_first_doc"]) == n_blocks
+    assert len(row["block_max_tfpart"]) == n_blocks
+    assert row["block_off_doc"][0] == 0
+    assert list(row["block_first_doc"]) == sorted(row["block_first_doc"])
+
+
+@pytest.mark.parametrize("scoring", ["bm25", "tfidf"])
+def test_wand_rank_identical_to_exhaustive(spark, corpus, cindex, scoring):
+    idx = build_index(spark, corpus, CFG)
+    qdf = spark.createDataFrame(QUERY_SET, ["query_id", "content"])
+    exhaustive = _result_map(search(idx, qdf, CFG, scoring=scoring).collect())
+    wand = _result_map(search_wand(cindex, qdf, CFG, scoring=scoring).collect())
+    assert set(wand) == set(exhaustive)
+    for qid in exhaustive:
+        got, exp = wand[qid], exhaustive[qid]
+        assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in exp], qid
+        for (_, _, gs), (_, _, es) in zip(got, exp):
+            assert gs == pytest.approx(es, rel=1e-9, abs=1e-12)
+
+
+def test_wand_k1_mismatch_rejected(spark, cindex):
+    qdf = spark.createDataFrame([("q", "cat")], ["query_id", "content"])
+    with pytest.raises(ValueError, match="block-max metadata"):
+        search_wand(cindex, qdf, EngineConfig(k1=1.5, b=0.75, k=K))
+
+
+def test_save_load_compressed(spark, cindex, tmp_path):
+    root = str(tmp_path / "cidx")
+    save_compressed_index(cindex, root)
+    loaded = load_compressed_index(spark, root)
+    assert (loaded.n_docs, loaded.block_size) == (cindex.n_docs, cindex.block_size)
+    assert loaded.avgdl == pytest.approx(cindex.avgdl)
+    qdf = spark.createDataFrame(QUERY_SET[:4], ["query_id", "content"])
+    a = _result_map(search_wand(cindex, qdf, CFG).collect())
+    b = _result_map(search_wand(loaded, qdf, CFG).collect())
+    assert a == b
+
+
+# --- pure-numpy kernel property tests (no Spark) ---------------------------
+
+
+def _random_terms(rng, n_docs, n_terms, avgdl, k1, b, block_size):
+    """Synthetic per-term postings with Zipf-ish df, incl. one head term."""
+    dls = rng.integers(5, 200, size=n_docs).astype(np.int64)
+    terms, truth = [], {}
+    for t in range(n_terms):
+        df = n_docs if t == 0 else int(rng.integers(1, max(2, n_docs // (t + 1))))
+        doc_ids = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 8, size=df).astype(np.int64)
+        enc = _encode_one(doc_ids, tfs, dls[doc_ids], block_size, k1, b, avgdl)
+        qtf = int(rng.integers(1, 3))
+        term = {
+            "qtf": qtf,
+            "df": df,
+            "count": enc["count"],
+            "doc_ids_enc": enc["doc_ids_enc"],
+            "tfs_enc": enc["tfs_enc"],
+            "dls_enc": enc["dls_enc"],
+            "block_first_doc": np.asarray(enc["block_first_doc"], dtype=np.int64),
+            "block_off_doc": np.asarray(enc["block_off_doc"], dtype=np.int64),
+            "block_off_tf": np.asarray(enc["block_off_tf"], dtype=np.int64),
+            "block_off_dl": np.asarray(enc["block_off_dl"], dtype=np.int64),
+            "block_max_tfpart": np.asarray(enc["block_max_tfpart"], dtype=np.float64),
+            "block_max_tfdl": np.asarray(enc["block_max_tfdl"], dtype=np.float64),
+        }
+        terms.append(term)
+        truth[t] = (doc_ids, tfs, dls[doc_ids], qtf, df)
+    return terms, truth
+
+
+def _brute_topk(truth, n_docs, avgdl, k, scoring, k1, b):
+    scores = np.zeros(n_docs)
+    for doc_ids, tfs, dls, qtf, df in truth.values():
+        idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        tf = tfs.astype(np.float64)
+        if scoring == "bm25":
+            comp = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dls / avgdl))
+        else:
+            comp = tf / dls
+        np.add.at(scores, doc_ids, qtf * idf * comp)
+    hit = np.flatnonzero(scores > 0)
+    order = np.lexsort((hit, -scores[hit]))[:k]
+    return hit[order], scores[hit][order]
+
+
+@pytest.mark.parametrize("scoring", ["bm25", "tfidf"])
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_maxscore_kernel_matches_bruteforce(scoring, seed):
+    rng = np.random.default_rng(seed)
+    n_docs, k1, b, block_size = 3000, 1.2, 0.75, 64
+    avgdl = 100.0
+    terms, truth = _random_terms(rng, n_docs, n_terms=6, avgdl=avgdl, k1=k1, b=b, block_size=block_size)
+    stats: dict = {}
+    got_docs, got_scores = maxscore_topk(
+        terms, n_docs, avgdl, 10, scoring=scoring, k1=k1, b=b, block_size=block_size, stats=stats
+    )
+    exp_docs, exp_scores = _brute_topk(truth, n_docs, avgdl, 10, scoring, k1, b)
+    assert got_docs.tolist() == exp_docs.tolist()
+    np.testing.assert_allclose(got_scores, exp_scores, rtol=1e-9)
+    assert stats["blocks_total"] > 0
+
+
+def test_maxscore_kernel_prunes_blocks():
+    """With one giant head term and several rare high-impact terms, the head
+    term must be processed candidates-only with real block skipping."""
+    rng = np.random.default_rng(99)
+    n_docs, k1, b, block_size = 20000, 1.2, 0.75, 64
+    avgdl = 100.0
+    terms, truth = _random_terms(rng, n_docs, n_terms=8, avgdl=avgdl, k1=k1, b=b, block_size=block_size)
+    stats: dict = {}
+    got_docs, _ = maxscore_topk(
+        terms, n_docs, avgdl, 10, k1=k1, b=b, block_size=block_size, stats=stats
+    )
+    exp_docs, _ = _brute_topk(truth, n_docs, avgdl, 10, "bm25", k1, b)
+    assert got_docs.tolist() == exp_docs.tolist()
+    assert stats["blocks_decoded"] < stats["blocks_total"], stats
+
+
+def test_maxscore_empty_terms():
+    docs, scores = maxscore_topk([], 100, 10.0, 5)
+    assert docs.size == 0 and scores.size == 0
