@@ -192,6 +192,25 @@ def q_bm25_topk_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_topk(spark, sf_dir, "bm25", stem=True)
 
 
+def q_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6/A8/A10/F5/J3: trigram engine end-to-end (rows-only driver check;
+    byte-parity with the reference parser/engine is pinned by
+    tests/test_trigram.py against a per-byte C++ transcription oracle)."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.trigram import build_trigram_index, search_trigram
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK)
+    idx = build_trigram_index(spark, _docs(spark, sf_dir), cfg)
+    qs = [("t1", "query window"), ("t2", "join"), ("t3", "spark merge")]
+    res = search_trigram(idx, qs, cfg)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_stop_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10: compactify — drop terms with df > n_docs/stop_share (trigram
     engine's stop-key pruning, trigram_index_engine.cpp:36-38)."""
@@ -294,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand": q_bm25_topk_wand,
         "tfidf_topk": q_tfidf_topk,
         "bm25_topk_stemmed": q_bm25_topk_stemmed,
+        "trigram_topk": q_trigram_topk,
         "stop_prune": q_stop_prune,
         "exact_dedup": q_exact_dedup,
         "token_count": q_token_count,

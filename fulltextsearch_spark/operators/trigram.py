@@ -1,0 +1,188 @@
+"""Trigram index engine — the reference's second engine, Spark-first.
+
+Semantics pinned against ``/root/reference/src/algorithms/trigram/
+trigram_index_engine.cpp``:
+
+* build (``:11-39, :205-245``): per-doc counts keyed on the *raw* packed
+  trigram (offset included); the index key caps the offset at 14, so two raw
+  offsets >= 14 in one doc insert **two** entries under the same key — posting
+  lists may repeat a doc_id, and df counts entries, not distinct docs. We
+  reproduce this exactly.
+* corpus stats (``:30``): doc_count = number of documents consumed (NOT
+  max_id+1 — differs from the inverted engine), avgdl = total trigrams /
+  doc_count.
+* compactify (``:36-38``): stop_share = clamp(uint32(doc_count/(avgdl+1)),
+  2, 10); lists longer than doc_count // stop_share (integer division) are
+  dropped — a plain filter on the aggregated index.
+* search (``:41-93``): query parsed to raw trigrams in order; every parsed
+  occurrence (hits AND misses) counts toward the normalizer n_q; lookups use
+  the **uncapped** raw value (offset >= 15 never matches — reference quirk);
+  per match the contribution is score(dl, tf, df) / n_q, accumulated per doc;
+  top-k with our deterministic (score DESC, doc_id ASC) tiebreak.
+
+Plan shape mirrors the inverted engine: one Arrow tokenize pass, explode,
+``groupBy(key)`` posting aggregation (Zipf head on trigrams is milder than on
+terms but AQE skew handling stays on), broadcast query join at serve time.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fulltextsearch_spark.config import DEFAULT_CONFIG, EngineConfig
+from fulltextsearch_spark.functions.scoring import bm25_col, tfidf_col
+from fulltextsearch_spark.functions.trigram import (
+    MAX_WORD_OFFSET,
+    cap_offset,
+    trigram_counts_udf,
+    trigram_values,
+)
+from fulltextsearch_spark.operators.query import topk
+
+__all__ = ["TrigramIndex", "build_trigram_index", "search_trigram", "query_trigrams"]
+
+
+@dataclass
+class TrigramIndex:
+    """postings: (key BIGINT, df BIGINT,
+    postings ARRAY<STRUCT<doc_id BIGINT, tf BIGINT, dl BIGINT>>).
+    ``compactified`` postings have hot keys removed (stop-trigram pruning)."""
+
+    postings: DataFrame
+    doc_stats: DataFrame
+    doc_count: int
+    avgdl: float
+    stop_threshold: int
+
+
+def build_trigram_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    text_col: str = "text",
+    compactify: bool = True,
+) -> TrigramIndex:
+    tc = trigram_counts_udf()
+    with_tc = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), tc(F.col(text_col)).alias("_tc")
+    ).select("doc_id", "_tc.dl", "_tc.raws", "_tc.tfs")
+    with_tc = with_tc.persist()
+
+    doc_stats = with_tc.select("doc_id", "dl")
+    stats = doc_stats.agg(
+        F.count(F.lit(1)).alias("doc_count"), F.sum("dl").alias("total")
+    ).collect()[0]
+    doc_count = int(stats["doc_count"])
+    avgdl = float(stats["total"] or 0) / doc_count if doc_count else 0.0
+
+    flat = with_tc.select(
+        "doc_id",
+        "dl",
+        F.explode(F.arrays_zip(F.col("raws"), F.col("tfs"))).alias("_z"),
+    ).select(
+        "doc_id",
+        F.col("_z.raws").alias("raw"),
+        F.col("_z.tfs").cast("long").alias("tf"),
+        "dl",
+    )
+    # index key: offset capped at 14 (insert-side, parallel_hash_index.hpp:27-33)
+    off = F.col("raw").bitwiseAND(F.lit(0xFF))
+    key = (
+        F.col("raw").bitwiseAND(F.lit(~0xFF))
+        + F.least(off, F.lit(MAX_WORD_OFFSET - 1))
+    ).alias("key")
+    posting = F.struct(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("tf").cast("long").alias("tf"),
+        F.col("dl").cast("long").alias("dl"),
+    )
+    postings = (
+        flat.select(key, posting.alias("p"))
+        .groupBy("key")
+        .agg(
+            F.sort_array(F.collect_list("p")).alias("postings"),
+            F.count(F.lit(1)).alias("df"),
+        )
+    )
+
+    # stop-trigram pruning (compactify, trigram_index_engine.cpp:36-38)
+    # C++: std::clamp(static_cast<uint32_t>(doc_count/(avg+1)), 2U, 10U)
+    stop_share = int(np.clip(int(doc_count / (avgdl + 1.0)), 2, 10))
+    threshold = doc_count // stop_share
+    if compactify:
+        postings = postings.filter(F.col("df") <= F.lit(threshold))
+    postings = postings.persist()
+
+    return TrigramIndex(
+        postings=postings,
+        doc_stats=doc_stats,
+        doc_count=doc_count,
+        avgdl=avgdl,
+        stop_threshold=threshold,
+    )
+
+
+def query_trigrams(spark: SparkSession, queries: list[tuple[str, str]]) -> DataFrame:
+    """[(query_id, content)] -> (query_id, raw, qtf, n_q) rows.
+
+    n_q counts every parsed occurrence, hits and misses alike
+    (``trigram_index_engine.cpp:59-68`` divides by trigram_results.size()).
+    Query parsing is driver-side (queries are tiny) and broadcast.
+    """
+    rows = []
+    for qid, content in queries:
+        vals = trigram_values(content.encode("utf-8"))
+        n_q = int(vals.size)
+        if n_q == 0:
+            continue
+        uniq, cnt = np.unique(vals, return_counts=True)
+        rows += [(qid, int(r), int(c), n_q) for r, c in zip(uniq, cnt)]
+    return spark.createDataFrame(rows, "query_id STRING, raw LONG, qtf LONG, n_q LONG")
+
+
+def search_trigram(
+    index: TrigramIndex,
+    queries: list[tuple[str, str]],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    scoring: str = "bm25",
+    k: int | None = None,
+) -> DataFrame:
+    """[(query_id, content)] -> (query_id, rank, doc_id, score)."""
+    spark = index.postings.sparkSession
+    q = query_trigrams(spark, queries)
+    # lookup probes with the UNCAPPED raw value (reference quirk): join on
+    # equality — keys with offset 14 only match query offset exactly 14.
+    joined = index.postings.join(
+        F.broadcast(q), index.postings["key"] == q["raw"], "inner"
+    )
+    flat = joined.select(
+        "query_id", "qtf", "n_q", "df", F.explode("postings").alias("p")
+    ).select(
+        "query_id",
+        "qtf",
+        "n_q",
+        "df",
+        F.col("p.doc_id").alias("doc_id"),
+        F.col("p.tf").alias("tf"),
+        F.col("p.dl").alias("dl"),
+    )
+    if scoring == "bm25":
+        per = bm25_col(
+            F.col("tf"), F.col("df"), F.col("dl"), index.doc_count, index.avgdl, cfg.k1, cfg.b
+        )
+    elif scoring == "tfidf":
+        per = tfidf_col(F.col("tf"), F.col("df"), F.col("dl"), index.doc_count)
+    else:
+        raise ValueError(f"unknown scoring {scoring!r}")
+    scored = (
+        flat.withColumn(
+            "_s", per * F.col("qtf").cast("double") / F.col("n_q").cast("double")
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_s").alias("score"))
+    )
+    return topk(scored, k if k is not None else cfg.k)
