@@ -201,7 +201,11 @@ def q_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cfg = EngineConfig(k1=K1, b=B, k=TOPK)
     idx = build_trigram_index(spark, _docs(spark, sf_dir), cfg)
-    qs = [("t1", "query window"), ("t2", "join"), ("t3", "spark merge")]
+    # The testdata vocabulary is tiny, so compactify (stop-trigram pruning,
+    # faithful to the reference) drops almost every trigram; 'dup' is rare
+    # enough to survive at sf0.01 — pruned trigrams in t2/t3 still count
+    # toward the n_q normalizer exactly like the reference's cleared lists.
+    qs = [("t1", "dup"), ("t2", "dup value"), ("t3", "window dup table")]
     res = search_trigram(idx, qs, cfg)
     return res.select(
         "query_id",
