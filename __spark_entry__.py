@@ -270,6 +270,104 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: deterministic stopword/CJK language-ID heuristic."""
+    from fulltextsearch_spark.operators.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: whitespace + BPE-ish pre-tokenizer counts."""
+    from fulltextsearch_spark.operators.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup: exact character-8-shingle Jaccard pairs over a doc subset (the
+    testdata vocabulary is tiny, so an unrestricted shingle join is a
+    cartesian blowup by construction — real corpora are far sparser)."""
+    from fulltextsearch_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    return ngram_jaccard_pairs(docs, shingle_k=8, threshold=0.08).select(
+        "doc_id_a", "doc_id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup: MinHash-LSH near-dup candidate pairs (rows-only: the
+    crc32+splitmix64 permutation family is not DuckDB-expressible; the
+    estimator is pinned vs exact Jaccard in tests/test_pipeline_ops.py)."""
+    from fulltextsearch_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    return minhash_lsh_pairs(docs, threshold=0.3, shingle_k=8).select(
+        "doc_id_a", "doc_id_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup: SimHash hamming<=3 pairs via exact 4x16 banding (rows-only;
+    banding exactness proven vs brute force in tests)."""
+    from fulltextsearch_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_docs(spark, sf_dir))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup: exact cosine>=0.4 near-dup pairs over embeddings."""
+    from fulltextsearch_spark.operators.similarity import embedding_neardup_exact
+
+    return embedding_neardup_exact(_embeddings(spark, sf_dir), threshold=0.4).select(
+        "vec_id_a", "vec_id_b", F.round("sim", 4).alias("sim")
+    )
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: winnowing document fingerprints (rows-only; pinned vs
+    the pure-Python winnow reference in tests)."""
+    from fulltextsearch_spark.operators.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir).filter(F.col("doc_id") < 100))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity: multi-table hyperplane-LSH ANN (rows-only; recall vs the
+    exact brute force asserted in tests)."""
+    from fulltextsearch_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qvec"),
+    )
+    res = lsh_cosine_topk(emb, q, dim=64, k=TOPK, n_planes=6, n_tables=16)
+    return res.select("query_id", "rank", "vec_id", F.round("sim", 4).alias("sim"))
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity: IVF (k-means coarse quantizer, nprobe lists) ANN."""
+    from fulltextsearch_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qvec"),
+    )
+    res = ivf_cosine_topk(emb, q, n_centroids=10, nprobe=6, k=TOPK)
+    return res.select("query_id", "rank", "vec_id", F.round("sim", 4).alias("sim"))
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: FTSB container header parse over a deterministic synthetic
+    media table (rows-only; byte-level round-trip pinned in tests)."""
+    from fulltextsearch_spark.operators.multimodal import generate_media, media_metadata
+
+    return media_metadata(generate_media(spark, 30, seed=13))
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search: brute-force cosine top-k vs the vec_id=0 vector."""
     emb = _embeddings(spark, sf_dir).select(
@@ -321,8 +419,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stop_prune": q_stop_prune,
         "exact_dedup": q_exact_dedup,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
         "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_neardup": q_embedding_neardup,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "media_metadata": q_media_metadata,
     }
 
 
@@ -361,6 +469,39 @@ ranked AS (
 SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
        round(score, 4) AS score
 FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _lang_id_sql() -> str:
+    from fulltextsearch_spark.operators.textstats import LANG_STOPWORDS
+
+    vote_cols = []
+    for lang, words in LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        vote_cols.append(f"len(list_filter(ws, x -> x IN ({lst}))) AS v_{lang}")
+    votes = ",\n         ".join(vote_cols)
+    best = "greatest(v_en, v_de, v_es, v_fr)"
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g'))::DOUBLE
+           / greatest(length(text), 1) AS cjk
+  FROM documents
+),
+v AS (
+  SELECT doc_id, cjk,
+         {votes}
+  FROM t
+)
+SELECT doc_id::BIGINT AS doc_id,
+       CASE WHEN cjk >= 0.2 THEN 'zh'
+            WHEN {best} <= 0 THEN 'und'
+            WHEN v_en = {best} THEN 'en'
+            WHEN v_de = {best} THEN 'de'
+            WHEN v_es = {best} THEN 'es'
+            ELSE 'fr' END AS lang
+FROM v
 """
 
 
@@ -436,6 +577,46 @@ SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,
              / greatest(len(ws), 1), 4) AS stop_ratio,
        round(length(text)::DOUBLE / greatest(len(ws), 1), 4) AS chars_per_word
 FROM words
+""",
+        "lang_id": _lang_id_sql(),
+        "token_count_bpe": r"""
+SELECT doc_id::BIGINT AS doc_id,
+       len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))::BIGINT AS n_bpe_tokens
+FROM documents
+""",
+        "ngram_jaccard": """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      range(1, greatest(length(text) - 7, 1) + 1),
+      i -> substr(text, i::INT, 8)))) AS shingle
+  FROM d
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia::BIGINT AS doc_id_a, ib::BIGINT AS doc_id_b,
+       round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = ia
+JOIN sizes sb ON sb.doc_id = ib
+WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.08
+""",
+        "embedding_neardup": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n
+  FROM embeddings
+)
+SELECT a.vec_id::BIGINT AS vec_id_a, b.vec_id::BIGINT AS vec_id_b,
+       round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+             / (a.n * b.n), 4) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.n * b.n) >= 0.4
 """,
         "ann_cosine_topk": f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

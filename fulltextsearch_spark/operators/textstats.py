@@ -1,0 +1,165 @@
+"""Text analysis operators for training-data pipelines.
+
+* :func:`language_id` — deterministic heuristic: CJK-character ratio first,
+  then stop-word-profile votes for en/de/es/fr over lowercased whitespace
+  tokens; ties broken by fixed priority, no votes -> 'und'. Pure Column code
+  (JVM, codegen) so it is also exactly SQL-expressible for the oracle.
+* :func:`token_counts` — whitespace tokens + a BPE-ish pre-tokenizer count
+  (GPT-2-style pattern reduced to ASCII classes: letter runs / digit runs /
+  punctuation runs, each with optional leading space).
+* :func:`winnow_fingerprints` — document fingerprinting by winnowing
+  (Schleimer et al., SIGMOD'03): k-gram Karp-Rabin rolling hashes, per-window
+  minimum with the paper's rightmost tie-break, numpy-vectorized.
+* :func:`quality_features` — cheap per-doc quality signals (lengths,
+  stop-word ratio, chars/word).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+from fulltextsearch_spark.functions.tokenizer import STOP_WORDS
+
+__all__ = [
+    "LANG_STOPWORDS",
+    "language_id",
+    "token_counts",
+    "winnow_fingerprints",
+    "quality_features",
+    "BPE_ISH_PATTERN",
+]
+
+# Small, fixed stop-word profiles (distinctive function words only).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": "the and of to in is that it was for with his they this have from".split(),
+    "de": "der die das und ist nicht ein eine mit von den dem auch sich".split(),
+    "es": "el la los las y es una por con para del se las como más".split(),
+    "fr": "le la les et est une des dans pour que qui sur pas vous".split(),
+}
+_LANG_PRIORITY = ["en", "de", "es", "fr"]  # tie-break order
+
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def _ws_tokens(text_col: str):
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", cjk_threshold: float = 0.2) -> DataFrame:
+    """(doc_id, lang) — deterministic heuristic language ID."""
+    toks = _ws_tokens(text_col)
+    votes = {
+        lang: F.size(F.filter(toks, lambda x: x.isin(*words)))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    n_cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
+    cjk_ratio = n_cjk.cast("double") / F.greatest(F.length(text_col), F.lit(1)).cast("double")
+    best = F.greatest(*[votes[lang] for lang in _LANG_PRIORITY])
+    lang_expr = F.when(cjk_ratio >= F.lit(cjk_threshold), F.lit("zh"))
+    cond = F.when(best <= F.lit(0), F.lit("und"))
+    for lang in _LANG_PRIORITY:
+        cond = cond.when(votes[lang] == best, F.lit(lang))
+    lang_expr = lang_expr.otherwise(cond)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), lang_expr.alias("lang")
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens) — token-count features."""
+    ws = F.size(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+    )
+
+
+_KR_BASE = np.uint64(257)
+_KR_MOD = np.uint64((1 << 61) - 1)
+
+
+def _kgram_hashes(data: bytes, k: int) -> np.ndarray:
+    """Karp-Rabin polynomial hashes of all k-grams (vectorized: k passes)."""
+    a = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = a.size - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        h = (h * _KR_BASE + a[j: j + n]) % _KR_MOD
+    return h
+
+
+def winnow(data: bytes, k: int = 8, window: int = 4) -> list[tuple[int, int]]:
+    """-> [(position, fingerprint)] selected by robust winnowing."""
+    h = _kgram_hashes(data, k)
+    if h.size == 0:
+        return []
+    if h.size <= window:
+        pos = int(h.argmin())
+        # rightmost minimum
+        pos = int(np.flatnonzero(h == h[pos])[-1])
+        return [(pos, int(h[pos]))]
+    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+    # rightmost min per window: argmin over reversed window
+    rev = sw[:, ::-1]
+    picks = (window - 1) - rev.argmin(axis=1) + np.arange(sw.shape[0])
+    uniq = np.unique(picks)
+    return [(int(p), int(h[p])) for p in uniq]
+
+
+def winnow_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 8, window: int = 4
+) -> DataFrame:
+    """(doc_id, pos, fingerprint) — exploded winnowing fingerprints."""
+    out_type = T.ArrayType(
+        T.StructType(
+            [T.StructField("pos", T.LongType()), T.StructField("fingerprint", T.LongType())]
+        )
+    )
+
+    @pandas_udf(out_type)
+    def _fp(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                [
+                    {"pos": p, "fingerprint": np.uint64(f).astype(np.int64).item()}
+                    for p, f in winnow(t.encode("utf-8") if isinstance(t, str) else b"", k, window)
+                ]
+                for t in texts
+            ]
+        )
+
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.explode(_fp(F.col(text_col))).alias("_f")
+    ).select("doc_id", F.col("_f.pos").alias("pos"), F.col("_f.fingerprint").alias("fingerprint"))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_words, stop_ratio, chars_per_word, punct_ratio)."""
+    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+    stop_arr = F.array(*[F.lit(w) for w in sorted(STOP_WORDS)])
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        F.round(n_stop.cast("double") / F.greatest(n_words, F.lit(1)), 4).alias("stop_ratio"),
+        F.round(
+            F.length(text_col).cast("double") / F.greatest(n_words, F.lit(1)), 4
+        ).alias("chars_per_word"),
+        F.round(
+            n_punct.cast("double") / F.greatest(F.length(text_col), F.lit(1)), 4
+        ).alias("punct_ratio"),
+    )

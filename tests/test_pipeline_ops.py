@@ -1,0 +1,327 @@
+"""Training-pipeline operators: dedup (exact/MinHash/SimHash/Jaccard),
+similarity search (brute/LSH/IVF), text stats, multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pytest
+
+from fulltextsearch_spark.operators import dedup as dd
+from fulltextsearch_spark.operators import multimodal as mm
+from fulltextsearch_spark.operators import similarity as sim
+from fulltextsearch_spark.operators import textstats as ts
+
+# --- corpora -----------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "salmon swim upstream in the cold river every single morning"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("cold", "warm")),  # near dup of 0
+        (3, "completely different content about spark shuffle partitions and aqe"),
+        (4, "completely different content about spark shuffle partitions and aqe"),
+        (5, "yet another unrelated document mentioning inverted indexes and bm25"),
+        (6, base.replace("morning", "evening").replace("cat", "kitten")),  # near dup
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING"), rows
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb_df):
+    rows = emb_df.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], m[order]
+
+
+def _brute_np(ids, m, q, k):
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    s = mn @ qn
+    idx = np.lexsort((ids, -s))[:k]
+    return ids[idx].tolist()
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+def test_exact_dedup(spark, dup_docs):
+    docs, _ = dup_docs
+    rows = {r["keep_doc_id"]: r["dup_count"] for r in dd.exact_dedup(docs).collect()}
+    assert rows[0] == 2 and rows[3] == 2 and rows[5] == 1 and rows[2] == 1
+
+
+def test_minhash_identical_docs_identical_sigs(spark, dup_docs):
+    docs, _ = dup_docs
+    sigs = {r["doc_id"]: tuple(r["sig"]) for r in dd.minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+    assert len(sigs[0]) == 128
+
+
+def test_minhash_lsh_finds_near_dups(spark, dup_docs):
+    docs, _ = dup_docs
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["est_jaccard"]
+        for r in dd.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (3, 4) in pairs and pairs[(3, 4)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5  # near dup
+    assert not any({a, b} == {0, 3} for a, b in pairs)
+
+
+def test_minhash_estimates_match_exact_jaccard(spark, dup_docs):
+    docs, rows = dup_docs
+    k = 5
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.3, shingle_k=k).collect()
+
+    def shingles(t):
+        return {t[i: i + k] for i in range(max(len(t) - k + 1, 1))}
+
+    texts = dict(rows)
+    for r in pairs:
+        a, b = texts[r["doc_id_a"]], texts[r["doc_id_b"]]
+        sa, sb = shingles(a), shingles(b)
+        exact = len(sa & sb) / len(sa | sb)
+        assert r["est_jaccard"] == pytest.approx(exact, abs=0.15)
+
+
+def test_simhash_banding_is_exact_for_h3(spark, dup_docs):
+    docs, _ = dup_docs
+    sigs = {r["doc_id"]: r["simhash"] for r in dd.simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in dd.simhash_neardup_pairs(docs, max_hamming=3).collect()
+    }
+    # brute-force ground truth
+    ids = sorted(sigs)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                h = bin((sigs[i] ^ sigs[j]) & ((1 << 64) - 1)).count("1")
+                assert ((i, j) in got) == (h <= 3), (i, j, h)
+                if (i, j) in got:
+                    assert got[(i, j)] == h
+
+
+def test_ngram_jaccard_exact(spark, dup_docs):
+    docs, rows = dup_docs
+    k = 5
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(docs, shingle_k=k, threshold=0.4).collect()
+    }
+
+    def shingles(t):
+        return {t[i: i + k] for i in range(len(t) - k + 1)}
+
+    texts = dict(rows)
+    exp = {}
+    for i in texts:
+        for j in texts:
+            if i < j:
+                sa, sb = shingles(texts[i]), shingles(texts[j])
+                jac = len(sa & sb) / len(sa | sb)
+                if jac >= 0.4:
+                    exp[(i, j)] = jac
+    assert set(got) == set(exp)
+    for p in exp:
+        assert got[p] == pytest.approx(exp[p], rel=1e-9)
+
+
+# --- similarity --------------------------------------------------------------
+
+
+def test_brute_cosine_topk_exact(spark, emb_df, emb_np):
+    ids, m = emb_np
+    qvecs = [(int(ids[0]), m[0].tolist()), (int(ids[7]), m[7].tolist())]
+    queries = spark.createDataFrame(qvecs, "query_id LONG, qvec ARRAY<DOUBLE>")
+    got = {}
+    for r in sim.brute_cosine_topk(emb_df.repartition(6), queries, k=10).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for qid, qv in qvecs:
+        exp = _brute_np(ids, m, np.array(qv), 10)
+        assert [v for _, v in sorted(got[qid])] == exp
+
+
+def test_lsh_and_ivf_recall(spark, emb_df, emb_np):
+    ids, m = emb_np
+    qvecs = [(int(ids[i]), m[i].tolist()) for i in range(0, 50, 10)]
+    queries = spark.createDataFrame(qvecs, "query_id LONG, qvec ARRAY<DOUBLE>")
+    exp = {qid: set(_brute_np(ids, m, np.array(qv), 10)) for qid, qv in qvecs}
+
+    got_lsh: dict[int, set] = {q: set() for q in exp}
+    # testdata embeddings have weak cosine clustering; p=6/L=16 measured at
+    # 0.94 candidate recall offline (p controls bucket size ~n/2^p, L recall)
+    for r in sim.lsh_cosine_topk(
+        emb_df, queries, dim=64, k=10, n_planes=6, n_tables=16
+    ).collect():
+        got_lsh[r["query_id"]].add(r["vec_id"])
+    recall_lsh = np.mean([len(got_lsh[q] & exp[q]) / 10 for q in exp])
+
+    got_ivf: dict[int, set] = {q: set() for q in exp}
+    for r in sim.ivf_cosine_topk(emb_df, queries, n_centroids=10, nprobe=6, k=10).collect():
+        got_ivf[r["query_id"]].add(r["vec_id"])
+    recall_ivf = np.mean([len(got_ivf[q] & exp[q]) / 10 for q in exp])
+
+    assert recall_lsh >= 0.8, recall_lsh  # multiprobe multi-table LSH
+    assert recall_ivf >= 0.8, recall_ivf  # 6/10 lists probed
+
+
+def test_embedding_neardup_exact_matches_numpy(spark, emb_df, emb_np):
+    ids, m = emb_np
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    sims = mn @ mn.T
+    thr = 0.4  # testdata has no true near-dups; max off-diag cosine ~0.51
+    exp = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= thr
+    }
+    got = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in sim.embedding_neardup_exact(emb_df, threshold=thr).collect()
+    }
+    assert got == exp and len(exp) > 0
+
+
+# --- textstats ---------------------------------------------------------------
+
+
+def test_language_id(spark):
+    rows = [
+        (0, "the cat and the dog were in the house that it was for"),
+        (1, "der hund und die katze sind nicht mit dem mann"),
+        (2, "el perro y la casa es una historia con los amigos"),
+        (3, "le chien est dans la maison pour les amis qui sont"),
+        (4, "这是一个中文文档 关于大数据 的内容"),
+        (5, "xqzt bnmp vvkl"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r["lang"] for r in ts.language_id(docs).collect()}
+    assert got == {0: "en", 1: "de", 2: "es", 3: "fr", 4: "zh", 5: "und"}
+
+
+def test_token_counts(spark):
+    text = "Hello world, 42 times! foo_bar"
+    docs = spark.createDataFrame([(0, text)], "doc_id LONG, text STRING")
+    r = ts.token_counts(docs).collect()[0]
+    assert r["n_ws_tokens"] == len(text.split())
+    assert r["n_bpe_tokens"] == len(re.findall(ts.BPE_ISH_PATTERN, text))
+
+
+def test_winnow_properties(spark):
+    a = b"the quick brown fox jumps over the lazy dog again and again"
+    fp_a = ts.winnow(a, k=8, window=4)
+    # deterministic + positions valid + fingerprints are real k-gram hashes
+    assert fp_a == ts.winnow(a, k=8, window=4)
+    hashes = ts._kgram_hashes(a, 8)
+    for pos, f in fp_a:
+        assert int(hashes[pos]) == f
+    # every window of hashes contains a selected position (winnowing guarantee)
+    sel = {p for p, _ in fp_a}
+    for s in range(len(hashes) - 4 + 1):
+        assert any(p in sel for p in range(s, s + 4))
+    # shared long substring -> shared fingerprints
+    b_ = b"XXXX the quick brown fox jumps over the lazy dog YYYY"
+    vals_a = {f for _, f in fp_a}
+    vals_b = {f for _, f in ts.winnow(b_, k=8, window=4)}
+    assert vals_a & vals_b
+
+
+def test_winnow_fingerprints_spark(spark, dup_docs):
+    docs, rows = dup_docs
+    got = ts.winnow_fingerprints(docs, k=8, window=4).collect()
+    by_doc: dict[int, set] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], set()).add((r["pos"], r["fingerprint"]))
+    texts = dict(rows)
+    for doc_id, text in texts.items():
+        exp = {
+            (p, np.uint64(f).astype(np.int64).item())
+            for p, f in ts.winnow(text.encode(), k=8, window=4)
+        }
+        assert by_doc[doc_id] == exp
+    assert by_doc[0] == by_doc[1]  # identical docs -> identical fingerprints
+
+
+def test_quality_features(spark):
+    docs = spark.createDataFrame(
+        [(0, "the cat!!! sat on the mat 123")], "doc_id LONG, text STRING"
+    )
+    r = ts.quality_features(docs).collect()[0]
+    assert r["n_words"] == 7
+    assert r["stop_ratio"] == pytest.approx(3 / 7, abs=1e-4)
+    assert r["punct_ratio"] > 0
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return mm.generate_media(spark, 12, seed=13).persist()
+
+
+def test_media_metadata(spark, media):
+    rows = {r["media_id"]: r for r in mm.media_metadata(media).collect()}
+    assert len(rows) == 12
+    assert rows[0]["modality"] == "image" and rows[0]["channels"] == 3
+    assert rows[1]["modality"] == "audio" and rows[1]["sample_rate"] == 16000
+    assert rows[2]["modality"] == "video" and rows[2]["n_frames"] >= 4
+    img = rows[0]
+    assert img["payload_bytes"] == img["width"] * img["height"] * 3
+
+
+def test_image_stats_matches_numpy(spark, media):
+    payload = bytes(media.filter("media_id = 0").collect()[0]["payload"])
+    arr = mm._image_array(payload).astype(np.float64)
+    r = mm.image_stats(media).filter("media_id = 0").collect()[0]
+    assert r["mean_r"] == pytest.approx(arr[..., 0].mean())
+    assert r["std_gray"] == pytest.approx(arr.mean(axis=3).std())
+
+
+def test_resize_and_frame_sampling(spark, media):
+    resized = mm.resize_images(media, 8, 8).collect()
+    for r in resized:
+        h = mm.decode_header(bytes(r["payload"]))
+        assert (h["width"], h["height"]) == (8, 8)
+        assert h["payload_bytes"] == 8 * 8 * 3
+    metas = {r["media_id"]: r for r in mm.media_metadata(media).collect()}
+    frames = mm.sample_frames(media, every_nth=2).collect()
+    by_vid: dict[int, int] = {}
+    for r in frames:
+        by_vid[r["media_id"]] = by_vid.get(r["media_id"], 0) + 1
+        fh = mm.decode_header(bytes(r["frame_payload"]))
+        assert fh["n_frames"] == 1
+    for vid, cnt in by_vid.items():
+        assert cnt == (metas[vid]["n_frames"] + 1) // 2
+
+
+def test_audio_features(spark, media):
+    r = mm.audio_features(media).filter("media_id = 1").collect()[0]
+    assert r["n_samples"] == 4000 and r["duration_s"] == pytest.approx(0.25)
+    assert 6000 < r["rms"] < 8000  # sine at amplitude 10000 -> rms ~7071
+
+
+def test_real_decode_gated(spark):
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        mm.decode_image_real(b"\x89PNG....")
