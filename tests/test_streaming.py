@@ -1,0 +1,142 @@
+"""Structured-Streaming incremental indexing: micro-batch ingestion with
+continuing dense ids, exactly-once replay, affected-terms merge, atomic
+version flip, and WAND safety with carried (stale-bound) postings after the
+corpus stats move.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from fulltextsearch_spark.config import EngineConfig
+from fulltextsearch_spark.operators.compressed_index import (
+    build_compressed_index,
+    decompress_postings,
+)
+from fulltextsearch_spark.operators.index_build import IndexTables
+from fulltextsearch_spark.operators.query import search
+from fulltextsearch_spark.operators.wand import search_wand
+from fulltextsearch_spark.sources.webpages import QUERY_SET, WEBPAGES_SCHEMA, generate_webpages
+from fulltextsearch_spark.streaming.incremental import (
+    IncrementalIndexer,
+    load_current_index,
+    refresh_index,
+)
+
+CFG = EngineConfig(k1=1.2, b=0.75, k=10, block_size=32)
+
+
+def _results(spark, idx, queries=QUERY_SET):
+    qdf = spark.createDataFrame(queries, ["query_id", "content"])
+    rows = search_wand(idx, qdf, CFG).collect()
+    return sorted((r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in rows)
+
+
+def _batch_results_with_ids(spark, docs_with_ids, queries=QUERY_SET):
+    idx = build_compressed_index(spark, docs_with_ids, CFG)
+    return _results(spark, idx, queries)
+
+
+def _distinct_urls(df, tag):
+    from pyspark.sql import functions as F
+
+    return df.withColumn("url", F.regexp_replace("url", "/page/", f"/{tag}/"))
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    land = str(tmp_path_factory.mktemp("landing"))
+    root = str(tmp_path_factory.mktemp("inc_root"))
+    # two initial files; the third arrives "later". generate_webpages restarts
+    # its url counter per call, so tag urls per file to keep them unique.
+    _distinct_urls(generate_webpages(spark, 120, seed=31), "f1").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(land, "f1"))
+    _distinct_urls(generate_webpages(spark, 80, seed=32), "f2").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(land, "f2"))
+    return land, root
+
+
+def _landing_glob(land):
+    return f"{land}/f*/"
+
+
+def test_incremental_stream_and_merge(spark, setup):
+    land, root = setup
+    indexer = IncrementalIndexer(spark, root, CFG)
+
+    # --- drain the initial two files, one file per micro-batch --------------
+    q = indexer.start(_landing_glob(land), WEBPAGES_SCHEMA, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    batches = sorted(os.listdir(os.path.join(root, "delta_tokenized")))
+    assert len(batches) == 2
+
+    s0 = refresh_index(spark, root, CFG)
+    assert s0["version"] == 0 and s0["affected_terms"] == -1  # first: full build
+    idx0 = load_current_index(spark, root)
+    assert idx0.n_docs == 200
+
+    # ids are dense and deterministic across batches
+    doc_map = spark.read.parquet(os.path.join(root, "doc_map"))
+    ids = sorted(r["doc_id"] for r in doc_map.collect())
+    assert ids == list(range(200))
+
+    # incremental v0 results == batch build over the same (doc_id, text)
+    corpus = spark.read.parquet(f"{land}/f1", f"{land}/f2")
+    docs_ids = doc_map.join(corpus, "url").select("doc_id", "text")
+    assert _results(spark, idx0) == _batch_results_with_ids(spark, docs_ids)
+
+    # --- exactly-once: rerunning the drained stream adds nothing ------------
+    q = indexer.start(_landing_glob(land), WEBPAGES_SCHEMA, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    assert sorted(os.listdir(os.path.join(root, "delta_tokenized"))) == batches
+
+    # --- a new file lands: long docs (moves avgdl up -> stale-bound path) ---
+    from pyspark.sql import functions as F
+
+    late = _distinct_urls(generate_webpages(spark, 60, seed=33), "f3")
+    late = late.withColumn("text", F.concat_ws(" ", "text", "text", "text"))
+    late.coalesce(1).write.mode("overwrite").parquet(os.path.join(land, "f3"))
+    q = indexer.start(_landing_glob(land), WEBPAGES_SCHEMA, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    assert len(os.listdir(os.path.join(root, "delta_tokenized"))) == 3
+
+    s1 = refresh_index(spark, root, CFG)
+    assert s1["version"] == 1 and s1["affected_terms"] > 0
+    idx1 = load_current_index(spark, root)
+    assert idx1.n_docs == 260
+    assert idx1.avgdl > idx0.avgdl  # stats moved -> carried bounds were scaled
+
+    # WAND over v1 (carried + rebuilt rows) == exhaustive over the SAME index
+    logical = IndexTables(
+        postings=decompress_postings(idx1.postings, idx1.block_size),
+        doc_stats=idx1.doc_stats,
+        n_docs=idx1.n_docs,
+        avgdl=idx1.avgdl,
+    )
+    qdf = spark.createDataFrame(QUERY_SET, ["query_id", "content"])
+    exhaustive = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in search(logical, qdf, CFG).collect()
+    )
+    assert _results(spark, idx1) == exhaustive
+
+    # ...and == a from-scratch batch build over all 260 docs with the same ids
+    corpus_all = spark.read.parquet(f"{land}/f1", f"{land}/f2", f"{land}/f3")
+    doc_map = spark.read.parquet(os.path.join(root, "doc_map"))
+    docs_all = doc_map.join(corpus_all, "url").select("doc_id", "text")
+    assert _results(spark, idx1) == _batch_results_with_ids(spark, docs_all)
+
+    # previous version remains readable (snapshot isolation for readers)
+    from fulltextsearch_spark.operators.compressed_index import load_compressed_index
+
+    old = load_compressed_index(spark, os.path.join(root, "index_v00000"))
+    assert old.n_docs == 200
+
+    # lineage recorded per batch with throughput
+    lines = [json.loads(l) for l in open(os.path.join(root, "_stream_lineage.jsonl"))]
+    assert len(lines) == 3 and all("docs_per_sec" in l for l in lines)
