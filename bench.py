@@ -61,8 +61,13 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
     from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.compressed_index import (
+        CompressedIndex,
+        compress_postings,
+    )
     from fulltextsearch_spark.operators.index_build import build_index
     from fulltextsearch_spark.operators.query import search
+    from fulltextsearch_spark.operators.wand import search_wand
     from fulltextsearch_spark.session import get_spark
     from fulltextsearch_spark.sources.ingest import assign_dense_doc_ids
     from fulltextsearch_spark.sources.webpages import QUERY_SET
@@ -103,7 +108,8 @@ def main() -> None:
     web_raw = spark.read.parquet(web_path)
 
     def _build_web():
-        web = assign_dense_doc_ids(web_raw, order_col="url")
+        # never carry the html binary through the id-assignment shuffle
+        web = assign_dense_doc_ids(web_raw.select("url", "text"), order_col="url")
         widx = build_index(spark, web, cfg)
         widx.postings.count()
         return widx
@@ -112,10 +118,31 @@ def main() -> None:
     wq = spark.createDataFrame(QUERY_SET, ["query_id", "content"])
     timed("bm25_web50k", lambda: search(widx, wq, cfg).collect())
 
+    # --- compressed index + block-max WAND over the web corpus --------------
+    def _compress_web():
+        compressed = compress_postings(widx, cfg).persist()
+        compressed.count()
+        return CompressedIndex(
+            postings=compressed,
+            doc_stats=widx.doc_stats,
+            n_docs=widx.n_docs,
+            avgdl=widx.avgdl,
+            block_size=cfg.block_size,
+            k1=cfg.k1,
+            b=cfg.b,
+        )
+
+    wcidx = timed("compress_web50k", _compress_web)
+    timed("bm25_web50k_wand", lambda: search_wand(wcidx, wq, cfg).collect())
+
     # --- training-pipeline ops at sf ----------------------------------------
     timed("exact_dedup", lambda: entrymod.q_exact_dedup(spark, sf_dir).count())
     timed("quality_score", lambda: entrymod.q_quality_score(spark, sf_dir).count())
+    timed("lang_id", lambda: entrymod.q_lang_id(spark, sf_dir).count())
+    timed("minhash_pairs", lambda: entrymod.q_minhash_pairs(spark, sf_dir).count())
+    timed("simhash_pairs", lambda: entrymod.q_simhash_pairs(spark, sf_dir).count())
     timed("ann_cosine_topk", lambda: entrymod.q_ann_cosine_topk(spark, sf_dir).collect())
+    timed("ann_ivf_topk", lambda: entrymod.q_ann_ivf_topk(spark, sf_dir).collect())
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(WEB_DOCS / timings["build_web50k"], 1)

@@ -41,10 +41,9 @@ from fulltextsearch_spark.config import DEFAULT_CONFIG, EngineConfig
 from fulltextsearch_spark.functions.tokenizer import term_counts_udf
 from fulltextsearch_spark.operators.compressed_index import (
     CompressedIndex,
-    compress_postings,
+    compress_doc_tf,
     load_compressed_index,
 )
-from fulltextsearch_spark.operators.index_build import IndexTables, _salted_postings
 from fulltextsearch_spark.sources.ingest import assign_dense_doc_ids
 
 __all__ = ["resumable_build", "load_compressed_index"]
@@ -127,7 +126,11 @@ def resumable_build(
             skipped += 1
             continue
         t0 = time.perf_counter()
-        raw = spark.read.parquet(*[p for p, _, _ in ch])
+        # project BEFORE id assignment: the web schema carries an `html`
+        # BINARY column that must never enter the range-partition shuffle
+        # (pinned by tests/test_plans.py)
+        keep = ["doc_id", text_col] if has_doc_id else [order_col, text_col]
+        raw = spark.read.parquet(*[p for p, _, _ in ch]).select(*keep)
         if not has_doc_id:
             raw = assign_dense_doc_ids(raw, order_col=order_col)
             raw = raw.withColumn("doc_id", F.col("doc_id") + F.lit(offsets[i]))
@@ -184,13 +187,7 @@ def resumable_build(
             F.col("_z.tfs").cast("long").alias("tf"),
             "dl",
         )
-        logical = IndexTables(
-            postings=_salted_postings(doc_tf, cfg),
-            doc_stats=doc_stats,
-            n_docs=n_docs,
-            avgdl=avgdl,
-        )
-        compressed = compress_postings(logical, cfg)
+        compressed = compress_doc_tf(doc_tf, avgdl, cfg)
         idx = CompressedIndex(
             postings=compressed,
             doc_stats=doc_stats,

@@ -31,47 +31,92 @@ def assign_dense_doc_ids(
 ) -> DataFrame:
     """Add a dense 0-based ``doc_id`` ordered by ``order_col``, scalably.
 
-    Two-phase (no global sort on one node):
-      1. range-repartition + sort within partitions on the key — global order
-         across partition ranges;
-      2. count rows per partition (tiny collect), prefix-sum on the driver,
-         then a partition-local running sequence via ``mapInPandas``.
+    Two-phase (no global sort on one node), with every cross-job input a
+    **pure function of the data**:
 
-    At 10^12 docs this is two passes over the data with only a P-row driver
-    exchange — the standard zipWithIndex shape, DataFrame-native.
+      1. cut points for ~P ordered buckets come from a seeded uniform sample
+         (``orderBy(rand(42)).limit(...)`` — one cheap single-column pass),
+         collected once and baked into the plan as literals;
+      2. bucket membership is then a deterministic expression, so the
+         per-bucket counts (one tiny agg) and the per-bucket running
+         sequence inside ``mapInPandas`` are consistent BY CONSTRUCTION —
+         unlike ``repartitionByRange``, whose sampled boundaries can differ
+         between the count job and the assignment job under AQE (observed:
+         colliding/dropped ids — pinned by tests).
+
+    Rows are hash-partitioned by bucket (a bucket never splits) and sorted
+    (bucket, key) within partitions; ids are bucket offset + running index.
+    At 10^12 docs: one column-scan for the sample, one agg, one assignment
+    pass, and a bounded driver exchange (P cut points + P counts).
+    ``order_col`` values should be unique (web: the url); equal keys get
+    stable counts but arbitrary relative order.
     """
-    num_partitions = num_partitions or df.rdd.getNumPartitions() or 1
-    arranged = df.repartitionByRange(num_partitions, F.col(order_col)).sortWithinPartitions(
-        order_col
+    spark = df.sparkSession
+    default_par = spark.sparkContext.defaultParallelism
+    n_buckets = num_partitions or max(default_par, 1)
+
+    sample = sorted(
+        r[0]
+        for r in df.select(order_col).orderBy(F.rand(42)).limit(n_buckets * 32).collect()
     )
-    with_pid = arranged.withColumn("_pid", F.spark_partition_id())
+    if len(sample) > n_buckets and n_buckets > 1:
+        step = len(sample) // n_buckets
+        cuts = sample[step::step][: n_buckets - 1]
+    else:
+        cuts = []
+
+    if cuts:
+        bucket_expr = F.size(
+            F.filter(
+                F.array(*[F.lit(c) for c in cuts]), lambda b: F.col(order_col) >= b
+            )
+        ).cast("long")
+    else:
+        bucket_expr = F.lit(0).cast("long")
+
     counts = {
-        r["_pid"]: r["cnt"]
-        for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        int(r["_b"]): r["cnt"]
+        for r in df.select(bucket_expr.alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
     }
     offsets: dict[int, int] = {}
     acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
 
     out_schema = T.StructType(
         [T.StructField("doc_id", T.LongType(), False)] + list(df.schema.fields)
     )
 
+    arranged = (
+        df.withColumn("_b", bucket_expr)
+        .repartition(n_buckets, F.col("_b"))
+        .sortWithinPartitions("_b", order_col)
+    )
+
     def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        used = 0
+        used: dict[int, int] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            pid = int(pdf["_pid"].iloc[0])
-            start = offsets[pid] + used
-            pdf = pdf.drop(columns=["_pid"])
-            pdf.insert(0, "doc_id", np.arange(start, start + len(pdf), dtype=np.int64))
-            used += len(pdf)
+            buckets = pdf["_b"].to_numpy(dtype=np.int64)
+            ids = np.empty(len(pdf), dtype=np.int64)
+            # rows are sorted by bucket within the partition; per-bucket
+            # running counters keep this correct even across Arrow batches
+            for b in np.unique(buckets):
+                mask = buckets == b
+                start = offsets[int(b)] + used.get(int(b), 0)
+                n = int(mask.sum())
+                ids[mask] = np.arange(start, start + n, dtype=np.int64)
+                used[int(b)] = used.get(int(b), 0) + n
+            pdf = pdf.drop(columns=["_b"])
+            pdf.insert(0, "doc_id", ids)
             yield pdf
 
-    return with_pid.mapInPandas(_assign, schema=out_schema)
+    return arranged.mapInPandas(_assign, schema=out_schema)
 
 
 def csv_to_corpus(

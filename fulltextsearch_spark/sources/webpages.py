@@ -112,3 +112,33 @@ def generate_webpages(
     if num_partitions:
         df = df.repartition(num_partitions)
     return df
+
+
+def write_webpages_chunked(spark: SparkSession, path: str, n_docs: int, chunk: int = 10_000) -> None:
+    """Write a large corpus in parallel, byte-identical to the serial
+    chunked generator (``bench._ensure_web_corpus``): chunk ``p`` is
+    ``generate_webpages_pdf(chunk, seed=42+p)`` with urls rebased to
+    ``/p{p}/`` (globally unique). Chunk generation is seeded per index, so
+    the result is independent of partitioning — safe to fan out.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    n_chunks = (n_docs + chunk - 1) // chunk
+
+    def _gen(batches):
+        for pdf in batches:
+            for part in pdf["id"]:
+                part = int(part)
+                n = min(chunk, n_docs - part * chunk)
+                out = generate_webpages_pdf(n, seed=42 + part)
+                out["url"] = out["url"].str.replace("/page/", f"/p{part}/", regex=False)
+                out["warc_ts"] = out["warc_ts"].astype("datetime64[us]")
+                yield out
+
+    (
+        spark.range(n_chunks)
+        .repartition(min(n_chunks, spark.sparkContext.defaultParallelism * 2))
+        .mapInPandas(_gen, schema=WEBPAGES_SCHEMA)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -40,11 +40,10 @@ from fulltextsearch_spark.config import DEFAULT_CONFIG, EngineConfig
 from fulltextsearch_spark.functions.tokenizer import term_counts_udf
 from fulltextsearch_spark.operators.compressed_index import (
     CompressedIndex,
-    compress_postings,
+    compress_doc_tf,
     load_compressed_index,
     save_compressed_index,
 )
-from fulltextsearch_spark.operators.index_build import IndexTables, _salted_postings
 from fulltextsearch_spark.sources.ingest import assign_dense_doc_ids
 
 __all__ = ["IncrementalIndexer", "refresh_index", "load_current_index"]
@@ -109,7 +108,9 @@ class IncrementalIndexer:
             return  # replayed batch after checkpoint recovery: already durable
         t0 = time.perf_counter()
         offset = self._next_offset()
-        with_ids = assign_dense_doc_ids(batch_df, order_col=self.order_col).withColumn(
+        # project before the id-assignment shuffle: never move `html` binaries
+        slim = batch_df.select(self.order_col, self.text_col)
+        with_ids = assign_dense_doc_ids(slim, order_col=self.order_col).withColumn(
             "doc_id", F.col("doc_id") + F.lit(offset)
         )
         tc = term_counts_udf(self.cfg.stem)
@@ -209,13 +210,7 @@ def refresh_index(
     if prev_version < 0 or not have_delta:
         # first materialization (or nothing new): full build from tokenized
         affected_count = -1
-        logical = IndexTables(
-            postings=_salted_postings(_explode(full), cfg),
-            doc_stats=doc_stats,
-            n_docs=n_docs,
-            avgdl=avgdl,
-        )
-        compressed = compress_postings(logical, cfg)
+        compressed = compress_doc_tf(_explode(full), avgdl, cfg)
     else:
         delta_terms = (
             spark.read.parquet(delta_path)
@@ -224,15 +219,7 @@ def refresh_index(
         )
         affected_count = delta_terms.count()
         affected_tf = _explode(full).join(F.broadcast(delta_terms), "term")
-        rebuilt = compress_postings(
-            IndexTables(
-                postings=_salted_postings(affected_tf, cfg),
-                doc_stats=doc_stats,
-                n_docs=n_docs,
-                avgdl=avgdl,
-            ),
-            cfg,
-        )
+        rebuilt = compress_doc_tf(affected_tf, avgdl, cfg)
         prev = load_compressed_index(spark, os.path.join(root, f"index_v{prev_version:05d}"))
         carried = prev.postings.join(F.broadcast(delta_terms), "term", "left_anti")
         # Carried block_max_tfpart was computed with the OLD avgdl. tfpart is

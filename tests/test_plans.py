@@ -1,0 +1,84 @@
+"""Physical-plan hygiene: the plans Catalyst produces are the ones we want
+at 100 TB — column pruning reaches the scan (never read `html` in the index
+path), predicate pushdown works, the query side broadcasts, and per-query
+top-k compiles to the rank-pushdown window (WindowGroupLimit).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fulltextsearch_spark.config import EngineConfig
+from fulltextsearch_spark.operators.compressed_index import build_compressed_index
+from fulltextsearch_spark.operators.index_build import build_index, doc_term_frequencies
+from fulltextsearch_spark.operators.query import search
+from fulltextsearch_spark.operators.wand import search_wand
+from fulltextsearch_spark.sources.ingest import assign_dense_doc_ids
+from fulltextsearch_spark.sources.webpages import generate_webpages
+
+
+@pytest.fixture(scope="module")
+def web_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("web_plan"))
+    generate_webpages(spark, 200, seed=41).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_index_scan_never_reads_html(spark, web_dir):
+    docs = assign_dense_doc_ids(
+        spark.read.parquet(web_dir).select("url", "text"), order_col="url"
+    )
+    plan = _plan(doc_term_frequencies(docs))
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan, plan
+    for line in scan:
+        assert "html" not in line and "warc_ts" not in line, line
+        assert "text" in line
+
+
+def test_lang_filter_pushes_down(spark, web_dir):
+    df = spark.read.parquet(web_dir).filter("lang = 'en'").select("url")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan
+
+
+def test_query_side_broadcasts(spark, web_dir):
+    docs = assign_dense_doc_ids(
+        spark.read.parquet(web_dir).select("url", "text"), order_col="url"
+    )
+    cfg = EngineConfig(k=5)
+    idx = build_index(spark, docs, cfg, persist=False)
+    qdf = spark.createDataFrame([("q", "cat salmon")], ["query_id", "content"])
+    plan = _plan(search(idx, qdf, cfg))
+    assert "BroadcastExchange" in plan, plan
+    # postings (the big side) must NOT be the broadcast side; the exchange
+    # carries the tokenized query terms
+    cidx = build_compressed_index(spark, docs, cfg)
+    wplan = _plan(search_wand(cidx, qdf, cfg))
+    assert "BroadcastExchange" in wplan, wplan
+
+
+def test_topk_compiles_to_window_group_limit(spark, web_dir):
+    docs = assign_dense_doc_ids(
+        spark.read.parquet(web_dir).select("url", "text"), order_col="url"
+    )
+    cfg = EngineConfig(k=5)
+    idx = build_index(spark, docs, cfg, persist=False)
+    qdf = spark.createDataFrame([("q", "cat salmon"), ("r", "fish river")], ["query_id", "content"])
+    plan = _plan(search(idx, qdf, cfg))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_tokenize_is_arrow_batched(spark, web_dir):
+    docs = assign_dense_doc_ids(
+        spark.read.parquet(web_dir).select("url", "text"), order_col="url"
+    )
+    plan = _plan(doc_term_frequencies(docs))
+    # pandas_udf shows as ArrowEvalPython; a row-Python BatchEvalPython would
+    # mean someone snuck in a per-row UDF
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
