@@ -302,8 +302,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator is pinned vs exact Jaccard in tests/test_pipeline_ops.py)."""
     from fulltextsearch_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
-    return minhash_lsh_pairs(docs, threshold=0.3, shingle_k=8).select(
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3, shingle_k=8).select(
         "doc_id_a", "doc_id_b", F.round("est_jaccard", 4).alias("est_jaccard")
     )
 
@@ -385,12 +384,17 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )
     sim = dot / (norm(F.col("vec")) * norm(F.col("qvec")))
-    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
+    # global top-k via orderBy+limit -> TakeOrderedAndProject (distributed
+    # per-partition partial top-k, no single-partition window over the corpus);
+    # the rank window then runs over k rows only
+    top = (
         joined.select("vec_id", sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
-        .select(F.col("rank").cast("long").alias("rank"), "vec_id", F.round("sim", 4).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(TOPK)
+    )
+    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("rank").cast("long").alias("rank"), "vec_id", F.round("sim", 4).alias("sim")
     )
 
 

@@ -47,6 +47,8 @@ __all__ = [
     "CompressedIndex",
     "COMPRESSED_POSTINGS_FIELDS",
     "compress_postings",
+    "compress_doc_tf",
+    "compress_tokenized",
     "decompress_postings",
     "build_compressed_index",
     "save_compressed_index",
@@ -145,6 +147,157 @@ def _encode_one(
     }
 
 
+_PARTIAL_FIELDS = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("first_doc", T.LongType()),
+        T.StructField("doc_bytes", T.BinaryType()),  # delta+varint, first absolute
+        T.StructField("tf_bytes", T.BinaryType()),  # varint
+        T.StructField("dl_bytes", T.BinaryType()),  # varint
+    ]
+)
+
+
+# pack once per ~2M buffered postings, not per 10k-row Arrow batch: an Arrow
+# batch of exploded rows covers only ~50 docs, so per-batch packing would
+# yield avg run length ~2 and nearly one partial per posting (measured: no
+# shuffle reduction at all). Buffering restores ~200-posting runs while
+# keeping task memory bounded (~64 MB of int64 columns).
+_BUFFER_ROWS = 1 << 21
+
+
+def _pack_flat(uniq, codes, docs, tfs, dls):
+    """One buffered pack: flat posting arrays -> a partials RecordBatch.
+
+    ``uniq``/``codes`` are a pyarrow dictionary-encode of the per-posting term
+    strings (C speed — boxing 14M Python strings per 400k docs was the entire
+    cost of a pandas-object pack, measured ~5 us/posting); everything else is
+    numpy on int64.
+    """
+    import pyarrow as pa  # noqa: PLC0415
+
+    order = np.lexsort((docs, codes))
+    codes, docs, tfs, dls = codes[order], docs[order], tfs[order], dls[order]
+    starts = np.concatenate(([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1))
+    ends = np.concatenate((starts[1:], [codes.size]))
+    deltas = np.empty_like(docs)
+    deltas[1:] = docs[1:] - docs[:-1]
+    deltas[starts] = docs[starts]
+    # one vectorized encode per stream; per-term slices via byte offsets
+    off_d = np.concatenate(([0], np.cumsum(_nbytes_varint(deltas))))
+    off_t = np.concatenate(([0], np.cumsum(_nbytes_varint(tfs))))
+    off_l = np.concatenate(([0], np.cumsum(_nbytes_varint(dls))))
+    enc_d = varint_encode(deltas)
+    enc_t = varint_encode(tfs)
+    enc_l = varint_encode(dls)
+    return pa.RecordBatch.from_arrays(
+        [
+            uniq.take(pa.array(codes[starts])),
+            pa.array((ends - starts).astype(np.int64)),
+            pa.array(docs[starts]),
+            pa.array([enc_d[off_d[s] : off_d[e]] for s, e in zip(starts, ends)], type=pa.binary()),
+            pa.array([enc_t[off_t[s] : off_t[e]] for s, e in zip(starts, ends)], type=pa.binary()),
+            pa.array([enc_l[off_l[s] : off_l[e]] for s, e in zip(starts, ends)], type=pa.binary()),
+        ],
+        names=["term", "n", "first_doc", "doc_bytes", "tf_bytes", "dl_bytes"],
+    )
+
+
+def _partial_rows(doc_tf: DataFrame) -> DataFrame:
+    """Map-side combine: pack exploded (doc_id, term, tf, dl) rows into
+    delta+varint byte partials BEFORE the term shuffle.
+
+    One output row per (term, buffer): the shuffle then moves
+    ~vocab × partitions compact binary rows (~4 bytes/posting) instead of one
+    35+-byte row per (doc, term) — measured ~7× fewer shuffle bytes and ~200×
+    fewer shuffle rows on the web corpus, which is what makes the build scale
+    with cores instead of with shuffle disk bandwidth. These partials keyed by
+    source partition ARE the salted partial runs of the north rule's
+    skew-handling merge: a head term's work is spread over every map task, and
+    the reduce side only concatenates byte streams.
+    """
+
+    def _pack_one(tbl):
+        import pyarrow.compute as pc  # noqa: PLC0415
+
+        dict_arr = pc.dictionary_encode(tbl.column("term").combine_chunks())
+        return _pack_flat(
+            dict_arr.dictionary,
+            dict_arr.indices.to_numpy().astype(np.int64),
+            tbl.column("doc_id").to_numpy().astype(np.int64),
+            tbl.column("tf").to_numpy().astype(np.int64),
+            tbl.column("dl").to_numpy().astype(np.int64),
+        )
+
+    def _map(batches):
+        import pyarrow as pa  # noqa: PLC0415
+
+        buf: list = []
+        buffered = 0
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            buf.append(rb)
+            buffered += rb.num_rows
+            if buffered >= _BUFFER_ROWS:
+                yield _pack_one(pa.Table.from_batches(buf))
+                buf, buffered = [], 0
+        if buf:
+            yield _pack_one(pa.Table.from_batches(buf))
+
+    return doc_tf.mapInArrow(_map, schema=_PARTIAL_FIELDS)
+
+
+def _partial_rows_tokenized(with_tc: DataFrame) -> DataFrame:
+    """Map-side combine straight from the tokenized (doc_id, dl, terms, tfs)
+    frame — no JVM ``explode`` and no per-posting duplication of doc_id/dl in
+    the Arrow stream. ``ListArray.flatten()`` exposes the per-posting term and
+    tf values zero-copy; doc_id/dl are broadcast with one ``np.repeat``.
+    """
+
+    def _pack_one(tbls):
+        import pyarrow as pa  # noqa: PLC0415
+        import pyarrow.compute as pc  # noqa: PLC0415
+
+        tbl = pa.concat_tables(tbls).combine_chunks()
+        terms_la = tbl.column("terms").chunk(0)
+        tfs_la = tbl.column("tfs").chunk(0)
+        counts = pc.list_value_length(terms_la).to_numpy().astype(np.int64)
+        dict_arr = pc.dictionary_encode(pc.list_flatten(terms_la))
+        return _pack_flat(
+            dict_arr.dictionary,
+            dict_arr.indices.to_numpy().astype(np.int64),
+            np.repeat(tbl.column("doc_id").to_numpy().astype(np.int64), counts),
+            pc.list_flatten(tfs_la).to_numpy().astype(np.int64),
+            np.repeat(tbl.column("dl").to_numpy().astype(np.int64), counts),
+        )
+
+    def _map(batches):
+        import pyarrow as pa  # noqa: PLC0415
+        import pyarrow.compute as pc  # noqa: PLC0415
+
+        buf: list = []
+        buffered = 0  # postings, not rows
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([rb])
+            buf.append(tbl)
+            buffered += int(
+                pc.sum(pc.list_value_length(tbl.column("terms"))).as_py() or 0
+            )
+            if buffered >= _BUFFER_ROWS:
+                yield _pack_one(buf)
+                buf, buffered = [], 0
+        if buf:
+            yield _pack_one(buf)
+
+    return with_tc.select("doc_id", "dl", "terms", "tfs").mapInArrow(
+        _map, schema=_PARTIAL_FIELDS
+    )
+
+
 def compress_doc_tf(
     doc_tf: DataFrame,
     avgdl: float,
@@ -153,22 +306,54 @@ def compress_doc_tf(
 ) -> DataFrame:
     """(doc_id, term, tf, dl) rows -> compressed per-term rows, directly.
 
-    THE scalable build path: rows are hash-partitioned by term and sorted
-    (term, doc_id) by Spark's external shuffle sort (Tungsten, spillable,
-    parallel), then one streaming Arrow pass per partition encodes each
-    term's contiguous run with the numpy varint kernels — no
-    ``collect_list``/``sort_array`` materializing multi-hundred-MB JVM arrays
-    per head term (measured 80% of build time at 800k docs before this).
-    Terms split across Arrow batches are carried over; memory per task is
-    bounded by the largest single term's numpy buffers (bytes, not structs).
+    THE scalable build path, classic MapReduce-indexer shape:
 
-    At 10^12 docs a head term's postings exceed one task; the extension is
-    an additional doc-range shard key emitting per-range rows that the
-    reader concatenates (block metadata already supports it — blocks are
-    independent). Not needed at sandbox scale; noted for the cluster path.
+    1. map-side combine (:func:`_partial_rows`): each input partition packs
+       its per-term postings into delta+varint byte partials — all heavy
+       encode CPU happens here, embarrassingly parallel, pre-shuffle;
+    2. shuffle the compact partials by term (bytes moved ≈ compressed index
+       size, not exploded-row size) and sort (term, first_doc) with Spark's
+       external shuffle sort;
+    3. streaming reduce: per term, concatenate the partial byte streams
+       (varint streams concatenate as-is; docID absolutes are restored with
+       one segmented-cumsum fixup), then emit the block-restarting encoded
+       row with block-max metadata via ``_encode_one``.
+
+    No ``collect_list``/``sort_array`` materializing multi-hundred-MB JVM
+    arrays per head term; reduce memory is bounded by one term's numpy
+    buffers. At 10^12 docs a head term's postings exceed one task; the
+    extension is an additional doc-range shard key emitting per-range rows
+    that the reader concatenates (block metadata already supports it —
+    blocks are independent). Not needed at sandbox scale; noted for the
+    cluster path.
     """
+    return _merge_partials(_partial_rows(doc_tf), avgdl, cfg, num_partitions)
+
+
+def compress_tokenized(
+    with_tc: DataFrame,
+    avgdl: float,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Tokenized (doc_id, dl, terms, tfs) frame -> compressed per-term rows.
+
+    Same pipeline as :func:`compress_doc_tf` but the map-side combine reads
+    the token arrays directly (:func:`_partial_rows_tokenized`) — no JVM
+    explode and ~3x less Arrow traffic per posting. Preferred whenever the
+    tokenized frame is at hand (build, checkpointed chunks, streaming merge).
+    """
+    return _merge_partials(_partial_rows_tokenized(with_tc), avgdl, cfg, num_partitions)
+
+
+def _merge_partials(
+    partials: DataFrame,
+    avgdl: float,
+    cfg: EngineConfig,
+    num_partitions: int | None = None,
+) -> DataFrame:
     block_size, k1, b = cfg.block_size, cfg.k1, cfg.b
-    spark = doc_tf.sparkSession
+    spark = partials.sparkSession
     n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     out_schema = T.StructType(
@@ -176,33 +361,47 @@ def compress_doc_tf(
         + list(COMPRESSED_POSTINGS_FIELDS.fields)
     )
 
-    def _encode_stream(batches):
+    def _merge_stream(batches):
         import pandas as pd  # noqa: PLC0415
 
         cur_term = None
-        bufs: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        parts: list[tuple[int, bytes, bytes, bytes]] = []
         rows: list[dict] = []
 
         def flush():
-            nonlocal bufs
-            if cur_term is None or not bufs:
+            nonlocal parts
+            if cur_term is None or not parts:
                 return
-            d = np.concatenate([x[0] for x in bufs])
-            t = np.concatenate([x[1] for x in bufs])
-            l = np.concatenate([x[2] for x in bufs])
-            row = _encode_one(d, t, l, block_size, k1, b, avgdl)
+            ns = np.array([p[0] for p in parts], dtype=np.int64)
+            total = int(ns.sum())
+            dec = varint_decode(b"".join(p[1] for p in parts), total).astype(np.int64)
+            seg_starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+            c = np.cumsum(dec)
+            # segment s stores its first docID absolute, the rest as deltas:
+            # docs[i] = c[i] - (cumsum before the segment) within each segment
+            offs = c[seg_starts] - dec[seg_starts]
+            docs = c - np.repeat(offs, ns)
+            tfs = varint_decode(b"".join(p[2] for p in parts), total).astype(np.int64)
+            dls = varint_decode(b"".join(p[3] for p in parts), total).astype(np.int64)
+            if docs.size > 1 and not bool(np.all(docs[1:] > docs[:-1])):
+                # partials sorted by first_doc are disjoint doc ranges under
+                # dense id assignment; fall back to a sort for any other order
+                o = np.argsort(docs, kind="stable")
+                docs, tfs, dls = docs[o], tfs[o], dls[o]
+            row = _encode_one(docs, tfs, dls, block_size, k1, b, avgdl)
             row["term"] = cur_term
-            row["df"] = int(d.size)
+            row["df"] = total
             rows.append(row)
-            bufs = []
+            parts = []
 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             terms = pdf["term"].to_numpy()
-            docs = pdf["doc_id"].to_numpy(dtype=np.int64)
-            tfs = pdf["tf"].to_numpy(dtype=np.int64)
-            dls = pdf["dl"].to_numpy(dtype=np.int64)
+            ns_col = pdf["n"].to_numpy(dtype=np.int64)
+            db = pdf["doc_bytes"].to_numpy()
+            tb = pdf["tf_bytes"].to_numpy()
+            lb = pdf["dl_bytes"].to_numpy()
             change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
             starts = np.concatenate(([0], change))
             ends = np.concatenate((change, [len(pdf)]))
@@ -211,7 +410,8 @@ def compress_doc_tf(
                 if tname != cur_term:
                     flush()
                     cur_term = tname
-                bufs.append((docs[s:e], tfs[s:e], dls[s:e]))
+                for i in range(s, e):
+                    parts.append((int(ns_col[i]), db[i], tb[i], lb[i]))
             if len(rows) >= 1024:
                 out, rows = rows, []
                 yield pd.DataFrame(out)[[f.name for f in out_schema.fields]]
@@ -219,10 +419,10 @@ def compress_doc_tf(
         if rows:
             yield pd.DataFrame(rows)[[f.name for f in out_schema.fields]]
 
-    arranged = doc_tf.repartition(n_parts, F.col("term")).sortWithinPartitions(
-        "term", "doc_id"
+    arranged = partials.repartition(n_parts, F.col("term")).sortWithinPartitions(
+        "term", "first_doc"
     )
-    return arranged.mapInPandas(_encode_stream, schema=out_schema)
+    return arranged.mapInPandas(_merge_stream, schema=out_schema)
 
 
 def compress_postings(index: IndexTables, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
@@ -307,16 +507,13 @@ def build_compressed_index(
 ) -> CompressedIndex:
     """Corpus -> compressed physical index in one pass.
 
-    Tokenize once (persisted), then encode straight from the exploded
-    (doc_id, term, tf, dl) rows via :func:`compress_doc_tf` — the logical
-    array-postings representation is never materialized.
+    Tokenize once (persisted), then encode straight from the tokenized token
+    arrays via :func:`compress_tokenized` — neither the logical array-postings
+    representation nor an exploded row form is ever materialized.
     """
     from pyspark.storagelevel import StorageLevel  # noqa: PLC0415
 
-    from fulltextsearch_spark.operators.index_build import (  # noqa: PLC0415
-        _explode_tf,
-        _tokenized,
-    )
+    from fulltextsearch_spark.operators.index_build import _tokenized  # noqa: PLC0415
 
     with_tc = _tokenized(docs, text_col, cfg.stem).persist(StorageLevel.MEMORY_AND_DISK)
     doc_stats = with_tc.select("doc_id", "dl")
@@ -328,7 +525,7 @@ def build_compressed_index(
 
     # persist the ENCODED postings: query batches must join the compressed
     # rows, not re-run the shuffle+encode per query batch
-    compressed = compress_doc_tf(_explode_tf(with_tc), avgdl, cfg).persist(
+    compressed = compress_tokenized(with_tc, avgdl, cfg).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     return CompressedIndex(

@@ -41,7 +41,7 @@ from fulltextsearch_spark.config import DEFAULT_CONFIG, EngineConfig
 from fulltextsearch_spark.functions.tokenizer import term_counts_udf
 from fulltextsearch_spark.operators.compressed_index import (
     CompressedIndex,
-    compress_doc_tf,
+    compress_tokenized,
     load_compressed_index,
 )
 from fulltextsearch_spark.sources.ingest import assign_dense_doc_ids
@@ -177,17 +177,7 @@ def resumable_build(
         n_docs = int(stats_row["n_docs"])
         avgdl = float(stats_row["total_dl"]) / float(n_docs) if n_docs else 0.0
 
-        doc_tf = with_tc.select(
-            "doc_id",
-            "dl",
-            F.explode(F.arrays_zip(F.col("terms"), F.col("tfs"))).alias("_z"),
-        ).select(
-            "doc_id",
-            F.col("_z.terms").alias("term"),
-            F.col("_z.tfs").cast("long").alias("tf"),
-            "dl",
-        )
-        compressed = compress_doc_tf(doc_tf, avgdl, cfg)
+        compressed = compress_tokenized(with_tc, avgdl, cfg)
         idx = CompressedIndex(
             postings=compressed,
             doc_stats=doc_stats,

@@ -26,6 +26,49 @@ from pyspark.sql import types as T
 __all__ = ["assign_dense_doc_ids", "csv_to_corpus"]
 
 
+def _murmur3_long(x: int, seed: int = 42) -> int:
+    """Spark's ``F.hash()`` for a LongType column (Murmur3 x86_32, signed).
+
+    Lets the driver predict ``pmod(hash(_pk), P)`` so each id-assignment
+    bucket can be steered to its own shuffle partition (see below)."""
+
+    def rotl(v: int, r: int) -> int:
+        return ((v << r) | (v >> (32 - r))) & 0xFFFFFFFF
+
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h1 = seed & 0xFFFFFFFF
+    x &= 0xFFFFFFFFFFFFFFFF
+    for k1 in (x & 0xFFFFFFFF, (x >> 32) & 0xFFFFFFFF):
+        k1 = rotl((k1 * c1) & 0xFFFFFFFF, 15)
+        h1 ^= (k1 * c2) & 0xFFFFFFFF
+        h1 = (rotl(h1, 13) * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h1 ^= 8
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _partition_exact_keys(n_buckets: int, n_parts: int) -> list[int]:
+    """For each bucket b, an int key k with pmod(hash(k), n_parts) == b % n_parts.
+
+    ``repartition(P, col)`` places rows by pmod(Murmur3(col), P): repartitioning
+    by the raw bucket id collides buckets into shared partitions and leaves
+    others empty (measured: one empty task + one double-size straggler out of
+    4). Steering each bucket to its own partition restores 1 bucket = 1 task.
+    """
+    keys: list[int] = []
+    for b in range(n_buckets):
+        target = b % n_parts
+        k = 0
+        while _murmur3_long(k) % n_parts != target:
+            k += 1
+        keys.append(k)
+    return keys
+
+
 def assign_dense_doc_ids(
     df: DataFrame, order_col: str = "url", num_partitions: int | None = None
 ) -> DataFrame:
@@ -53,7 +96,9 @@ def assign_dense_doc_ids(
     """
     spark = df.sparkSession
     default_par = spark.sparkContext.defaultParallelism
-    n_buckets = num_partitions or max(default_par, 1)
+    # 4x parallelism buckets: fine-grained tasks overlap stragglers (doc-cost
+    # skew within a bucket), standard 2-4x-cores partitioning practice
+    n_buckets = num_partitions or 4 * max(default_par, 1)
 
     sample = sorted(
         r[0]
@@ -91,10 +136,19 @@ def assign_dense_doc_ids(
         [T.StructField("doc_id", T.LongType(), False)] + list(df.schema.fields)
     )
 
+    # steer bucket b to shuffle partition b exactly (raw hash(_b) collides)
+    pkeys = _partition_exact_keys(n_buckets, n_buckets)
+    pk_expr = (
+        F.element_at(F.array(*[F.lit(k) for k in pkeys]), F.col("_b").cast("int") + 1)
+        if n_buckets > 1
+        else F.lit(0)
+    )
     arranged = (
         df.withColumn("_b", bucket_expr)
-        .repartition(n_buckets, F.col("_b"))
+        .withColumn("_pk", pk_expr)
+        .repartition(n_buckets, F.col("_pk"))
         .sortWithinPartitions("_b", order_col)
+        .drop("_pk")
     )
 
     def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -41,6 +41,7 @@ from fulltextsearch_spark.functions.tokenizer import term_counts_udf
 from fulltextsearch_spark.operators.compressed_index import (
     CompressedIndex,
     compress_doc_tf,
+    compress_tokenized,
     load_compressed_index,
     save_compressed_index,
 )
@@ -210,7 +211,7 @@ def refresh_index(
     if prev_version < 0 or not have_delta:
         # first materialization (or nothing new): full build from tokenized
         affected_count = -1
-        compressed = compress_doc_tf(_explode(full), avgdl, cfg)
+        compressed = compress_tokenized(full, avgdl, cfg)
     else:
         delta_terms = (
             spark.read.parquet(delta_path)

@@ -115,6 +115,8 @@ def main() -> None:
     ap.add_argument("--child", type=int, default=None, help="internal: run one level")
     ap.add_argument("--corpus", default=None)
     ap.add_argument("--repeat", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_REPEAT", "2")))
+    ap.add_argument("--pin", action="store_true", default=os.environ.get("SPARK_GRAFT_SCALE_PIN", "1") != "0",
+                    help="taskset-pin each level to exactly its core count (default on)")
     args = ap.parse_args()
 
     if args.child is not None:
@@ -130,10 +132,17 @@ def main() -> None:
     for rep in range(args.repeat):
         for cpus in levels:
             hw_adjacent = round(hardware_throughput(min(cpus, 8), tasks=32), 1)
+            # pin the whole child (JVM + python workers) to exactly `cpus`
+            # OS cores: in unpinned local mode a local[2] JVM still spreads
+            # GC/shuffle/Arrow threads over all 32 CPUs, inflating the
+            # small-level baseline — real N-core executors are hard-capped,
+            # and taskset reproduces that contract
+            cmd = [sys.executable, os.path.abspath(__file__), "--child", str(cpus),
+                   "--corpus", corpus, "--docs", str(args.docs)]
+            if args.pin:
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child", str(cpus),
-                 "--corpus", corpus, "--docs", str(args.docs)],
-                capture_output=True, text=True, check=True, cwd=REPO,
+                cmd, capture_output=True, text=True, check=True, cwd=REPO,
             )
             r = json.loads(out.stdout.strip().splitlines()[-1])
             r["rep"] = rep
