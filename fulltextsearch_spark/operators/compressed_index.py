@@ -150,9 +150,9 @@ def _encode_one(
 _PARTIAL_FIELDS = T.StructType(
     [
         T.StructField("term", T.StringType()),
-        T.StructField("n", T.LongType()),
         T.StructField("first_doc", T.LongType()),
-        T.StructField("doc_bytes", T.BinaryType()),  # delta+varint, first absolute
+        T.StructField("seg_lens", T.ArrayType(T.LongType())),  # postings per segment
+        T.StructField("doc_bytes", T.BinaryType()),  # delta+varint, absolute at each segment start
         T.StructField("tf_bytes", T.BinaryType()),  # varint
         T.StructField("dl_bytes", T.BinaryType()),  # varint
     ]
@@ -162,89 +162,125 @@ _PARTIAL_FIELDS = T.StructType(
 # pack once per ~2M buffered postings, not per 10k-row Arrow batch: an Arrow
 # batch of exploded rows covers only ~50 docs, so per-batch packing would
 # yield avg run length ~2 and nearly one partial per posting (measured: no
-# shuffle reduction at all). Buffering restores ~200-posting runs while
-# keeping task memory bounded (~64 MB of int64 columns).
+# shuffle reduction at all). Packed segments then ACCUMULATE across buffers so
+# each map task emits ONE partial row per term it saw — partial-row count is
+# vocab x tasks, independent of task size (per-partial-row overhead on the
+# reduce side was the dominant merge cost when rows were per-buffer). Task
+# memory: the sort buffer (~64 MB of int64 columns) + the task's own
+# compressed output (bytes), both bounded.
 _BUFFER_ROWS = 1 << 21
 
 
-def _pack_flat(uniq, codes, docs, tfs, dls):
-    """One buffered pack: flat posting arrays -> a partials RecordBatch.
+class _PartialAccumulator:
+    """Accumulates packed per-term segments across a task's buffers."""
 
-    ``uniq``/``codes`` are a pyarrow dictionary-encode of the per-posting term
-    strings (C speed — boxing 14M Python strings per 400k docs was the entire
-    cost of a pandas-object pack, measured ~5 us/posting); everything else is
-    numpy on int64.
-    """
-    import pyarrow as pa  # noqa: PLC0415
+    def __init__(self):
+        self.acc: dict = {}
 
-    order = np.lexsort((docs, codes))
-    codes, docs, tfs, dls = codes[order], docs[order], tfs[order], dls[order]
-    starts = np.concatenate(([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1))
-    ends = np.concatenate((starts[1:], [codes.size]))
-    deltas = np.empty_like(docs)
-    deltas[1:] = docs[1:] - docs[:-1]
-    deltas[starts] = docs[starts]
-    # one vectorized encode per stream; per-term slices via byte offsets
-    off_d = np.concatenate(([0], np.cumsum(_nbytes_varint(deltas))))
-    off_t = np.concatenate(([0], np.cumsum(_nbytes_varint(tfs))))
-    off_l = np.concatenate(([0], np.cumsum(_nbytes_varint(dls))))
-    enc_d = varint_encode(deltas)
-    enc_t = varint_encode(tfs)
-    enc_l = varint_encode(dls)
-    return pa.RecordBatch.from_arrays(
-        [
-            uniq.take(pa.array(codes[starts])),
-            pa.array((ends - starts).astype(np.int64)),
-            pa.array(docs[starts]),
-            pa.array([enc_d[off_d[s] : off_d[e]] for s, e in zip(starts, ends)], type=pa.binary()),
-            pa.array([enc_t[off_t[s] : off_t[e]] for s, e in zip(starts, ends)], type=pa.binary()),
-            pa.array([enc_l[off_l[s] : off_l[e]] for s, e in zip(starts, ends)], type=pa.binary()),
-        ],
-        names=["term", "n", "first_doc", "doc_bytes", "tf_bytes", "dl_bytes"],
-    )
+    def add_buffer(self, uniq, codes, docs, tfs, dls):
+        """One buffered pack: lexsort by (term, doc), varint-encode each
+        stream once, slice per term run, append to the per-term accumulator.
+
+        ``uniq``/``codes`` are a pyarrow dictionary-encode of the per-posting
+        term strings (C speed — boxing 14M Python strings per 400k docs was
+        the entire cost of a pandas-object pack, measured ~5 us/posting);
+        everything else is numpy on int64.
+        """
+        order = np.lexsort((docs, codes))
+        codes, docs, tfs, dls = codes[order], docs[order], tfs[order], dls[order]
+        starts = np.concatenate(([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [codes.size]))
+        deltas = np.empty_like(docs)
+        deltas[1:] = docs[1:] - docs[:-1]
+        deltas[starts] = docs[starts]
+        # one vectorized encode per stream; per-term slices via byte offsets
+        off_d = np.concatenate(([0], np.cumsum(_nbytes_varint(deltas))))
+        off_t = np.concatenate(([0], np.cumsum(_nbytes_varint(tfs))))
+        off_l = np.concatenate(([0], np.cumsum(_nbytes_varint(dls))))
+        enc_d = varint_encode(deltas)
+        enc_t = varint_encode(tfs)
+        enc_l = varint_encode(dls)
+        run_terms = uniq.take(__import__("pyarrow").array(codes[starts])).to_pylist()
+        first_docs = docs[starts]
+        acc = self.acc
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            ent = acc.get(run_terms[i])
+            if ent is None:
+                ent = acc[run_terms[i]] = [int(first_docs[i]), [], [], [], []]
+            ent[1].append(int(e - s))
+            ent[2].append(enc_d[off_d[s] : off_d[e]])
+            ent[3].append(enc_t[off_t[s] : off_t[e]])
+            ent[4].append(enc_l[off_l[s] : off_l[e]])
+
+    def emit(self):
+        """One RecordBatch with a single row per term seen by this task."""
+        import pyarrow as pa  # noqa: PLC0415
+
+        if not self.acc:
+            return None
+        terms = list(self.acc.keys())
+        ents = [self.acc[t] for t in terms]
+        rb = pa.RecordBatch.from_arrays(
+            [
+                pa.array(terms, type=pa.string()),
+                pa.array([e[0] for e in ents], type=pa.int64()),
+                pa.array([e[1] for e in ents], type=pa.list_(pa.int64())),
+                pa.array([b"".join(e[2]) for e in ents], type=pa.binary()),
+                pa.array([b"".join(e[3]) for e in ents], type=pa.binary()),
+                pa.array([b"".join(e[4]) for e in ents], type=pa.binary()),
+            ],
+            names=["term", "first_doc", "seg_lens", "doc_bytes", "tf_bytes", "dl_bytes"],
+        )
+        self.acc = {}
+        return rb
 
 
 def _partial_rows(doc_tf: DataFrame) -> DataFrame:
     """Map-side combine: pack exploded (doc_id, term, tf, dl) rows into
     delta+varint byte partials BEFORE the term shuffle.
 
-    One output row per (term, buffer): the shuffle then moves
-    ~vocab × partitions compact binary rows (~4 bytes/posting) instead of one
-    35+-byte row per (doc, term) — measured ~7× fewer shuffle bytes and ~200×
-    fewer shuffle rows on the web corpus, which is what makes the build scale
-    with cores instead of with shuffle disk bandwidth. These partials keyed by
-    source partition ARE the salted partial runs of the north rule's
-    skew-handling merge: a head term's work is spread over every map task, and
-    the reduce side only concatenates byte streams.
+    One output row per (term, map task): the shuffle then moves
+    ~vocab x partitions compact binary rows (~4 bytes/posting) instead of one
+    35+-byte row per (doc, term) — measured ~7x fewer shuffle bytes and
+    orders-of-magnitude fewer shuffle rows on the web corpus, which is what
+    makes the build scale with cores instead of with shuffle disk bandwidth.
+    These partials keyed by source partition ARE the salted partial runs of
+    the north rule's skew-handling merge: a head term's work is spread over
+    every map task, and the reduce side only concatenates byte streams.
     """
-
-    def _pack_one(tbl):
-        import pyarrow.compute as pc  # noqa: PLC0415
-
-        dict_arr = pc.dictionary_encode(tbl.column("term").combine_chunks())
-        return _pack_flat(
-            dict_arr.dictionary,
-            dict_arr.indices.to_numpy().astype(np.int64),
-            tbl.column("doc_id").to_numpy().astype(np.int64),
-            tbl.column("tf").to_numpy().astype(np.int64),
-            tbl.column("dl").to_numpy().astype(np.int64),
-        )
 
     def _map(batches):
         import pyarrow as pa  # noqa: PLC0415
+        import pyarrow.compute as pc  # noqa: PLC0415
+
+        packer = _PartialAccumulator()
+
+        def pack(tbls):
+            tbl = pa.concat_tables(tbls).combine_chunks()
+            dict_arr = pc.dictionary_encode(tbl.column("term").chunk(0))
+            packer.add_buffer(
+                dict_arr.dictionary,
+                dict_arr.indices.to_numpy().astype(np.int64),
+                tbl.column("doc_id").to_numpy().astype(np.int64),
+                tbl.column("tf").to_numpy().astype(np.int64),
+                tbl.column("dl").to_numpy().astype(np.int64),
+            )
 
         buf: list = []
         buffered = 0
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            buf.append(rb)
+            buf.append(pa.Table.from_batches([rb]))
             buffered += rb.num_rows
             if buffered >= _BUFFER_ROWS:
-                yield _pack_one(pa.Table.from_batches(buf))
+                pack(buf)
                 buf, buffered = [], 0
         if buf:
-            yield _pack_one(pa.Table.from_batches(buf))
+            pack(buf)
+        out = packer.emit()
+        if out is not None:
+            yield out
 
     return doc_tf.mapInArrow(_map, schema=_PARTIAL_FIELDS)
 
@@ -252,30 +288,29 @@ def _partial_rows(doc_tf: DataFrame) -> DataFrame:
 def _partial_rows_tokenized(with_tc: DataFrame) -> DataFrame:
     """Map-side combine straight from the tokenized (doc_id, dl, terms, tfs)
     frame — no JVM ``explode`` and no per-posting duplication of doc_id/dl in
-    the Arrow stream. ``ListArray.flatten()`` exposes the per-posting term and
+    the Arrow stream. ``list_flatten`` exposes the per-posting term and
     tf values zero-copy; doc_id/dl are broadcast with one ``np.repeat``.
     """
-
-    def _pack_one(tbls):
-        import pyarrow as pa  # noqa: PLC0415
-        import pyarrow.compute as pc  # noqa: PLC0415
-
-        tbl = pa.concat_tables(tbls).combine_chunks()
-        terms_la = tbl.column("terms").chunk(0)
-        tfs_la = tbl.column("tfs").chunk(0)
-        counts = pc.list_value_length(terms_la).to_numpy().astype(np.int64)
-        dict_arr = pc.dictionary_encode(pc.list_flatten(terms_la))
-        return _pack_flat(
-            dict_arr.dictionary,
-            dict_arr.indices.to_numpy().astype(np.int64),
-            np.repeat(tbl.column("doc_id").to_numpy().astype(np.int64), counts),
-            pc.list_flatten(tfs_la).to_numpy().astype(np.int64),
-            np.repeat(tbl.column("dl").to_numpy().astype(np.int64), counts),
-        )
 
     def _map(batches):
         import pyarrow as pa  # noqa: PLC0415
         import pyarrow.compute as pc  # noqa: PLC0415
+
+        packer = _PartialAccumulator()
+
+        def pack(tbls):
+            tbl = pa.concat_tables(tbls).combine_chunks()
+            terms_la = tbl.column("terms").chunk(0)
+            tfs_la = tbl.column("tfs").chunk(0)
+            counts = pc.list_value_length(terms_la).to_numpy().astype(np.int64)
+            dict_arr = pc.dictionary_encode(pc.list_flatten(terms_la))
+            packer.add_buffer(
+                dict_arr.dictionary,
+                dict_arr.indices.to_numpy().astype(np.int64),
+                np.repeat(tbl.column("doc_id").to_numpy().astype(np.int64), counts),
+                pc.list_flatten(tfs_la).to_numpy().astype(np.int64),
+                np.repeat(tbl.column("dl").to_numpy().astype(np.int64), counts),
+            )
 
         buf: list = []
         buffered = 0  # postings, not rows
@@ -288,10 +323,13 @@ def _partial_rows_tokenized(with_tc: DataFrame) -> DataFrame:
                 pc.sum(pc.list_value_length(tbl.column("terms"))).as_py() or 0
             )
             if buffered >= _BUFFER_ROWS:
-                yield _pack_one(buf)
+                pack(buf)
                 buf, buffered = [], 0
         if buf:
-            yield _pack_one(buf)
+            pack(buf)
+        out = packer.emit()
+        if out is not None:
+            yield out
 
     return with_tc.select("doc_id", "dl", "terms", "tfs").mapInArrow(
         _map, schema=_PARTIAL_FIELDS
@@ -365,27 +403,27 @@ def _merge_partials(
         import pandas as pd  # noqa: PLC0415
 
         cur_term = None
-        parts: list[tuple[int, bytes, bytes, bytes]] = []
+        parts: list[tuple[np.ndarray, bytes, bytes, bytes]] = []
         rows: list[dict] = []
 
         def flush():
             nonlocal parts
             if cur_term is None or not parts:
                 return
-            ns = np.array([p[0] for p in parts], dtype=np.int64)
+            ns = np.concatenate([p[0] for p in parts])
             total = int(ns.sum())
             dec = varint_decode(b"".join(p[1] for p in parts), total).astype(np.int64)
             seg_starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
             c = np.cumsum(dec)
-            # segment s stores its first docID absolute, the rest as deltas:
+            # each segment stores its first docID absolute, the rest as deltas:
             # docs[i] = c[i] - (cumsum before the segment) within each segment
             offs = c[seg_starts] - dec[seg_starts]
             docs = c - np.repeat(offs, ns)
             tfs = varint_decode(b"".join(p[2] for p in parts), total).astype(np.int64)
             dls = varint_decode(b"".join(p[3] for p in parts), total).astype(np.int64)
             if docs.size > 1 and not bool(np.all(docs[1:] > docs[:-1])):
-                # partials sorted by first_doc are disjoint doc ranges under
-                # dense id assignment; fall back to a sort for any other order
+                # partials sorted by first_doc hold disjoint ascending doc
+                # ranges under dense id assignment; sort for any other order
                 o = np.argsort(docs, kind="stable")
                 docs, tfs, dls = docs[o], tfs[o], dls[o]
             row = _encode_one(docs, tfs, dls, block_size, k1, b, avgdl)
@@ -398,7 +436,7 @@ def _merge_partials(
             if len(pdf) == 0:
                 continue
             terms = pdf["term"].to_numpy()
-            ns_col = pdf["n"].to_numpy(dtype=np.int64)
+            segs = pdf["seg_lens"].to_numpy()
             db = pdf["doc_bytes"].to_numpy()
             tb = pdf["tf_bytes"].to_numpy()
             lb = pdf["dl_bytes"].to_numpy()
@@ -411,7 +449,9 @@ def _merge_partials(
                     flush()
                     cur_term = tname
                 for i in range(s, e):
-                    parts.append((int(ns_col[i]), db[i], tb[i], lb[i]))
+                    parts.append(
+                        (np.asarray(segs[i], dtype=np.int64), db[i], tb[i], lb[i])
+                    )
             if len(rows) >= 1024:
                 out, rows = rows, []
                 yield pd.DataFrame(out)[[f.name for f in out_schema.fields]]

@@ -94,11 +94,15 @@ def assign_dense_doc_ids(
     ``order_col`` values should be unique (web: the url); equal keys get
     stable counts but arbitrary relative order.
     """
+    import os  # noqa: PLC0415
+
     spark = df.sparkSession
     default_par = spark.sparkContext.defaultParallelism
-    # 4x parallelism buckets: fine-grained tasks overlap stragglers (doc-cost
-    # skew within a bucket), standard 2-4x-cores partitioning practice
-    n_buckets = num_partitions or 4 * max(default_par, 1)
+    # 2x parallelism buckets: fine-grained tasks overlap stragglers (doc-cost
+    # skew within a bucket) while bounding per-task fixed overhead (Arrow
+    # stream + scan setup per task is material, measured via event logs)
+    mult = int(os.environ.get("SPARK_GRAFT_BUCKETS_PER_CORE", "2"))
+    n_buckets = num_partitions or mult * max(default_par, 1)
 
     sample = sorted(
         r[0]
@@ -136,12 +140,17 @@ def assign_dense_doc_ids(
         [T.StructField("doc_id", T.LongType(), False)] + list(df.schema.fields)
     )
 
-    # steer bucket b to shuffle partition b exactly (raw hash(_b) collides)
+    # steer bucket b to shuffle partition b exactly (raw hash(_b) collides).
+    # The keys MUST be LongType: Spark's Murmur3 hashes a 4-byte int and an
+    # 8-byte long differently, and _murmur3_long models the long layout —
+    # an IntegerType pk re-collides silently (caught by tests).
     pkeys = _partition_exact_keys(n_buckets, n_buckets)
     pk_expr = (
-        F.element_at(F.array(*[F.lit(k) for k in pkeys]), F.col("_b").cast("int") + 1)
+        F.element_at(
+            F.array(*[F.lit(k).cast("long") for k in pkeys]), F.col("_b").cast("int") + 1
+        )
         if n_buckets > 1
-        else F.lit(0)
+        else F.lit(0).cast("long")
     )
     arranged = (
         df.withColumn("_b", bucket_expr)

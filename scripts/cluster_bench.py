@@ -91,14 +91,16 @@ def stop(p: subprocess.Popen) -> None:
             p.kill()
 
 
-def run_level(cores: int, corpus: str, docs: int) -> dict:
-    """One spark-submit against a worker with `cores` 1-core executors."""
-    worker = start_worker(cores, mem_gb=max(2 * cores + 2, 6))
+def run_level(n_exec: int, corpus: str, docs: int, ecores: int = 2) -> dict:
+    """One spark-submit against a worker hosting `n_exec` executors of
+    `ecores` cores each (worker pinned to n_exec*ecores OS cores)."""
+    cores = n_exec * ecores
+    worker = start_worker(cores, mem_gb=max(3 * n_exec + 2, 6))
     try:
         out = subprocess.run(
             [SPARK_SUBMIT, "--master", MASTER_URL,
-             "--conf", "spark.executor.cores=1",
-             "--conf", "spark.executor.memory=2g",
+             "--conf", f"spark.executor.cores={ecores}",
+             "--conf", "spark.executor.memory=3g",
              "--conf", "spark.driver.memory=6g",
              "--conf", "spark.driver.host=127.0.0.1",
              "--conf", f"spark.sql.shuffle.partitions={cores}",
@@ -113,9 +115,10 @@ def run_level(cores: int, corpus: str, docs: int) -> dict:
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("CLUSTER_RESULT ")]
         if not line:
             sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
-            raise RuntimeError(f"no result line from level {cores}")
+            raise RuntimeError(f"no result line from level {n_exec}x{ecores}")
         r = json.loads(line[-1][len("CLUSTER_RESULT "):])
-        r["executors"] = cores
+        r["executors"] = n_exec
+        r["executor_cores"] = ecores
         return r
     finally:
         stop(worker)
@@ -124,7 +127,8 @@ def run_level(cores: int, corpus: str, docs: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "400000")))
-    ap.add_argument("--levels", default="2,8")
+    ap.add_argument("--levels", default="1,4", help="executor counts (N vs 4N)")
+    ap.add_argument("--executor-cores", type=int, default=2)
     ap.add_argument("--repeat", type=int, default=3)
     args = ap.parse_args()
 
@@ -142,7 +146,7 @@ def main() -> None:
     try:
         for rep in range(args.repeat):
             for cores in levels:
-                r = run_level(cores, corpus, args.docs)
+                r = run_level(cores, corpus, args.docs, args.executor_cores)
                 r["rep"] = rep
                 all_runs.append(r)
                 print(json.dumps({k: v for k, v in r.items() if k != "results"}), flush=True)
@@ -167,8 +171,9 @@ def main() -> None:
 
     summary = {
         "metric": "index-build scaling efficiency, standalone multi-executor cluster",
-        "mode": f"{levels[0]} vs {levels[-1]} single-core executors (separate JVMs, "
-                "worker taskset-pinned to its core count, spark-submit --py-files)",
+        "mode": f"{levels[0]} vs {levels[-1]} executors x {args.executor_cores} cores "
+                "(separate JVMs, worker taskset-pinned to its total core count, "
+                "spark-submit --py-files)",
         "levels": [{k: v for k, v in best[c].items() if k != "results"} for c in levels],
         "all_runs": [{k: v for k, v in r.items() if k != "results"} for r in all_runs],
         "pair_speedups": [round(s, 3) for s in pair_speedups],

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from fulltextsearch_spark.sources.queries import read_query_dir, write_results_tbl
 
 
@@ -44,3 +46,28 @@ def test_write_results_tbl_format(spark, tmp_path):
     lines = open(os.path.join(out, parts[0])).read().splitlines()
     # reference line format query|rank|doc_id|score| (main.cpp:80-85), rank order
     assert lines == ["q1|1|3|2.25|", "q1|2|7|1.5|"]
+
+
+def test_dense_ids_bucket_partition_steering(spark):
+    """Each id-assignment bucket must land in its OWN shuffle partition.
+
+    Regression: repartition(n, col) hashes the key — a raw bucket id (or an
+    IntegerType steering key: Spark hashes int32 and int64 differently)
+    collides buckets into shared partitions, leaving empty tasks and
+    double-size stragglers. The Murmur3-steered LongType keys must give a
+    balanced bijection.
+    """
+    from fulltextsearch_spark.sources.ingest import assign_dense_doc_ids
+
+    n_buckets = 8
+    df = spark.createDataFrame([(f"u{i:05d}", "x") for i in range(4000)], ["url", "text"])
+    out = assign_dense_doc_ids(df, order_col="url", num_partitions=n_buckets)
+    pid_rows = out.withColumn("_pid", F.spark_partition_id()).groupBy("_pid").count().collect()
+    sizes = sorted(r["count"] for r in pid_rows)
+    # all n_buckets partitions occupied, each with one ~4000/8 bucket
+    assert len(sizes) == n_buckets
+    assert sizes[0] > 0
+    assert sizes[-1] <= 2 * (4000 // n_buckets)
+    # ids are dense and url-ordered
+    ids = [r["doc_id"] for r in out.orderBy("url").collect()]
+    assert ids == list(range(4000))
