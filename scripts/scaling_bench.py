@@ -16,7 +16,7 @@ ceiling. Levels 2->8 sit in the linear region of the box.
 
     python scripts/scaling_bench.py [--docs 600000] [--levels 2,8]
 
-Writes BENCH/BASELINE.md and BENCH/scaling.json, prints one JSON line.
+Writes BENCH/local_scaling.md and BENCH/scaling.json, prints one JSON line.
 Child mode (--child N) runs one level and prints its JSON.
 """
 
@@ -199,7 +199,7 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(summary, f, indent=1)
     lines = [
-        "# BENCH/BASELINE.md — measured numbers for this repo",
+        "# Local-mode scaling evidence (see BENCH/BASELINE.md for the full summary)",
         "",
         f"Corpus: {args.docs:,} synthetic Common-Crawl-shaped pages (deterministic,",
         "`fulltextsearch_spark.sources.webpages`). Pipeline under test = dense doc_id",
@@ -247,7 +247,7 @@ def main() -> None:
         "Per-round driver benchmarks (sf0.1, local[32]) are recorded in",
         "`BENCH_r{N}.json` by the driver; see `bench.py` for the query list.",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "local_scaling.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps(summary))
 
