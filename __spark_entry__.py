@@ -186,6 +186,30 @@ def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vsm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-space-model tf-idf cosine top-k — the engine the reference
+    declares but never implemented (vector_space_model_engine.cpp:8-33 all
+    throw); completed here with classical VSM semantics (unstemmed for the
+    DuckDB oracle)."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.vsm import search_vsm
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    idx = build_index(spark, _docs(spark, sf_dir), cfg, persist=False)
+    queries = spark.createDataFrame(
+        [(qid, " ".join(t for q, t in QUERY_TOKENS if q == qid)) for qid in
+         sorted({q for q, _ in QUERY_TOKENS})],
+        ["query_id", "content"],
+    )
+    return search_vsm(idx, queries, cfg).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_bm25_topk_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full reference path incl. Snowball stemming (rows-only driver check;
     stemming is pinned vs the C stemmer in tests/test_porter2.py)."""
@@ -418,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand": q_bm25_topk_wand,
         "tfidf_topk": q_tfidf_topk,
+        "vsm_topk": q_vsm_topk,
         "bm25_topk_stemmed": q_bm25_topk_stemmed,
         "trigram_topk": q_trigram_topk,
         "stop_prune": q_stop_prune,
@@ -547,6 +572,43 @@ FROM tf GROUP BY 1
         "bm25_topk": _scored_sql(bm25),
         "bm25_topk_wand": _scored_sql(bm25),
         "tfidf_topk": _scored_sql(tfidf),
+        "vsm_topk": f"""
+WITH {_tok_cte()},
+stats AS (SELECT (max(doc_id)+1)::BIGINT AS n_docs FROM dls),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         (tf.tf::DOUBLE / dls.dl) *
+         ln((s.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0) AS w
+  FROM tf JOIN dft USING (term) JOIN dls USING (doc_id) CROSS JOIN stats s
+),
+norms AS (SELECT doc_id, sqrt(sum(w*w)) AS norm FROM w GROUP BY 1),
+qt AS (SELECT * FROM (VALUES {_values_query_tokens()}) AS v(query_id, term)),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qt GROUP BY 1, 2),
+qw AS (
+  SELECT q.query_id, q.term,
+         q.qtf * ln((s.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0) AS qw
+  FROM qtf q JOIN dft USING (term) CROSS JOIN stats s
+),
+qnorm AS (SELECT query_id, sqrt(sum(qw*qw)) AS qnorm FROM qw GROUP BY 1),
+dots AS (
+  SELECT qw.query_id, w.doc_id, sum(w.w * qw.qw) AS dot
+  FROM qw JOIN w USING (term) GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.doc_id, d.dot / (n.norm * qn.qnorm) AS score
+  FROM dots d JOIN norms n USING (doc_id) JOIN qnorm qn USING (query_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= {TOPK}
+""",
         "stop_prune": f"""
 WITH {_tok_cte()},
 stats AS (

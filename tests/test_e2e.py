@@ -107,3 +107,47 @@ def test_salted_merge_identical_results(spark, corpus):
     doc_ids = [p["doc_id"] for p in row["postings"]]
     assert doc_ids == sorted(doc_ids)
     assert row["df"] == len(doc_ids)
+
+
+def test_vsm_cosine_matches_numpy_oracle(spark, corpus):
+    """VSM (the engine the reference stubs out) vs a direct numpy cosine."""
+    import math
+    from collections import Counter, defaultdict
+
+    import numpy as np
+
+    from fulltextsearch_spark.functions.tokenizer import tokenize
+    from fulltextsearch_spark.operators.vsm import search_vsm
+
+    docs, rows = corpus
+    cfg = EngineConfig(k=K, stem=True)
+    idx = build_index(spark, docs, cfg)
+    qdf = spark.createDataFrame(QUERY_SET, ["query_id", "content"])
+    got = {}
+    for r in search_vsm(idx, qdf, cfg).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], round(r["score"], 9)))
+
+    # numpy oracle
+    toks = {d: tokenize(t, do_stem=True) for d, t in rows}
+    n_docs = max(toks) + 1
+    df = Counter()
+    tf = {d: Counter(ts) for d, ts in toks.items()}
+    for d, c in tf.items():
+        df.update(c.keys())
+    idf = {t: math.log((n_docs - v + 0.5) / (v + 0.5) + 1.0) for t, v in df.items()}
+    w = {d: {t: (c / len(toks[d])) * idf[t] for t, c in cnt.items()} for d, cnt in tf.items() if toks[d]}
+    norm = {d: math.sqrt(sum(x * x for x in ws.values())) for d, ws in w.items()}
+    for qid, content in QUERY_SET:
+        qtf = Counter(t for t in tokenize(content, do_stem=True) if t in df)
+        qw = {t: c * idf[t] for t, c in qtf.items()}
+        qn = math.sqrt(sum(x * x for x in qw.values()))
+        scores = defaultdict(float)
+        for d, ws in w.items():
+            dot = sum(ws.get(t, 0.0) * v for t, v in qw.items())
+            if dot:
+                scores[d] = dot / (norm[d] * qn)
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:K]
+        want = [(i + 1, d, round(s, 9)) for i, (d, s) in enumerate(want)]
+        have = sorted(got.get(qid, []))
+        assert [(r, d) for r, d, _ in have] == [(r, d) for r, d, _ in want], qid
+        assert all(abs(a[2] - b[2]) < 1e-6 for a, b in zip(have, want)), qid
