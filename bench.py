@@ -103,6 +103,8 @@ def main() -> None:
     )
     timed("bm25_topk", lambda: search(idx, qdf, cfg).collect())
     timed("tfidf_topk", lambda: search(idx, qdf, cfg, scoring="tfidf").collect())
+    from fulltextsearch_spark.operators.vsm import search_vsm
+    timed("vsm_topk", lambda: search_vsm(idx, qdf, cfg).collect())
 
     # --- synthetic web corpus (the scale path) ------------------------------
     web_raw = spark.read.parquet(web_path)
