@@ -1,0 +1,61 @@
+"""Head-term skew (SURVEY §5.2-7): a term in ~every doc must not concentrate
+on one task.
+
+The reference has no answer to Zipf-head terms beyond spinlock contention
+(`parallel_hash_table.hpp:134-148`); the north rule requires explicit skew
+handling. Our answer is the map-side partial combine: a head term's postings
+are packed into per-task salted runs, so no single task ever materializes the
+full list — the reduce concatenates byte streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fulltextsearch_spark.config import EngineConfig
+from fulltextsearch_spark.operators.compressed_index import (
+    _partial_rows_tokenized,
+    build_compressed_index,
+    decompress_postings,
+)
+from fulltextsearch_spark.operators.index_build import _tokenized, build_index
+from fulltextsearch_spark.operators.query import search
+from fulltextsearch_spark.operators.wand import search_wand
+
+N = 3000
+
+
+def _skew_corpus(spark):
+    # "common" in EVERY doc; tail terms unique-ish
+    rows = [(i, f"common tail{i % 97} word{i % 11} extra{i}") for i in range(N)]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).repartition(6)
+
+
+def test_head_term_spread_over_salted_partials(spark):
+    docs = _skew_corpus(spark)
+    cfg = EngineConfig(stem=False)
+    partials = _partial_rows_tokenized(_tokenized(docs, "text", stem=False))
+    head = partials.filter(F.col("term") == "common").collect()
+    # one partial per map task that saw the term — never a single giant row
+    assert len(head) > 1
+    assert sum(sum(r["seg_lens"]) for r in head) == N
+    # every partial is a bounded slice, not the whole list
+    assert max(sum(r["seg_lens"]) for r in head) < N
+
+
+def test_head_term_index_and_query_correct(spark):
+    docs = _skew_corpus(spark)
+    cfg = EngineConfig(k=10, stem=False)
+    cidx = build_compressed_index(spark, docs, cfg)
+    row = decompress_postings(
+        cidx.postings.filter(F.col("term") == "common"), cidx.block_size
+    ).collect()[0]
+    assert row["df"] == N
+    got = sorted(p["doc_id"] for p in row["postings"])
+    assert got == list(range(N))
+
+    qdf = spark.createDataFrame([("q", "common tail5")], ["query_id", "content"])
+    wand = [(r["rank"], r["doc_id"], round(r["score"], 9)) for r in search_wand(cidx, qdf, cfg).collect()]
+    idx = build_index(spark, docs, cfg)
+    ex = [(r["rank"], r["doc_id"], round(r["score"], 9)) for r in search(idx, qdf, cfg).collect()]
+    assert wand == ex and len(wand) == 10
