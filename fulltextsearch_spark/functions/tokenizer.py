@@ -96,9 +96,24 @@ def tokenize(text: str, do_stem: bool = True, memo: dict | None = None) -> list[
     return out
 
 
+# Process-global stem memo: python workers are reused across Arrow batches
+# and stages, and the Zipf distribution makes the raw-token vocabulary warm
+# quickly — a per-batch memo re-pays every batch's cold stems (measured
+# ~0.5-1 s/batch on web text). Bounded so a pathological vocabulary cannot
+# grow worker memory without limit.
+_STEM_MEMO: dict[str, str] = {}
+_STEM_MEMO_MAX = 1_000_000
+
+
+def _shared_memo() -> dict:
+    if len(_STEM_MEMO) > _STEM_MEMO_MAX:
+        _STEM_MEMO.clear()
+    return _STEM_MEMO
+
+
 def tokenize_series(texts: pd.Series, do_stem: bool = True) -> pd.Series:
     """Vectorized core: Series[str] -> Series[list[str]], shared stem memo."""
-    memo: dict[str, str] = {}
+    memo = _shared_memo()
     return texts.map(lambda t: tokenize(t, do_stem, memo) if isinstance(t, str) else [])
 
 
@@ -133,7 +148,7 @@ def term_counts_udf(do_stem: bool = True):
 
     @pandas_udf(TERM_COUNTS_SCHEMA)
     def _term_counts(texts: pd.Series) -> pd.DataFrame:
-        memo: dict[str, str] = {}
+        memo = _shared_memo()
         terms_col: list[list[str]] = []
         tfs_col: list[list[int]] = []
         dl_col: list[int] = []
