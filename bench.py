@@ -62,10 +62,10 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from fulltextsearch_spark.config import EngineConfig
     from fulltextsearch_spark.operators.compressed_index import (
-        CompressedIndex,
-        compress_postings,
+        build_compressed_index,
+        decompress_postings,
     )
-    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.index_build import IndexTables, build_index
     from fulltextsearch_spark.operators.query import search
     from fulltextsearch_spark.operators.wand import search_wand
     from fulltextsearch_spark.session import get_spark
@@ -107,35 +107,34 @@ def main() -> None:
     timed("vsm_topk", lambda: search_vsm(idx, qdf, cfg).collect())
 
     # --- synthetic web corpus (the scale path) ------------------------------
+    # build_web50k is the PRODUCTION build: fused tokenize -> map-side
+    # delta+varint partials -> salted merge -> block-max compressed index
+    # (build_compressed_index); the headline index_docs_per_sec derives
+    # from it.
     web_raw = spark.read.parquet(web_path)
 
     def _build_web():
         # never carry the html binary through the id-assignment shuffle
         web = assign_dense_doc_ids(web_raw.select("url", "text"), order_col="url")
-        widx = build_index(spark, web, cfg)
-        widx.postings.count()
-        return widx
+        wcidx = build_compressed_index(spark, web, cfg)
+        wcidx.postings.count()
+        return wcidx
 
-    widx = timed("build_web50k", _build_web)
+    wcidx = timed("build_web50k", _build_web)
     wq = spark.createDataFrame(QUERY_SET, ["query_id", "content"])
-    timed("bm25_web50k", lambda: search(widx, wq, cfg).collect())
-
-    # --- compressed index + block-max WAND over the web corpus --------------
-    def _compress_web():
-        compressed = compress_postings(widx, cfg).persist()
-        compressed.count()
-        return CompressedIndex(
-            postings=compressed,
-            doc_stats=widx.doc_stats,
-            n_docs=widx.n_docs,
-            avgdl=widx.avgdl,
-            block_size=cfg.block_size,
-            k1=cfg.k1,
-            b=cfg.b,
-        )
-
-    wcidx = timed("compress_web50k", _compress_web)
     timed("bm25_web50k_wand", lambda: search_wand(wcidx, wq, cfg).collect())
+
+    # exhaustive oracle path over the same (decompressed) index
+    def _exhaustive_web():
+        widx = IndexTables(
+            postings=decompress_postings(wcidx.postings, wcidx.block_size),
+            doc_stats=wcidx.doc_stats,
+            n_docs=wcidx.n_docs,
+            avgdl=wcidx.avgdl,
+        )
+        return search(widx, wq, cfg).collect()
+
+    timed("bm25_web50k", _exhaustive_web)
 
     # --- training-pipeline ops at sf ----------------------------------------
     timed("exact_dedup", lambda: entrymod.q_exact_dedup(spark, sf_dir).count())
