@@ -59,14 +59,19 @@ def _partition_exact_keys(n_buckets: int, n_parts: int) -> list[int]:
     others empty (measured: one empty task + one double-size straggler out of
     4). Steering each bucket to its own partition restores 1 bucket = 1 task.
     """
-    keys: list[int] = []
-    for b in range(n_buckets):
-        target = b % n_parts
-        k = 0
-        while _murmur3_long(k) % n_parts != target:
-            k += 1
-        keys.append(k)
-    return keys
+    # coupon-collector sweep: one pass over k = 0, 1, 2, ... fills every
+    # partition's key in O(n_parts * ln n_parts) hash evaluations — a
+    # per-bucket search would be O(n_buckets * n_parts), hours at the ~10^5
+    # buckets of a large cluster
+    needed = {b % n_parts for b in range(n_buckets)}
+    key_for_partition: dict[int, int] = {}
+    k = 0
+    while len(key_for_partition) < len(needed):
+        p = _murmur3_long(k) % n_parts
+        if p in needed and p not in key_for_partition:
+            key_for_partition[p] = k
+        k += 1
+    return [key_for_partition[b % n_parts] for b in range(n_buckets)]
 
 
 def assign_dense_doc_ids(
