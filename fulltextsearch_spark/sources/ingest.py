@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
 
 __all__ = ["assign_dense_doc_ids", "csv_to_corpus"]
 
@@ -119,14 +120,31 @@ def assign_dense_doc_ids(
     else:
         cuts = []
 
-    if cuts:
+    if not cuts:
+        bucket_expr = F.lit(0).cast("long")
+    elif len(cuts) <= 512:
+        # small cut lists: JVM-side linear count (no Python round trip)
         bucket_expr = F.size(
             F.filter(
                 F.array(*[F.lit(c) for c in cuts]), lambda b: F.col(order_col) >= b
             )
         ).cast("long")
     else:
-        bucket_expr = F.lit(0).cast("long")
+        # many buckets (large clusters): an O(cuts)-per-row literal-array scan
+        # and a 10^5-element plan literal are both untenable — vectorized
+        # binary search instead. ArrowEvalPython ships ONLY the key column to
+        # the worker, so the text/html payload never round-trips. Semantics
+        # identical to the linear count: number of cuts <= key (ASCII keys
+        # compare the same bytewise and by codepoint).
+        cuts_arr = np.array(cuts)
+
+        @pandas_udf(T.LongType())
+        def _bucket_of(keys: pd.Series) -> pd.Series:
+            return pd.Series(
+                np.searchsorted(cuts_arr, keys.to_numpy(dtype=cuts_arr.dtype), side="right").astype(np.int64)
+            )
+
+        bucket_expr = _bucket_of(F.col(order_col))
 
     counts = {
         int(r["_b"]): r["cnt"]
@@ -150,13 +168,20 @@ def assign_dense_doc_ids(
     # 8-byte long differently, and _murmur3_long models the long layout —
     # an IntegerType pk re-collides silently (caught by tests).
     pkeys = _partition_exact_keys(n_buckets, n_buckets)
-    pk_expr = (
-        F.element_at(
+    if n_buckets <= 1:
+        pk_expr = F.lit(0).cast("long")
+    elif n_buckets <= 512:
+        pk_expr = F.element_at(
             F.array(*[F.lit(k).cast("long") for k in pkeys]), F.col("_b").cast("int") + 1
         )
-        if n_buckets > 1
-        else F.lit(0).cast("long")
-    )
+    else:
+        pkeys_arr = np.array(pkeys, dtype=np.int64)
+
+        @pandas_udf(T.LongType())
+        def _pk_of(buckets: pd.Series) -> pd.Series:
+            return pd.Series(pkeys_arr[buckets.to_numpy(dtype=np.int64)])
+
+        pk_expr = _pk_of(F.col("_b"))
     arranged = (
         df.withColumn("_b", bucket_expr)
         .withColumn("_pk", pk_expr)
