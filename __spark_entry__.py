@@ -321,9 +321,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup: MinHash-LSH near-dup candidate pairs (rows-only: the
-    crc32+splitmix64 permutation family is not DuckDB-expressible; the
-    estimator is pinned vs exact Jaccard in tests/test_pipeline_ops.py)."""
+    """Dedup: MinHash-LSH near-dup candidate pairs. The KR/M61 shingle hash
+    and the (a*h+b) mod 2^61-1 permutation family are exact integer math, so
+    the DuckDB oracle recomputes signatures, band buckets, and est_jaccard
+    independently (HUGEINT arithmetic); the estimator is additionally pinned
+    vs exact Jaccard in tests/test_pipeline_ops.py."""
     from fulltextsearch_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3, shingle_k=8).select(
@@ -332,8 +334,10 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup: SimHash hamming<=3 pairs via exact 4x16 banding (rows-only;
-    banding exactness proven vs brute force in tests)."""
+    """Dedup: SimHash hamming<=3 pairs via exact 4x16 banding. Banding is
+    exact for hamming<=3 (pigeonhole; proven vs brute force in tests), so the
+    DuckDB oracle does the brute-force pair scan over independently
+    recomputed KR/M61 token-hash signatures."""
     from fulltextsearch_spark.operators.dedup import simhash_neardup_pairs
 
     return simhash_neardup_pairs(_docs(spark, sf_dir))
@@ -349,8 +353,10 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text analysis: winnowing document fingerprints (rows-only; pinned vs
-    the pure-Python winnow reference in tests)."""
+    """Text analysis: winnowing document fingerprints (Schleimer et al.,
+    SIGMOD'03; k=8, window=4). KR/M61 k-gram hashes are exact integer math,
+    so the DuckDB oracle replays the per-window rightmost-minimum selection
+    independently; also pinned vs a pure-Python winnow in tests."""
     from fulltextsearch_spark.operators.textstats import winnow_fingerprints
 
     return winnow_fingerprints(_docs(spark, sf_dir).filter(F.col("doc_id") < 100))
@@ -534,6 +540,129 @@ FROM v
 """
 
 
+_M61_SQL = "2305843009213693951"  # 2^61 - 1
+
+
+def _kr_sql(expr: str) -> str:
+    """DuckDB snippet: Karp-Rabin base-257 hash of ``expr`` mod 2^61-1.
+
+    HUGEINT keeps every intermediate exact (acc < 2^61, acc*257+c < 2^70),
+    matching fulltextsearch_spark.functions.hashing byte-for-byte (testdata
+    text is pure ASCII, so ascii(char) == the UTF-8 byte)."""
+    return (
+        f"list_reduce(list_prepend(0::HUGEINT, list_transform("
+        f"range(1, length({expr})+1), j -> ascii(substr({expr}, j::INT, 1))::HUGEINT)), "
+        f"(acc, c) -> (acc*257 + c) % {_M61_SQL})"
+    )
+
+
+def _minhash_sql() -> str:
+    """Recompute MinHash-LSH pairs end-to-end in DuckDB: shingle hashes,
+    128 permutations, 32 bands x 4 rows, bucket-size guard, est_jaccard."""
+    from fulltextsearch_spark.operators.dedup import _perm_params
+
+    a, b = _perm_params(128, seed=1)
+    perm_rows = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(128))
+    return f"""
+WITH perms AS (SELECT * FROM (VALUES {perm_rows}) p(pid, a, b)),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      range(1, greatest(length(text) - 8, 0) + 2), i -> substr(text, i::INT, 8)))) AS s
+  FROM documents
+),
+hs AS (SELECT doc_id, {_kr_sql('s')} AS h FROM sh),
+sigs AS (
+  SELECT doc_id, pid,
+         min((a::HUGEINT * h + b) % {_M61_SQL})::BIGINT AS sv
+  FROM hs CROSS JOIN perms GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, pid // 4 AS band, string_agg(sv::VARCHAR, ',' ORDER BY pid) AS bkey
+  FROM sigs GROUP BY 1, 2
+),
+bsz AS (SELECT band, bkey, count(*) AS n FROM bands GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+  FROM bands x
+  JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+  JOIN bsz s ON s.band = x.band AND s.bkey = x.bkey AND s.n BETWEEN 2 AND 1000
+),
+est AS (
+  SELECT c.da, c.db,
+         sum(CASE WHEN x.sv = y.sv THEN 1 ELSE 0 END)::DOUBLE / 128 AS ej
+  FROM cand c
+  JOIN sigs x ON x.doc_id = c.da
+  JOIN sigs y ON y.doc_id = c.db AND y.pid = x.pid
+  GROUP BY 1, 2
+)
+SELECT da::BIGINT AS doc_id_a, db::BIGINT AS doc_id_b, round(ej, 4) AS est_jaccard
+FROM est WHERE ej >= 0.3
+"""
+
+
+def _simhash_sql() -> str:
+    """Recompute SimHash signatures in DuckDB (KR/M61 token hash through the
+    seed-2 permutation), then brute-force the hamming<=3 pair scan — exact
+    twin of the 4x16-band candidate generation (pigeonhole)."""
+    from fulltextsearch_spark.operators.dedup import _perm_params
+
+    a, b = _perm_params(1, seed=2)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    x -> x <> '')) AS t
+  FROM documents
+),
+tc AS (SELECT doc_id, t, count(*)::DOUBLE AS c FROM toks GROUP BY 1, 2),
+th AS (
+  SELECT t, (({int(a[0])}::HUGEINT * {_kr_sql('t')} + {int(b[0])}) % {_M61_SQL})::UBIGINT AS h
+  FROM (SELECT DISTINCT t FROM tc)
+),
+bits AS (
+  SELECT doc_id, r.i,
+         sum(CASE WHEN (h >> r.i::INT) & 1 = 1 THEN c ELSE -c END) AS acc
+  FROM tc JOIN th USING (t) CROSS JOIN range(0, 61) r(i)
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY 1
+)
+SELECT x.doc_id::BIGINT AS doc_id_a, y.doc_id::BIGINT AS doc_id_b,
+       bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+"""
+
+
+def _winnow_sql() -> str:
+    """Replay winnowing (k=8, window=4, rightmost-minimum tie-break) over
+    KR/M61 k-gram hashes for doc_id < 100."""
+    return f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id < 100),
+pos0 AS (SELECT doc_id, unnest(range(1, n - 8 + 2)) AS i FROM d WHERE n >= 8),
+pos AS (
+  SELECT p.doc_id, p.i, {_kr_sql('substr(d.text, p.i::INT, 8)')}::BIGINT AS h
+  FROM pos0 p JOIN d USING (doc_id)
+),
+np_ AS (SELECT doc_id, count(*) AS np FROM pos GROUP BY 1),
+w AS (SELECT doc_id, unnest(range(1, greatest(np - 3, 1) + 1)) AS wstart FROM np_),
+wp AS (
+  SELECT w.doc_id, w.wstart, p.i, p.h
+  FROM w JOIN pos p ON p.doc_id = w.doc_id AND p.i BETWEEN w.wstart AND w.wstart + 3
+),
+mins AS (SELECT doc_id, wstart, min(h) AS mh FROM wp GROUP BY 1, 2),
+picks AS (
+  SELECT wp.doc_id, max(wp.i) AS pick_i, m.mh
+  FROM wp JOIN mins m ON m.doc_id = wp.doc_id AND m.wstart = wp.wstart AND wp.h = m.mh
+  GROUP BY wp.doc_id, wp.wstart, m.mh
+)
+SELECT DISTINCT doc_id::BIGINT AS doc_id, (pick_i - 1)::BIGINT AS pos, mh AS fingerprint
+FROM picks
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     bm25 = (
         "ln((s.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0) * "
@@ -672,6 +801,9 @@ JOIN sizes sa ON sa.doc_id = ia
 JOIN sizes sb ON sb.doc_id = ib
 WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.08
 """,
+        "minhash_pairs": _minhash_sql(),
+        "simhash_pairs": _simhash_sql(),
+        "winnow_fingerprints": _winnow_sql(),
         "embedding_neardup": """
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,

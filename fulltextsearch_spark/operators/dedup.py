@@ -5,14 +5,18 @@ web-corpus dedup operators a 100 TB pipeline needs, each built Spark-first:
 
 * :func:`exact_dedup` — hash groupBy; one shuffle on a 16-byte key.
 * :func:`minhash_signatures` + :func:`minhash_lsh_pairs` — character-shingle
-  MinHash (deterministic multiply-shift permutations over crc32+splitmix64
-  base hashes, fully numpy-vectorized per Arrow batch) banded into LSH
-  buckets; candidate pairs come from a bucket self-join, verified by
-  signature agreement. Giant buckets (boilerplate pages) are skipped with an
-  explicit cap — at web scale an all-identical bucket would otherwise emit
-  O(n^2) pairs from one task.
-* :func:`simhash_signatures` + :func:`simhash_neardup_pairs` — 64-bit
-  SimHash over tokens weighted by tf; near-dup candidates via 4x16-bit band
+  MinHash: Karp-Rabin rolling shingle hashes and a true universal permutation
+  family ``(a*h+b) mod 2^61-1`` (exact Mersenne arithmetic via
+  :mod:`fulltextsearch_spark.functions.hashing` — no uint64 wrap), fully
+  numpy-vectorized per Arrow batch, banded into LSH buckets; candidate pairs
+  come from a bucket self-join, verified by signature agreement. Giant
+  buckets (boilerplate pages) are skipped with an explicit cap — at web
+  scale an all-identical bucket would otherwise emit O(n^2) pairs from one
+  task. Every hash is SQL-expressible (DuckDB HUGEINT), so the driver
+  oracle recomputes signatures/pairs independently.
+* :func:`simhash_signatures` + :func:`simhash_neardup_pairs` — SimHash over
+  whitespace tokens weighted by tf (token hash = same KR/M61 family, so it
+  is also oracle-recomputable); near-dup candidates via 4x16-bit band
   equality (pigeonhole: hamming <= 3 guarantees a shared band), verified with
   ``bit_count(xor)``.
 * :func:`ngram_jaccard_pairs` — exact character-k-shingle Jaccard via a
@@ -24,14 +28,19 @@ no per-row Python UDFs.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
+
+from fulltextsearch_spark.functions.hashing import (
+    M61,
+    bytes_hashes,
+    perm61,
+    rolling_kgram_hashes,
+)
 
 __all__ = [
     "exact_dedup",
@@ -42,27 +51,20 @@ __all__ = [
     "ngram_jaccard_pairs",
 ]
 
-_MERSENNE = np.uint64((1 << 61) - 1)
-
-
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """Deterministic 64-bit mixer (public-domain splitmix64 finalizer)."""
-    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
-    x ^= x >> np.uint64(30)
-    x *= np.uint64(0xBF58476D1CE4E5B9)
-    x ^= x >> np.uint64(27)
-    x *= np.uint64(0x94D049BB133111EB)
-    x ^= x >> np.uint64(31)
-    return x
+_MERSENNE = M61
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Distinct 64-bit hashes of the k-char shingles of ``text``."""
+    """Distinct KR/M61 hashes of the k-byte shingles of ``text``.
+
+    One vectorized rolling-hash pass (k numpy column passes) + np.unique —
+    no per-shingle Python loop. Texts shorter than k are zero-padded to one
+    shingle.
+    """
     data = text.encode("utf-8", errors="replace")
     if len(data) < k:
         data = data + b"\x00" * (k - len(data))
-    crcs = {zlib.crc32(data[i: i + k]) for i in range(len(data) - k + 1)}
-    return _splitmix64(np.fromiter(crcs, dtype=np.uint64, count=len(crcs)))
+    return np.unique(rolling_kgram_hashes(data, k))
 
 
 def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -89,8 +91,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig ARRAY<LONG>) — MinHash signature per document.
 
-    Permutations are (a*h + b) mod 2^61-1 over splitmix64(crc32(shingle)) —
-    deterministic across executors/restarts (never Python's salted hash()).
+    Permutations are exact (a*h + b) mod 2^61-1 over KR/M61 shingle hashes —
+    deterministic across executors/restarts (never Python's salted hash())
+    and recomputable in plain SQL (DuckDB HUGEINT) for the driver oracle.
     """
     a, b = _perm_params(num_perm, seed)
 
@@ -100,7 +103,7 @@ def minhash_signatures(
         for t in texts:
             h = _shingle_hashes(t if isinstance(t, str) else "", shingle_k)
             # num_perm x n_shingles, min over shingles
-            vals = (a[:, None] * (h[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
+            vals = perm61(a[:, None], b[:, None], h[None, :])
             out.append(vals.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
 
@@ -172,42 +175,50 @@ def minhash_lsh_pairs(
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", seed: int = 2
 ) -> DataFrame:
-    """(doc_id, simhash LONG) — 64-bit SimHash over whitespace tokens x tf."""
-    seed_mix = np.uint64(_splitmix64(np.array([seed], dtype=np.uint64))[0])
+    """(doc_id, simhash LONG) — SimHash over whitespace tokens x tf.
+
+    Token hash = perm61(a_s, b_s, KR/M61(token)) with (a_s, b_s) drawn from
+    ``seed`` — effectively 61 hash bits (bits 61..63 are always 0), exactly
+    recomputable in SQL. Fully vectorized per Arrow batch: factorize the
+    exploded tokens, hash each *unique* token once, accumulate the signed
+    bit-weight sums with one reduceat over (doc, token) tf rows.
+    """
+    a_s, b_s = _perm_params(1, seed)
 
     @pandas_udf(T.LongType())
     def _sim(texts: pd.Series) -> pd.Series:
-        memo: dict[str, int] = {}
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = t.lower().split() if isinstance(t, str) else []
-            counts: dict[str, int] = {}
-            for tok in toks:
-                counts[tok] = counts.get(tok, 0) + 1
-            if not counts:
-                out[i] = 0
-                continue
-            hs = np.empty(len(counts), dtype=np.uint64)
-            ws = np.empty(len(counts), dtype=np.float64)
-            for j, (tok, c) in enumerate(counts.items()):
-                hv = memo.get(tok)
-                if hv is None:
-                    hv = int(
-                        _splitmix64(
-                            np.array([zlib.crc32(tok.encode()) ^ int(seed_mix)], dtype=np.uint64)
-                        )[0]
-                    )
-                    memo[tok] = hv
-                hs[j] = hv
-                ws[j] = c
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        toks = texts.fillna("").str.lower().str.split()
+        lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        out = np.zeros(len(texts), dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return pd.Series(out)
+        exploded = toks.explode().dropna()
+        codes, uniques = pd.factorize(exploded.to_numpy())
+        n_uniq = len(uniques)
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        # tf per (doc, token): unique over a combined key (both streams sorted)
+        key = doc_idx * np.int64(n_uniq) + codes
+        uk, cnt = np.unique(key, return_counts=True)
+        d = (uk // n_uniq).astype(np.int64)
+        c = (uk % n_uniq).astype(np.int64)
+        hs = perm61(a_s[0], b_s[0], bytes_hashes([u.encode("utf-8") for u in uniques]))
+        bits_pm = (
+            ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
                 np.float64
             )
-            acc = ((bits * 2.0 - 1.0) * ws[:, None]).sum(axis=0)
-            sig = np.bitwise_or.reduce(
-                (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
-            )
-            out[i] = np.array([sig], dtype=np.uint64).astype(np.int64)[0]  # 2's-compl.
+            * 2.0
+            - 1.0
+        )  # n_uniq x 64 in {-1, +1}
+        contrib = cnt.astype(np.float64)[:, None] * bits_pm[c]
+        starts = np.concatenate(([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
+        acc = np.add.reduceat(contrib, starts, axis=0)  # docs-with-tokens x 64
+        sig = (
+            ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :])
+            .sum(axis=1)
+            .astype(np.uint64)
+        )
+        out[d[starts]] = sig.astype(np.int64)  # 2's-compl. (top bits are 0)
         return pd.Series(out)
 
     return docs.select(

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
+from fulltextsearch_spark.functions.hashing import rolling_kgram_hashes as _kgram_hashes
 from fulltextsearch_spark.functions.tokenizer import STOP_WORDS
 
 __all__ = [
@@ -83,20 +84,9 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-_KR_BASE = np.uint64(257)
-_KR_MOD = np.uint64((1 << 61) - 1)
-
-
-def _kgram_hashes(data: bytes, k: int) -> np.ndarray:
-    """Karp-Rabin polynomial hashes of all k-grams (vectorized: k passes)."""
-    a = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-    n = a.size - k + 1
-    if n <= 0:
-        return np.empty(0, dtype=np.uint64)
-    h = np.zeros(n, dtype=np.uint64)
-    for j in range(k):
-        h = (h * _KR_BASE + a[j: j + n]) % _KR_MOD
-    return h
+# k-gram hashes come from functions.hashing: Karp-Rabin base 257 with EXACT
+# mod-2^61-1 arithmetic (the earlier `(h*257 + c) % M` on uint64 silently
+# wrapped at 2^64 before the mod) — also SQL-recomputable for oracles.
 
 
 def winnow(data: bytes, k: int = 8, window: int = 4) -> list[tuple[int, int]]:
