@@ -211,15 +211,23 @@ def q_vsm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bm25_topk_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full reference path incl. Snowball stemming (rows-only driver check;
-    stemming is pinned vs the C stemmer in tests/test_porter2.py)."""
+    """Full reference path incl. Snowball stemming. The DuckDB oracle maps
+    tokens through a VALUES(term, stem) table enumerating the testdata
+    vocabulary (stems produced by the vendored Porter2, which is itself
+    pinned byte-identical vs the reference's compiled C stemmer in
+    tests/test_porter2.py), so the join/score/topk stages are hash-checked
+    end-to-end *under stemming* — semantics anchor:
+    reference test/tokenizer/stemmingtokenizer_tests.cpp:17-32."""
     return _q_topk(spark, sf_dir, "bm25", stem=True)
 
 
 def q_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T6/A8/A10/F5/J3: trigram engine end-to-end (rows-only driver check;
-    byte-parity with the reference parser/engine is pinned by
-    tests/test_trigram.py against a per-byte C++ transcription oracle)."""
+    """T6/A8/A10/F5/J3: trigram engine end-to-end. The DuckDB oracle replays
+    the reference parser (whitelist runs, 3-byte windows with word offsets,
+    padded 2-char words, end-of-input quirk), the offset-14 insert cap vs
+    uncapped lookup, compactify, and the n_q-normalized BM25 sum in SQL;
+    byte-parity is additionally pinned by tests/test_trigram.py against a
+    per-byte C++ transcription oracle."""
     from fulltextsearch_spark.config import EngineConfig
     from fulltextsearch_spark.operators.trigram import build_trigram_index, search_trigram
 
@@ -363,8 +371,11 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Similarity: multi-table hyperplane-LSH ANN (rows-only; recall vs the
-    exact brute force asserted in tests)."""
+    """Similarity: multi-table hyperplane-LSH ANN. The DuckDB oracle replays
+    the identical machinery — the seeded hyperplanes ride along as VALUES
+    and the oracle recomputes sign buckets, hamming-1 multiprobe, candidate
+    union, and cosine top-k independently; recall vs exact brute force is
+    additionally asserted in tests."""
     from fulltextsearch_spark.operators.similarity import lsh_cosine_topk
 
     emb = _embeddings(spark, sf_dir)
@@ -377,7 +388,10 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Similarity: IVF (k-means coarse quantizer, nprobe lists) ANN."""
+    """Similarity: IVF (k-means coarse quantizer, nprobe lists) ANN. The
+    DuckDB oracle carries the deterministic k-means centroids as VALUES and
+    independently recomputes nearest-centroid assignment, nprobe list
+    selection, candidate scoring, and the top-k."""
     from fulltextsearch_spark.operators.similarity import ivf_cosine_topk
 
     emb = _embeddings(spark, sf_dir)
@@ -390,11 +404,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal: FTSB container header parse over a deterministic synthetic
-    media table (rows-only; byte-level round-trip pinned in tests)."""
-    from fulltextsearch_spark.operators.multimodal import generate_media, media_metadata
+    """Multimodal: FTSB container header parse. The media table derives
+    deterministically from the documents table (media_from_docs), so the
+    DuckDB oracle predicts every header field from doc_id/length(text) by
+    formula while Spark actually round-trips the bytes through
+    struct.pack/unpack; byte-level round-trips also pinned in tests."""
+    from fulltextsearch_spark.operators.multimodal import media_from_docs, media_metadata
 
-    return media_metadata(generate_media(spark, 30, seed=13))
+    return media_metadata(media_from_docs(_docs(spark, sf_dir).filter(F.col("doc_id") < 30)))
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -473,10 +490,62 @@ def _values_query_tokens() -> str:
     return ", ".join(f"('{q}', '{t}')" for q, t in QUERY_TOKENS)
 
 
-def _scored_sql(score_expr: str) -> str:
-    """Shared CTE block computing per-(query, doc) accumulated scores."""
+def _stem_map_values() -> str:
+    """VALUES rows (term, stem) covering every non-stop token in the testdata
+    vocabulary plus the query tokens, stemmed by the vendored Porter2 (itself
+    pinned byte-identical to the reference's compiled Snowball C stemmer in
+    tests/test_porter2.py). This makes the stemmed join/score/topk stages
+    DuckDB-checkable even though the stemmer is not SQL-expressible."""
+    import os
+
+    import duckdb
+
+    from fulltextsearch_spark.functions.porter2 import stem
+    from fulltextsearch_spark.functions.tokenizer import STOP_WORDS
+
+    words: set[str] = {t for _, t in QUERY_TOKENS}
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if os.path.exists(path):
+            rows = con.execute(
+                "SELECT DISTINCT unnest(regexp_split_to_array(lower(text), "
+                f"'{_TOKEN_SPLIT_SQL}')) AS w FROM read_parquet('{path}')"
+            ).fetchall()
+            words.update(w for (w,) in rows if w)
+    words -= set(STOP_WORDS)
+    return ", ".join(f"('{w}', '{stem(w)}')" for w in sorted(words))
+
+
+def _scored_sql(score_expr: str, stemmed: bool = False) -> str:
+    """Shared CTE block computing per-(query, doc) accumulated scores.
+
+    With ``stemmed=True``, tokens (document AND query side) map through the
+    VALUES stem table after stop-filtering — the reference order
+    (stemmingtokenizer.cpp:49-60: stop check precedes stemming); dl counts
+    tokens, which stemming does not change."""
+    if stemmed:
+        tok_block = f"""
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_SPLIT_SQL}'),
+                     x -> x <> '' AND x NOT IN ({_stop_list_sql()})) AS tokens
+  FROM documents
+),
+smap AS (SELECT * FROM (VALUES {_stem_map_values()}) m(term0, stem)),
+tok0 AS (SELECT doc_id, unnest(tokens) AS term0 FROM toks),
+tok AS (SELECT doc_id, coalesce(s.stem, t.term0) AS term
+        FROM tok0 t LEFT JOIN smap s USING (term0)),
+dls AS (SELECT doc_id, len(tokens)::BIGINT AS dl FROM toks)
+"""
+        q_block = f"""qt0 AS (SELECT * FROM (VALUES {_values_query_tokens()}) AS v(query_id, term0)),
+qt AS (SELECT query_id, coalesce(s.stem, q.term0) AS term
+       FROM qt0 q LEFT JOIN smap s USING (term0))"""
+    else:
+        tok_block = _tok_cte()
+        q_block = f"qt AS (SELECT * FROM (VALUES {_values_query_tokens()}) AS v(query_id, term))"
     return f"""
-WITH {_tok_cte()},
+WITH {tok_block},
 stats AS (
   SELECT (max(doc_id)+1)::BIGINT AS n_docs,
          sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl
@@ -484,7 +553,7 @@ stats AS (
 ),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
 dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
-qt AS (SELECT * FROM (VALUES {_values_query_tokens()}) AS v(query_id, term)),
+{q_block},
 qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qt GROUP BY 1, 2),
 scored AS (
   SELECT q.query_id, tf.doc_id,
@@ -663,6 +732,218 @@ FROM picks
 """
 
 
+def _trigram_emit_sql(src: str, idc: str, text_expr: str) -> str:
+    """DuckDB CTE block replaying the reference trigram parser over ``src``.
+
+    Semantics (trigram_parser.cpp:10-52, trigram.hpp:19-22): whitelist runs
+    split on ``[^0-9a-z$%&+@]``; a run of length L>=3 emits L-2 windows
+    packed as (c0<<24)|(c1<<16)|(c2<<8)|(offset & 0xFF); a standalone 2-byte
+    run emits one padded trigram (c2=0, offset 0) only when a delimiter
+    follows (a 2-byte run at end-of-input emits nothing — `wi < np` is true
+    exactly when the word is not the final array element, and the final
+    element is non-empty only when the text ends inside a run)."""
+    return f"""
+{src}_parts AS (
+  SELECT {idc}, regexp_split_to_array(lower({text_expr}), '[^0-9a-z$%&+@]+') AS ps FROM {src}
+),
+{src}_words AS (
+  SELECT {idc}, unnest(ps) AS w, unnest(range(1, len(ps)+1)) AS wi, len(ps) AS np
+  FROM {src}_parts
+),
+{src}_tri AS (
+  SELECT {idc},
+         ascii(substr(w, o::INT, 1))*16777216 + ascii(substr(w, (o+1)::INT, 1))*65536
+           + ascii(substr(w, (o+2)::INT, 1))*256 + ((o-1) % 256) AS raw
+  FROM (SELECT {idc}, w, unnest(range(1, length(w)-1)) AS o
+        FROM {src}_words WHERE length(w) >= 3)
+  UNION ALL
+  SELECT {idc}, ascii(substr(w, 1, 1))*16777216 + ascii(substr(w, 2, 1))*65536 AS raw
+  FROM {src}_words WHERE length(w) = 2 AND wi < np
+)"""
+
+
+def _trigram_sql() -> str:
+    """Full trigram-engine oracle: parse, per-doc raw counts, offset-capped
+    index keys (entry-level df), compactify threshold, uncapped lookup, and
+    the BM25 * qtf / n_q accumulation with doc_count = docs consumed."""
+    qvals = ", ".join(f"('{q}', '{c}')" for q, c in
+                      [("t1", "dup"), ("t2", "dup value"), ("t3", "window dup table")])
+    return f"""
+WITH qsrc AS (SELECT * FROM (VALUES {qvals}) v(query_id, content)),
+{_trigram_emit_sql('documents', 'doc_id', 'text')[1:]},
+{_trigram_emit_sql('qsrc', 'query_id', 'content')[1:]},
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         (SELECT count(*) FROM documents_tri)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+thr AS (
+  SELECT n, avgdl,
+         n // greatest(2, least(10, floor(n / (avgdl + 1))::BIGINT)) AS t
+  FROM stats
+),
+dls AS (SELECT doc_id, count(*)::BIGINT AS dl FROM documents_tri GROUP BY 1),
+tf AS (SELECT doc_id, raw, count(*)::BIGINT AS tf FROM documents_tri GROUP BY 1, 2),
+entries AS (
+  SELECT doc_id, raw, tf, (raw // 256) * 256 + least(raw % 256, 14) AS key FROM tf
+),
+dft AS (SELECT key, count(*)::BIGINT AS df FROM entries GROUP BY 1),
+qn AS (SELECT query_id, count(*)::BIGINT AS n_q FROM qsrc_tri GROUP BY 1),
+qtf AS (SELECT query_id, raw, count(*)::BIGINT AS qtf FROM qsrc_tri GROUP BY 1, 2),
+scored AS (
+  SELECT q.query_id, e.doc_id,
+         sum(ln((s.n - dft.df + 0.5)/(dft.df + 0.5) + 1.0)
+             * (e.tf * ({K1} + 1.0))
+               / (e.tf + {K1} * (1.0 - {B} + {B} * d.dl / s.avgdl))
+             * q.qtf / qn.n_q) AS score
+  FROM qtf q
+  JOIN entries e ON e.key = q.raw
+  JOIN dft ON dft.key = e.key
+  JOIN dls d ON d.doc_id = e.doc_id
+  JOIN qn ON qn.query_id = q.query_id
+  CROSS JOIN thr s
+  WHERE dft.df <= s.t
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+_EMB_SF001 = "/root/testdata/sf0.01/embeddings.parquet"  # the driver's oracle SF
+
+
+def _ann_lsh_sql() -> str:
+    """Replay the multi-table hyperplane LSH in DuckDB: the seeded plane
+    matrix (identical floats) rides along as VALUES; sign buckets, hamming-1
+    multiprobe, candidate union, and cosine top-k are all recomputed in SQL."""
+    from fulltextsearch_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 6, 16, 5)
+    plane_rows = ", ".join(
+        "(%d, %d, [%s])" % (t, p, ", ".join(repr(float(v)) for v in planes[t, p]))
+        for t in range(16)
+        for p in range(6)
+    )
+    return f"""
+WITH planes AS (SELECT * FROM (VALUES {plane_rows}) p(tbl, plane, pv)),
+ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+codes AS (
+  SELECT vec_id, tbl,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << plane::INT) ELSE 0 END) AS code
+  FROM (SELECT vec_id, tbl, plane,
+               list_sum(list_transform(list_zip(v, pv), z -> z[1] * z[2])) AS dot
+        FROM ed CROSS JOIN planes)
+  GROUP BY 1, 2
+),
+q AS (
+  SELECT vec_id AS query_id,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS qv
+  FROM ed WHERE vec_id < 3
+),
+qcodes AS (
+  SELECT query_id, tbl,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << plane::INT) ELSE 0 END) AS code
+  FROM (SELECT query_id, tbl, plane,
+               list_sum(list_transform(list_zip(qv, pv), z -> z[1] * z[2])) AS dot
+        FROM q CROSS JOIN planes)
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT query_id, tbl,
+         CASE WHEN f.i < 0 THEN code ELSE xor(code, (1::BIGINT << f.i::INT)) END AS code
+  FROM qcodes CROSS JOIN range(-1, 6) f(i)
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id
+  FROM probes p JOIN codes c ON c.tbl = p.tbl AND c.code = p.code
+),
+sims AS (
+  SELECT c.query_id, c.vec_id,
+         list_sum(list_transform(list_zip(ed.v, q.qv), z -> z[1] * z[2]))
+           / sqrt(list_sum(list_transform(ed.v, y -> y*y))) AS sim
+  FROM cand c JOIN ed ON ed.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id
+),
+r AS (SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      FROM sims)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, vec_id::BIGINT AS vec_id,
+       round(sim, 4) AS sim
+FROM r WHERE rank <= {TOPK}
+"""
+
+
+def _ann_ivf_sql() -> str:
+    """Replay IVF serving in DuckDB. The coarse quantizer is deterministic
+    numpy k-means over the sf0.01 embeddings (same seed/sample as the Spark
+    path — the driver's oracle SF), carried as VALUES; assignment, nprobe
+    probing, candidate scoring, and the top-k are recomputed in SQL."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from fulltextsearch_spark.operators.similarity import _kmeans
+
+    if not os.path.exists(_EMB_SF001):  # pragma: no cover - driver env always has it
+        return "SELECT 1 WHERE false"
+    emb = np.array(
+        pq.read_table(_EMB_SF001).column("embedding").to_pylist(), dtype=np.float64
+    )
+    cent = _kmeans(emb, 10, 10, 7)
+    cent_rows = ", ".join(
+        "(%d, [%s])" % (i, ", ".join(repr(float(v)) for v in cent[i]))
+        for i in range(cent.shape[0])
+    )
+    return f"""
+WITH cent AS (SELECT * FROM (VALUES {cent_rows}) c(list_id, cv)),
+ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+dist AS (
+  SELECT vec_id, list_id,
+         list_sum(list_transform(list_zip(v, cv), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM ed CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id, row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+    FROM dist) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS qv
+  FROM ed WHERE vec_id < 3
+),
+qdist AS (
+  SELECT query_id, list_id,
+         list_sum(list_transform(list_zip(qv, cv), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM q CROSS JOIN cent
+),
+probes AS (
+  SELECT query_id, list_id FROM (
+    SELECT query_id, list_id, row_number() OVER (PARTITION BY query_id ORDER BY d, list_id) AS rn
+    FROM qdist) WHERE rn <= 6
+),
+cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (list_id)),
+sims AS (
+  SELECT c.query_id, c.vec_id,
+         list_sum(list_transform(list_zip(ed.v, q.qv), p -> p[1] * p[2]))
+           / sqrt(list_sum(list_transform(ed.v, y -> y*y))) AS sim
+  FROM cand c JOIN ed ON ed.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id
+),
+r AS (SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      FROM sims)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, vec_id::BIGINT AS vec_id,
+       round(sim, 4) AS sim
+FROM r WHERE rank <= {TOPK}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     bm25 = (
         "ln((s.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0) * "
@@ -698,8 +979,10 @@ SELECT term, count(*)::BIGINT AS df, min(doc_id)::BIGINT AS first_doc,
        max(doc_id)::BIGINT AS last_doc, sum(tf)::BIGINT AS sum_tf
 FROM tf GROUP BY 1
 """,
+        "trigram_topk": _trigram_sql(),
         "bm25_topk": _scored_sql(bm25),
         "bm25_topk_wand": _scored_sql(bm25),
+        "bm25_topk_stemmed": _scored_sql(bm25, stemmed=True),
         "tfidf_topk": _scored_sql(tfidf),
         "vsm_topk": f"""
 WITH {_tok_cte()},
@@ -800,6 +1083,23 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = ia
 JOIN sizes sb ON sb.doc_id = ib
 WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.08
+""",
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
+        "media_metadata": """
+SELECT doc_id::BIGINT AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       (CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 56 WHEN 1 THEN 0 ELSE 16 END)::BIGINT AS width,
+       (CASE doc_id % 3 WHEN 0 THEN 8 + (doc_id * 7) % 56 WHEN 1 THEN 0 ELSE 16 END)::BIGINT AS height,
+       (CASE doc_id % 3 WHEN 1 THEN 0 ELSE 3 END)::BIGINT AS channels,
+       (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 0 ELSE 4 + doc_id % 8 END)::BIGINT AS n_frames,
+       (CASE doc_id % 3 WHEN 1 THEN 16000 ELSE 0 END)::BIGINT AS sample_rate,
+       (CASE doc_id % 3
+          WHEN 0 THEN (8 + doc_id % 56) * (8 + (doc_id * 7) % 56) * 3
+          WHEN 1 THEN (greatest(length(text), 1) // 2) * 2
+          ELSE (4 + doc_id % 8) * 16 * 16 * 3
+        END)::BIGINT AS payload_bytes
+FROM documents WHERE doc_id < 30
 """,
         "minhash_pairs": _minhash_sql(),
         "simhash_pairs": _simhash_sql(),

@@ -36,6 +36,7 @@ __all__ = [
     "encode_ftsb",
     "decode_header",
     "generate_media",
+    "media_from_docs",
     "media_metadata",
     "image_stats",
     "resize_images",
@@ -115,6 +116,52 @@ def generate_media(spark: SparkSession, n: int, seed: int = 13) -> DataFrame:
             px = rng.integers(0, 256, size=nf * h * w * c, dtype=np.uint8)
             rows.append((i, "video", encode_ftsb(3, px, w, h, c, n_frames=nf)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def media_from_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Derive a deterministic FTSB media table from (doc_id, text) rows.
+
+    Every header field is a pure formula of doc_id and the payload is the
+    UTF-8 text bytes repeated/truncated to the required size, so an
+    independent SQL oracle can predict what a header parse must return —
+    which turns :func:`media_metadata`'s struct.pack/unpack round trip into
+    a hard-checkable contract:
+
+    * doc_id % 3 == 0 -> image:  w = 8 + id%56, h = 8 + (id*7)%56, c=3, nf=1
+    * doc_id % 3 == 1 -> audio:  sample_rate=16000, payload = int16 PCM from
+      the first 2*(len(text)//2) text bytes
+    * doc_id % 3 == 2 -> video:  16x16x3, nf = 4 + id%8
+    """
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mods, pays = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf[text_col]):
+                i = int(did)
+                data = (text if isinstance(text, str) else "").encode("utf-8") or b"\x00"
+                kind = i % 3
+                if kind == 0:
+                    w, h, c = 8 + i % 56, 8 + (i * 7) % 56, 3
+                    need = w * h * c
+                    px = np.frombuffer((data * (need // len(data) + 1))[:need], dtype=np.uint8)
+                    mods.append("image")
+                    pays.append(encode_ftsb(1, px, w, h, c, n_frames=1))
+                elif kind == 1:
+                    ns = len(data) // 2
+                    pcm = np.frombuffer(data[: ns * 2], dtype="<i2")
+                    mods.append("audio")
+                    pays.append(encode_ftsb(2, pcm, sample_rate=16000))
+                else:
+                    w = h = 16
+                    c, nf = 3, 4 + i % 8
+                    need = nf * h * w * c
+                    px = np.frombuffer((data * (need // len(data) + 1))[:need], dtype=np.uint8)
+                    mods.append("video")
+                    pays.append(encode_ftsb(3, px, w, h, c, n_frames=nf))
+                ids.append(i)
+            yield pd.DataFrame({"media_id": ids, "modality": mods, "payload": pays})
+
+    return docs.select("doc_id", text_col).mapInPandas(_enc, schema=MEDIA_SCHEMA)
 
 
 def media_metadata(media: DataFrame) -> DataFrame:

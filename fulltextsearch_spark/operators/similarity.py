@@ -232,10 +232,31 @@ def _kmeans(sample: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.n
     return cent
 
 
+def _bounded_sample(
+    embeddings: DataFrame, vec_col: str, max_rows: int, seed: int
+) -> np.ndarray:
+    """Driver-side training sample, HARD-bounded to ``max_rows`` rows.
+
+    The fraction is derived from the table count so the expected sample is
+    ~max_rows regardless of corpus size, and a limit() backstop caps the
+    collect even when the sampler over-delivers — the driver never holds
+    more than max_rows vectors no matter how big the table is.
+    """
+    n = embeddings.count()
+    if n <= max_rows:
+        rows = embeddings.select(vec_col).collect()
+    else:
+        frac = min(1.0, (max_rows * 1.2) / n)  # slight oversample, then cap
+        rows = (
+            embeddings.select(vec_col).sample(False, frac, seed).limit(max_rows).collect()
+        )
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int = 16,
-    sample_frac: float = 1.0,
+    max_sample_rows: int | None = None,
     iters: int = 10,
     seed: int = 7,
     id_col: str = "vec_id",
@@ -243,14 +264,16 @@ def ivf_assign(
 ) -> tuple[DataFrame, np.ndarray]:
     """-> ((vec_id, list_id), centroids): IVF coarse quantizer.
 
-    Centroids from numpy Lloyd iterations on a driver-side sample (cheap,
-    standard); list assignment is a distributed Arrow pass. At 100 TB the
-    sample stays bounded (sample_frac) while assignment scans everything.
+    Centroids from numpy Lloyd iterations on a BOUNDED driver-side sample
+    (default ~1000 training vectors per centroid — the standard k-means
+    sizing; never a full-table collect, which would OOM the driver at any
+    real corpus size); list assignment is a distributed Arrow pass that
+    scans everything.
     """
-    sample = np.array(
-        [r[0] for r in embeddings.select(vec_col).sample(False, sample_frac, seed).collect()],
-        dtype=np.float64,
-    )
+    if max_sample_rows is None:
+        max_sample_rows = max(n_centroids * 1000, 10_000)
+    sample = _bounded_sample(embeddings, vec_col, max_sample_rows, seed)
+    n_centroids = min(n_centroids, sample.shape[0])
     cent = _kmeans(sample, n_centroids, iters, seed)
 
     def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

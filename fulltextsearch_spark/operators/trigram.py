@@ -43,7 +43,14 @@ from fulltextsearch_spark.functions.trigram import (
 )
 from fulltextsearch_spark.operators.query import topk
 
-__all__ = ["TrigramIndex", "build_trigram_index", "search_trigram", "query_trigrams"]
+__all__ = [
+    "TrigramIndex",
+    "build_trigram_index",
+    "search_trigram",
+    "query_trigrams",
+    "save_trigram_index",
+    "load_trigram_index",
+]
 
 
 @dataclass
@@ -100,21 +107,32 @@ def build_trigram_index(
         F.col("tf").cast("long").alias("tf"),
         F.col("dl").cast("long").alias("dl"),
     )
-    postings = (
-        flat.select(key, posting.alias("p"))
-        .groupBy("key")
-        .agg(
-            F.sort_array(F.collect_list("p")).alias("postings"),
-            F.count(F.lit(1)).alias("df"),
-        )
-    )
 
     # stop-trigram pruning (compactify, trigram_index_engine.cpp:36-38)
     # C++: std::clamp(static_cast<uint32_t>(doc_count/(avg+1)), 2U, 10U)
     stop_share = int(np.clip(int(doc_count / (avgdl + 1.0)), 2, 10))
     threshold = doc_count // stop_share
+
+    keyed = flat.select(key, posting.alias("p"))
     if compactify:
-        postings = postings.filter(F.col("df") <= F.lit(threshold))
+        # Skew safety: hot keys (df above the stop threshold) are exactly the
+        # ones compactify discards, so drop them BEFORE any posting list
+        # materializes — df comes from a cheap partial-aggregated count and
+        # the hot-key set is tiny by definition (high-df keys), so it
+        # broadcast-anti-joins without reshuffling the big side. Without
+        # this, a boilerplate trigram at web scale OOMs the collect_list task
+        # first and gets filtered only after the fact.
+        hot = (
+            keyed.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > F.lit(threshold))
+            .select("key")
+        )
+        keyed = keyed.join(F.broadcast(hot), "key", "left_anti")
+    postings = keyed.groupBy("key").agg(
+        F.sort_array(F.collect_list("p")).alias("postings"),
+        F.count(F.lit(1)).alias("df"),
+    )
     postings = postings.persist()
 
     return TrigramIndex(
@@ -186,3 +204,34 @@ def search_trigram(
         .agg(F.sum("_s").alias("score"))
     )
     return topk(scored, k if k is not None else cfg.k)
+
+
+def save_trigram_index(index: TrigramIndex, root: str) -> None:
+    """Persist the trigram index under ``root`` as parquet tables.
+
+    The reference's store() writes a bespoke mmap-able binary snapshot
+    (doc_count, avgdl, doc->len pairs, then the hash table —
+    trigram_index_engine.cpp:95-127); here the durable form is columnar
+    parquet clustered by key so a reload scans exactly the probed rows via
+    footer min/max, and the scalar stats ride in a one-row table.
+    """
+    index.postings.repartition(F.col("key")).sortWithinPartitions("key").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/postings")
+    index.doc_stats.write.mode("overwrite").parquet(f"{root}/doc_stats")
+    index.postings.sparkSession.createDataFrame(
+        [(index.doc_count, index.avgdl, index.stop_threshold)],
+        "doc_count LONG, avgdl DOUBLE, stop_threshold LONG",
+    ).write.mode("overwrite").parquet(f"{root}/stats")
+
+
+def load_trigram_index(spark: SparkSession, root: str) -> TrigramIndex:
+    """Inverse of :func:`save_trigram_index` (trigram_index_engine.cpp:129-155)."""
+    stats = spark.read.parquet(f"{root}/stats").collect()[0]
+    return TrigramIndex(
+        postings=spark.read.parquet(f"{root}/postings"),
+        doc_stats=spark.read.parquet(f"{root}/doc_stats"),
+        doc_count=int(stats["doc_count"]),
+        avgdl=float(stats["avgdl"]),
+        stop_threshold=int(stats["stop_threshold"]),
+    )

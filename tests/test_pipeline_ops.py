@@ -325,3 +325,19 @@ def test_audio_features(spark, media):
 def test_real_decode_gated(spark):
     with pytest.raises(NotImplementedError, match="Pillow"):
         mm.decode_image_real(b"\x89PNG....")
+
+
+def test_ivf_sample_is_bounded(spark, emb_df):
+    """The k-means training sample must never collect the whole table to the
+    driver: the cap holds even when the requested bound is tiny, and the
+    assignment pass still covers every vector."""
+    from fulltextsearch_spark.operators.similarity import _bounded_sample, ivf_assign
+
+    total = emb_df.count()
+    cap = 20
+    sample = _bounded_sample(emb_df, "embedding", cap, seed=7)
+    assert sample.shape[0] <= cap < total
+    assigned, cent = ivf_assign(emb_df, n_centroids=4, max_sample_rows=cap)
+    assert cent.shape[0] <= 4
+    assert assigned.count() == total  # every vector assigned to some list
+    assert assigned.select("list_id").distinct().count() <= 4

@@ -170,3 +170,65 @@ def test_duplicate_doc_entries_when_offsets_collide(spark):
     # query probe with raw offset 15 misses (uncapped lookup)
     key_xxx_15 = key_xxx_14 + 1
     assert key_xxx_15 not in oracle.index
+
+
+def test_hot_key_pruned_before_collect(spark):
+    """Skew safety: a boilerplate trigram present in every doc must be
+    dropped by the pre-aggregation anti-join, never materialized as a giant
+    posting list — and the surviving index must equal the post-filter
+    semantics exactly (compactify discards those lists anyway)."""
+    rng = random.Random(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    # 'boiler' appears in every doc -> its trigrams' df = 3*n_docs > threshold
+    rows = [
+        (i, "boiler " + " ".join(rng.choice(words) for _ in range(rng.randint(2, 6))) + " ")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    idx = build_trigram_index(spark, docs, CFG, compactify=True)
+    oracle = TrigramOracle(rows, compactify=True)
+    got = {
+        r["key"]: sorted((p["doc_id"], p["tf"]) for p in r["postings"])
+        for r in idx.postings.collect()
+    }
+    exp = {k: sorted(v) for k, v in oracle.index.items()}
+    assert got == exp
+    # the hot trigrams really were dropped
+    boi = (ord("b") << 24) | (ord("o") << 16) | (ord("i") << 8) | 0
+    assert boi not in got
+    # and the pre-prune happened before aggregation: the physical plan
+    # aggregates only after the anti-join against the hot-key set
+    plan = idx.postings._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+
+
+def test_save_load_round_trip(spark, tmp_path):
+    """store()/load() parity (trigram_index_engine.cpp:95-155): the reloaded
+    index serves byte-identical results without rebuilding."""
+    from fulltextsearch_spark.operators.trigram import (
+        load_trigram_index,
+        save_trigram_index,
+    )
+
+    rng = random.Random(5)
+    # wide vocabulary so per-trigram df stays under the compactify threshold
+    words = ["".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(5)) for _ in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(3, 10))) + " ")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    idx = build_trigram_index(spark, docs, CFG)
+    root = str(tmp_path / "tri_idx")
+    save_trigram_index(idx, root)
+    loaded = load_trigram_index(spark, root)
+    assert loaded.doc_count == idx.doc_count
+    assert loaded.avgdl == pytest.approx(idx.avgdl, rel=1e-12)
+    assert loaded.stop_threshold == idx.stop_threshold
+    queries = [("q1", f"{words[0]} {words[1]}"), ("q2", f"{words[2]} {words[3]}"), ("q3", words[4])]
+    orig = sorted(map(tuple, search_trigram(idx, queries, CFG).collect()))
+    redo = sorted(map(tuple, search_trigram(loaded, queries, CFG).collect()))
+    assert len(redo) > 0
+    assert [t[:3] for t in orig] == [t[:3] for t in redo]  # rank-identical
+    for a, b in zip(orig, redo):  # scores equal up to FP summation order
+        assert a[3] == pytest.approx(b[3], rel=1e-12)
