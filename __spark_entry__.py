@@ -193,10 +193,12 @@ def q_vsm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle)."""
     from fulltextsearch_spark.config import EngineConfig
     from fulltextsearch_spark.operators.index_build import build_index
-    from fulltextsearch_spark.operators.vsm import search_vsm
+    from fulltextsearch_spark.operators.vsm import build_vsm, search_vsm
 
     cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
-    idx = build_index(spark, _docs(spark, sf_dir), cfg, persist=False)
+    idx = build_vsm(
+        build_index(spark, _docs(spark, sf_dir), cfg, persist=False), persist=False
+    )
     queries = spark.createDataFrame(
         [(qid, " ".join(t for q, t in QUERY_TOKENS if q == qid)) for qid in
          sorted({q for q, _ in QUERY_TOKENS})],

@@ -31,6 +31,15 @@ class EngineConfig:
     salt_df_threshold: int = 100_000
     # number of salt buckets for head terms.
     salt_buckets: int = 32
+    # doc-range sharding of compressed posting rows (SCALE.md §3): a term
+    # whose merged postings exceed this many entries is emitted as MULTIPLE
+    # self-contained rows (each with its own blocks/offsets/block-max), so no
+    # reduce task ever materializes a >1 GB head-term row at 10^12-doc scale.
+    # Readers treat each shard as an independent posting slice with idf from
+    # the term-total df (sum of per-row counts). None disables (sandbox
+    # corpora never need it); a production cluster would set ~128M
+    # (~0.5 GB encoded at ~3-4 bytes/posting).
+    shard_postings: int | None = None
 
 
 REFERENCE_CONFIG = EngineConfig(k1=1.5, b=0.75)  # reference 2-arg ctor defaults

@@ -5,7 +5,8 @@ This is the on-disk / in-flight index format required by the north_star at
 and dumps them verbatim, ``/root/reference/src/data-structures/
 hash_index.hpp:137-173`` — fine in one address space, untenable distributed).
 
-One row per term::
+One row per term (or per (term, doc-range shard) when
+``cfg.shard_postings`` caps row size — see :func:`compress_doc_tf`)::
 
     term STRING, df BIGINT, count BIGINT,
     doc_ids_enc BINARY,   -- block-restarting delta + LEB128 varint
@@ -359,11 +360,12 @@ def compress_doc_tf(
 
     No ``collect_list``/``sort_array`` materializing multi-hundred-MB JVM
     arrays per head term; reduce memory is bounded by one term's numpy
-    buffers. At 10^12 docs a head term's postings exceed one task; the
-    extension is an additional doc-range shard key emitting per-range rows
-    that the reader concatenates (block metadata already supports it —
-    blocks are independent). Not needed at sandbox scale; noted for the
-    cluster path.
+    buffers. At 10^12 docs a head term's postings exceed one task:
+    ``cfg.shard_postings`` caps the per-row buffer by emitting multiple
+    self-contained doc-range rows per head term (each with its own
+    blocks/offsets/block-max); readers treat every row as an independent
+    posting slice and derive the term's df as the sum of row counts
+    (pinned by tests/test_skew.py::test_sharded_head_term*).
     """
     return _merge_partials(_partial_rows(doc_tf), avgdl, cfg, num_partitions)
 
@@ -399,15 +401,19 @@ def _merge_partials(
         + list(COMPRESSED_POSTINGS_FIELDS.fields)
     )
 
+    shard_after = cfg.shard_postings  # None -> one row per term
+
     def _merge_stream(batches):
         import pandas as pd  # noqa: PLC0415
 
         cur_term = None
         parts: list[tuple[np.ndarray, bytes, bytes, bytes]] = []
         rows: list[dict] = []
+        pending = 0  # postings accumulated in `parts` for cur_term
 
         def flush():
-            nonlocal parts
+            nonlocal parts, pending
+            pending = 0
             if cur_term is None or not parts:
                 return
             ns = np.concatenate([p[0] for p in parts])
@@ -449,9 +455,16 @@ def _merge_partials(
                     flush()
                     cur_term = tname
                 for i in range(s, e):
-                    parts.append(
-                        (np.asarray(segs[i], dtype=np.int64), db[i], tb[i], lb[i])
-                    )
+                    seg = np.asarray(segs[i], dtype=np.int64)
+                    parts.append((seg, db[i], tb[i], lb[i]))
+                    pending += int(seg.sum())
+                    # doc-range shard: emit a self-contained row NOW rather
+                    # than letting a head term's buffers grow unbounded. Each
+                    # row carries its own count/blocks/offsets; readers sum
+                    # per-row counts for the term-total df. Reduce memory is
+                    # bounded by shard_after postings, not by the term's df.
+                    if shard_after is not None and pending >= shard_after:
+                        flush()
             if len(rows) >= 1024:
                 out, rows = rows, []
                 yield pd.DataFrame(out)[[f.name for f in out_schema.fields]]

@@ -45,12 +45,28 @@ def query_terms(queries: DataFrame, stem: bool = True) -> DataFrame:
 def _scored_candidates(
     index: IndexTables, q_terms: DataFrame, cfg: EngineConfig, scoring: str
 ) -> DataFrame:
-    """(query_id, doc_id, score) — per-(query, doc) accumulated scores."""
-    joined = index.postings.join(F.broadcast(q_terms), "term", "inner")
+    """(query_id, doc_id, score) — per-(query, doc) accumulated scores.
+
+    Shard-aware: a doc-range-sharded index (``cfg.shard_postings``, e.g. a
+    decompressed :mod:`compressed_index`) carries a head term as several rows
+    whose ``df`` is the per-row slice; idf needs the term total. The totals
+    come from a skinny (term, df) projection (column pruning keeps the
+    postings arrays out of this scan) aggregated only over the broadcast
+    query terms — never a window over rows carrying posting arrays.
+    """
+    df_tot = (
+        index.postings.select("term", "df")
+        .join(F.broadcast(q_terms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df_term"))
+    )
+    joined = index.postings.join(F.broadcast(q_terms), "term", "inner").join(
+        F.broadcast(df_tot), "term", "inner"
+    )
     flat = joined.select(
         "query_id",
         "qtf",
-        "df",
+        F.col("df_term").alias("df"),
         F.explode("postings").alias("p"),
     ).select(
         "query_id",

@@ -18,12 +18,18 @@ same logical index the other engines share:
   skip of unknown terms at :121-126).
 
 Everything is Column math (no UDF beyond the shared tokenizer): the doc-norm
-table is one explode + groupBy over the postings — at real scale it is a
-build-time artifact (pass ``norms=`` to reuse), the same shape as
-``doc_stats``. Top-k uses the deterministic (score DESC, doc_id ASC) order.
+table is one explode + groupBy over the postings — a BUILD-time artifact
+(:func:`build_vsm` materializes and persists it once; the same shape as
+``doc_stats``), never recomputed per query batch. The query-time plan
+broadcast-joins the tokenized query terms into the postings BEFORE the
+explode, so only matched terms' arrays ever unnest — no full-corpus explode
+at query time (pinned by tests/test_plans.py). Top-k uses the deterministic
+(score DESC, doc_id ASC) order.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -32,7 +38,7 @@ from fulltextsearch_spark.config import DEFAULT_CONFIG, EngineConfig
 from fulltextsearch_spark.operators.index_build import IndexTables
 from fulltextsearch_spark.operators.query import query_terms
 
-__all__ = ["doc_norms", "search_vsm"]
+__all__ = ["VSMIndex", "build_vsm", "doc_norms", "search_vsm"]
 
 
 def _idf(df_col, n_docs: int):
@@ -61,13 +67,36 @@ def doc_norms(index: IndexTables) -> DataFrame:
     )
 
 
+@dataclass
+class VSMIndex:
+    """Logical index + materialized doc-norm table (build artifact)."""
+
+    index: IndexTables
+    norms: DataFrame
+
+
+def build_vsm(index: IndexTables, persist: bool = True) -> VSMIndex:
+    """Materialize the VSM build artifacts ONCE: the doc-norm table is a
+    full-postings aggregation (the expensive part of cosine scoring), computed
+    here and persisted so query batches reuse it instead of re-running the
+    corpus explode per call."""
+    norms = doc_norms(index)
+    if persist:
+        from pyspark.storagelevel import StorageLevel  # noqa: PLC0415
+
+        norms = norms.persist(StorageLevel.MEMORY_AND_DISK)
+    return VSMIndex(index=index, norms=norms)
+
+
 def search_vsm(
-    index: IndexTables,
+    index: IndexTables | VSMIndex,
     queries: DataFrame,
     cfg: EngineConfig = DEFAULT_CONFIG,
     norms: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — cosine top-k per query."""
+    if isinstance(index, VSMIndex):
+        index, norms = index.index, index.norms
     if norms is None:
         norms = doc_norms(index)
 
@@ -80,11 +109,22 @@ def search_vsm(
     )
     qnorm = qw.groupBy("query_id").agg(F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("qnorm"))
 
+    # join BEFORE exploding: only the matched terms' posting arrays unnest
+    # (a Generate never sees the unmatched corpus rows); the per-posting
+    # weight math is identical to _flat_weights.
+    matched = index.postings.join(F.broadcast(qw), "term").select(
+        "query_id",
+        "qw",
+        "df",
+        F.explode("postings").alias("p"),
+    )
+    dw = (F.col("p.tf").cast("double") / F.col("p.dl")) * _idf(F.col("df"), index.n_docs)
     dots = (
-        _flat_weights(index)
-        .join(F.broadcast(qw), "term")
+        matched.select(
+            "query_id", F.col("p.doc_id").alias("doc_id"), (dw * F.col("qw")).alias("_d")
+        )
         .groupBy("query_id", "doc_id")
-        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+        .agg(F.sum("_d").alias("dot"))
     )
     scored = (
         dots.join(norms, "doc_id")

@@ -45,7 +45,7 @@ from fulltextsearch_spark.operators.compressed_index import CompressedIndex
 from fulltextsearch_spark.operators.compression import varint_decode
 from fulltextsearch_spark.operators.query import query_terms
 
-__all__ = ["maxscore_topk", "search_wand"]
+__all__ = ["maxscore_topk", "search_wand", "topk_from_joined"]
 
 RESULT_SCHEMA = "query_id STRING, rank LONG, doc_id LONG, score DOUBLE"
 
@@ -223,19 +223,43 @@ def search_wand(
             f"query config has (k1={cfg.k1}, b={cfg.b}) — rebuild or re-encode"
         )
     kk = k if k is not None else cfg.k
-    n_docs, avgdl, k1, b, block_size = index.n_docs, index.avgdl, cfg.k1, cfg.b, index.block_size
 
     q_terms = query_terms(queries, stem=cfg.stem)
     joined = index.postings.join(F.broadcast(q_terms), "term", "inner")
+    return topk_from_joined(
+        joined, index.n_docs, index.avgdl, kk, scoring, cfg.k1, cfg.b, index.block_size
+    )
+
+
+def topk_from_joined(
+    joined: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    kk: int,
+    scoring: str,
+    k1: float,
+    b: float,
+    block_size: int,
+) -> DataFrame:
+    """Shared kernel application: (query_id, qtf, <compressed posting row>)
+    rows -> per-query top-k via :func:`maxscore_topk` (one pandas group per
+    query). Used by :func:`search_wand` and the low-latency serving path
+    (:mod:`fulltextsearch_spark.operators.serving`)."""
 
     def _score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = pdf["query_id"].iloc[0]
+        # doc-range shards (cfg.shard_postings): a head term may span several
+        # self-contained rows. Each row becomes its own kernel entry (every
+        # (term, doc) posting lives in exactly one shard, so per-entry partial
+        # scores sum correctly and block-max bounds stay safe); idf must use
+        # the TERM-total df = sum of per-row counts, not the row's slice.
+        df_total = pdf.groupby("term")["count"].transform("sum")
         terms = []
-        for row in pdf.to_dict("records"):
+        for row, df_t in zip(pdf.to_dict("records"), df_total):
             terms.append(
                 {
                     "qtf": int(row["qtf"]),
-                    "df": int(row["df"]),
+                    "df": int(df_t),
                     "count": int(row["count"]),
                     "doc_ids_enc": bytes(row["doc_ids_enc"]),
                     "tfs_enc": bytes(row["tfs_enc"]),

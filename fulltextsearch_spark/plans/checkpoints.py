@@ -25,6 +25,13 @@ row counts (a metadata-only pass — at cluster scale this is the same listing
 the scan planner does), and ids within a chunk are assigned by
 :func:`fulltextsearch_spark.sources.ingest.assign_dense_doc_ids` over the
 sort key. Same input -> same ids, whether built in one run or five.
+
+Filesystem scope: manifest/lineage metadata IO uses local-filesystem APIs
+(``os.path``, ``open``, atomic ``os.replace``), so ``root`` must live on a
+POSIX filesystem shared with the driver (local disk, NFS); the *data* reads
+and writes go through Spark and work on any store. Running the metadata side
+against HDFS/S3 would need a ``pyarrow.fs`` port of these helpers — an
+explicit restriction, not a silent assumption.
 """
 
 from __future__ import annotations
@@ -169,7 +176,26 @@ def resumable_build(
     merge_built = False
     if merge_man is None or merge_man.get("fingerprint") != merge_fp:
         t0 = time.perf_counter()
-        with_tc = spark.read.parquet(os.path.join(root, "tokenized"))
+        # read EXACTLY the current chunk paths — partition discovery over
+        # {root}/tokenized would silently merge stale chunk=NNNNN dirs left by
+        # a previous build with more chunks (resurrecting removed docs); also
+        # drop those stale dirs and their manifests so a later resume cannot
+        # trip over them either.
+        import shutil  # noqa: PLC0415
+
+        tok_root = os.path.join(root, "tokenized")
+        current = {f"chunk={i:05d}" for i in range(len(chunks))}
+        if os.path.isdir(tok_root):
+            for d in os.listdir(tok_root):
+                if d.startswith("chunk=") and d not in current:
+                    shutil.rmtree(os.path.join(tok_root, d), ignore_errors=True)
+                    stale_man = os.path.join(
+                        root, "_manifests", f"tokenize-{d.replace('=', '-')}.json"
+                    )
+                    if os.path.exists(stale_man):
+                        os.remove(stale_man)
+        chunk_paths = [os.path.join(tok_root, f"chunk={i:05d}") for i in range(len(chunks))]
+        with_tc = spark.read.parquet(*chunk_paths)
         doc_stats = with_tc.select("doc_id", "dl")
         stats_row = doc_stats.agg(
             (F.max("doc_id") + F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
@@ -177,7 +203,18 @@ def resumable_build(
         n_docs = int(stats_row["n_docs"])
         avgdl = float(stats_row["total_dl"]) / float(n_docs) if n_docs else 0.0
 
-        compressed = compress_tokenized(with_tc, avgdl, cfg)
+        # A6: HLL distinct-term estimate as a build metric (the reference
+        # keeps a HyperLogLog over terms during its build,
+        # src/datastructures/hyperloglog.hpp:7-53 via
+        # inverted_index_engine.cpp:68-105). Spark's approx_count_distinct IS
+        # a HLL++ aggregate; attaching it as an Observation on the postings
+        # write costs zero extra jobs.
+        from pyspark.sql import Observation  # noqa: PLC0415
+
+        obs = Observation("index_metrics")
+        compressed = compress_tokenized(with_tc, avgdl, cfg).observe(
+            obs, F.approx_count_distinct("term").alias("n_terms_est")
+        )
         idx = CompressedIndex(
             postings=compressed,
             doc_stats=doc_stats,
@@ -196,6 +233,7 @@ def resumable_build(
             "fingerprint": merge_fp,
             "n_docs": n_docs,
             "avgdl": avgdl,
+            "n_terms_est": int(obs.get["n_terms_est"]),
             "seconds": round(secs, 3),
             "docs_per_sec": round(n_docs / secs, 1) if secs > 0 else None,
         }

@@ -90,7 +90,33 @@ class IncrementalIndexer:
         self.text_col = text_col
         os.makedirs(root, exist_ok=True)
 
+    def _watermark_path(self) -> str:
+        return os.path.join(self.root, "_watermark.json")
+
+    def _read_watermark(self) -> dict | None:
+        try:
+            with open(self._watermark_path()) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def _write_watermark(self, wm: dict) -> None:
+        tmp = self._watermark_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(wm, f)
+        os.replace(tmp, self._watermark_path())  # atomic
+
     def _next_offset(self) -> int:
+        """High-watermark for dense doc_id continuation.
+
+        The persisted watermark manifest is the fast path — rescanning all
+        base+delta parquet for max(doc_id) every micro-batch was O(corpus)
+        per batch. The full scan remains only as a one-time migration
+        fallback for roots created before the manifest existed.
+        """
+        wm = self._read_watermark()
+        if wm is not None:
+            return int(wm["next_offset"])
         delta = os.path.join(self.root, "delta_tokenized")
         base = os.path.join(self.root, "base_tokenized")
         mx = -1
@@ -105,10 +131,20 @@ class IncrementalIndexer:
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         out = os.path.join(self.root, "delta_tokenized", f"batch={batch_id:010d}")
-        if os.path.exists(os.path.join(out, "_SUCCESS")):
-            return  # replayed batch after checkpoint recovery: already durable
+        map_out = os.path.join(self.root, "doc_map", f"batch={batch_id:010d}")
+        wm = self._read_watermark() or {"next_offset": self._next_offset(), "batches": {}}
+        # replay idempotence: the batch is durable only once BOTH outputs
+        # exist AND the watermark recorded it (the manifest is written last,
+        # so a crash between the two parquet writes can never mark the batch
+        # done with the doc_map missing).
+        if (
+            str(batch_id) in wm["batches"]
+            and os.path.exists(os.path.join(out, "_SUCCESS"))
+            and os.path.exists(os.path.join(map_out, "_SUCCESS"))
+        ):
+            return
         t0 = time.perf_counter()
-        offset = self._next_offset()
+        offset = int(wm["next_offset"])
         # project before the id-assignment shuffle: never move `html` binaries
         slim = batch_df.select(self.order_col, self.text_col)
         with_ids = assign_dense_doc_ids(slim, order_col=self.order_col).withColumn(
@@ -121,10 +157,11 @@ class IncrementalIndexer:
         tokenized.persist()
         n = tokenized.count()
         tokenized.drop(self.order_col).write.mode("overwrite").parquet(out)
-        tokenized.select("doc_id", self.order_col).write.mode("overwrite").parquet(
-            os.path.join(self.root, "doc_map", f"batch={batch_id:010d}")
-        )
+        tokenized.select("doc_id", self.order_col).write.mode("overwrite").parquet(map_out)
         tokenized.unpersist()
+        wm["batches"][str(batch_id)] = {"offset": offset, "rows": n}
+        wm["next_offset"] = offset + n
+        self._write_watermark(wm)
         secs = time.perf_counter() - t0
         with open(os.path.join(self.root, "_stream_lineage.jsonl"), "a") as f:
             f.write(
@@ -208,8 +245,19 @@ def refresh_index(
         f.endswith(".parquet") for _, _, fs in os.walk(delta_path) for f in fs
     )
 
-    if prev_version < 0 or not have_delta:
-        # first materialization (or nothing new): full build from tokenized
+    carry_safe = True
+    if prev_version >= 0:
+        prev_probe = load_compressed_index(
+            spark, os.path.join(root, f"index_v{prev_version:05d}")
+        )
+        # carried rows keep block-max bounds computed under the PREVIOUS
+        # (k1, b); with different parameters those bounds can under-estimate
+        # and make WAND pruning unsafe (search_wand's cfg assert only sees
+        # the NEW index's stamp). A parameter change forces a full rebuild.
+        carry_safe = prev_probe.k1 == cfg.k1 and prev_probe.b == cfg.b
+
+    if prev_version < 0 or not have_delta or not carry_safe:
+        # first materialization, nothing new, or (k1, b) changed: full build
         affected_count = -1
         compressed = compress_tokenized(full, avgdl, cfg)
     else:
@@ -221,7 +269,7 @@ def refresh_index(
         affected_count = delta_terms.count()
         affected_tf = _explode(full).join(F.broadcast(delta_terms), "term")
         rebuilt = compress_doc_tf(affected_tf, avgdl, cfg)
-        prev = load_compressed_index(spark, os.path.join(root, f"index_v{prev_version:05d}"))
+        prev = prev_probe
         carried = prev.postings.join(F.broadcast(delta_terms), "term", "left_anti")
         # Carried block_max_tfpart was computed with the OLD avgdl. tfpart is
         # monotone in avgdl with ratio bounded by avgdl_new/avgdl_old (the

@@ -116,3 +116,40 @@ def test_resumable_ids_and_scores_match_oracle(spark, input_dir, tmp_path):
         assert [(r, d) for r, d, _ in mine] == [(r, d) for r, d, _ in expected], qid
         for (_, _, gs), (_, _, es) in zip(mine, expected):
             assert gs == pytest.approx(es, rel=1e-9, abs=1e-12)
+
+
+def test_shrunk_input_purges_stale_chunks(spark, input_dir, tmp_path):
+    """Stale chunk=NNNNN dirs from a previous (larger) build must not be
+    silently merged back in — the merge reads exactly the current chunk set
+    and deletes leftovers (ADVICE r1, checkpoints.py merge stage)."""
+    import shutil
+
+    root = str(tmp_path / "idx_root")
+    resumable_build(spark, input_dir, root, CFG, files_per_chunk=2)  # 3 chunks
+    full = _results(spark, root)
+
+    # shrink the input: keep only the first 2 files -> 1 chunk of 2
+    small_in = str(tmp_path / "small_in")
+    os.makedirs(small_in)
+    parts = sorted(f for f in os.listdir(input_dir) if f.endswith(".parquet"))
+    for f in parts[:2]:
+        shutil.copy(os.path.join(input_dir, f), os.path.join(small_in, f))
+
+    s = resumable_build(spark, small_in, root, CFG, files_per_chunk=2)
+    assert s["chunks_total"] == 1
+    # stale chunk dirs are gone and the doc count matches the small input only
+    left = sorted(os.listdir(os.path.join(root, "tokenized")))
+    assert left == ["chunk=00000"]
+    n_small = spark.read.parquet(*[os.path.join(small_in, f) for f in parts[:2]]).count()
+    assert s["n_docs"] == n_small
+    small = _results(spark, root)
+    assert small != full  # removed docs really disappeared from results
+
+    # HLL build metric (A6): merge lineage carries the distinct-term estimate
+    lines = [json.loads(l) for l in open(os.path.join(root, "_lineage.jsonl"))]
+    merges = [l for l in lines if l["stage"] == "merge"]
+    assert merges and all(m["n_terms_est"] > 0 for m in merges)
+    idx = load_compressed_index(spark, os.path.join(root, "index"))
+    n_terms = idx.postings.select("term").distinct().count()
+    est = merges[-1]["n_terms_est"]
+    assert 0.8 * n_terms <= est <= 1.2 * n_terms  # HLL++ within sane error

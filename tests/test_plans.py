@@ -82,3 +82,39 @@ def test_tokenize_is_arrow_batched(spark, web_dir):
     # mean someone snuck in a per-row UDF
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_vsm_query_plan_reuses_norms_and_joins_before_explode(spark, web_dir):
+    """With build-time norms, the VSM query plan must not re-aggregate norms
+    (their build-time explode may not reappear) and must unnest posting
+    arrays only AFTER the broadcast join with query terms — a Generate over
+    the raw postings would be a full-corpus explode per query batch."""
+    from fulltextsearch_spark.operators.vsm import build_vsm, search_vsm
+
+    docs = assign_dense_doc_ids(
+        spark.read.parquet(web_dir).select("url", "text"), order_col="url"
+    )
+    cfg = EngineConfig(k=5)
+    idx = build_index(spark, docs, cfg, persist=True)  # production shape
+    idx.postings.count()
+    vsm = build_vsm(idx, persist=True)
+    vsm.norms.count()  # materialize the build artifact
+    try:
+        qdf = spark.createDataFrame([("q", "cat salmon")], ["query_id", "content"])
+        plan = _plan(search_vsm(vsm, qdf, cfg))
+        # look at the live query spine only — everything below the first
+        # InMemoryRelation is the *stored* build lineage of a cached table,
+        # not work this query performs
+        spine = plan.split("InMemoryRelation", 1)[0].splitlines()
+        # exactly ONE explode on the spine (the post-join dot products); the
+        # norms aggregation comes from the cached build artifact
+        gens = [i for i, l in enumerate(spine) if "Generate" in l]
+        assert len(gens) == 1, plan
+        assert any("InMemoryTableScan" in l for l in spine), plan
+        # that explode's input subtree is the broadcast join with the query
+        # terms (postings only unnest after the join), not the raw postings
+        assert any(
+            "BroadcastHashJoin" in l for l in spine[gens[0] + 1 : gens[0] + 4]
+        ), plan
+    finally:
+        vsm.norms.unpersist()

@@ -1,0 +1,69 @@
+"""Serving path: driver-tokenized queries + static term IN-filter over the
+saved index must (a) push the filter into the parquet scan and (b) return
+results rank-identical to search_wand.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from fulltextsearch_spark.config import EngineConfig
+from fulltextsearch_spark.operators.compressed_index import (
+    build_compressed_index,
+    load_compressed_index,
+    save_compressed_index,
+)
+from fulltextsearch_spark.operators.serving import QueryServer
+from fulltextsearch_spark.operators.wand import search_wand
+from fulltextsearch_spark.sources.ingest import assign_dense_doc_ids
+from fulltextsearch_spark.sources.webpages import QUERY_SET, generate_webpages
+
+CFG = EngineConfig(k1=1.2, b=0.75, k=10, block_size=32)
+
+
+@pytest.fixture(scope="module")
+def index_root(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("serve_idx"))
+    docs = assign_dense_doc_ids(
+        generate_webpages(spark, 400, seed=23).select("url", "text"), order_col="url"
+    )
+    cidx = build_compressed_index(spark, docs, CFG)
+    save_compressed_index(cidx, path)
+    return path
+
+
+def _key(rows):
+    return sorted((r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in rows)
+
+
+def test_serving_rank_identical_to_wand(spark, index_root):
+    server = QueryServer.load(spark, index_root)
+    got = _key(server.search(QUERY_SET, CFG).collect())
+
+    idx = load_compressed_index(spark, index_root)
+    qdf = spark.createDataFrame(QUERY_SET, ["query_id", "content"])
+    want = _key(search_wand(idx, qdf, CFG).collect())
+    assert got == want and len(got) > 0
+
+
+def test_serving_filter_pushes_to_scan(spark, index_root):
+    server = QueryServer.load(spark, index_root)
+    df = server.search([("q", "cat salmon fresh")], CFG)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and any("In(term" in l for l in pushed), plan
+
+
+def test_serving_edge_queries(spark, index_root):
+    server = QueryServer.load(spark, index_root)
+    # stop-words-only and unknown terms -> empty results, no errors
+    assert server.search([("q6", "the and of"), ("q7", "zzzunknownzzz")], CFG).count() == 0
+    assert server.search([], CFG).count() == 0
+
+
+def test_serving_k1_mismatch_rejected(spark, index_root):
+    server = QueryServer.load(spark, index_root)
+    with pytest.raises(ValueError, match="k1"):
+        server.search(QUERY_SET, EngineConfig(k1=2.0, b=0.75))

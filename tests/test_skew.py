@@ -59,3 +59,56 @@ def test_head_term_index_and_query_correct(spark):
     idx = build_index(spark, docs, cfg)
     ex = [(r["rank"], r["doc_id"], round(r["score"], 9)) for r in search(idx, qdf, cfg).collect()]
     assert wand == ex and len(wand) == 10
+
+
+def test_sharded_head_term_rows_bounded(spark):
+    """cfg.shard_postings splits a head term into multiple self-contained
+    rows, so no reduce task materializes the full posting list (SCALE.md §3
+    doc-range shard, now implemented)."""
+    docs = _skew_corpus(spark)
+    cfg = EngineConfig(stem=False, block_size=4, shard_postings=256)
+    cidx = build_compressed_index(spark, docs, cfg)
+    head = cidx.postings.filter(F.col("term") == "common").collect()
+    assert len(head) > 1  # actually sharded
+    assert sum(r["count"] for r in head) == N  # nothing lost
+    assert max(r["count"] for r in head) < N  # no row holds the whole list
+    # every shard is self-contained: its own blocks + block-max metadata
+    for r in head:
+        assert len(r["block_first_doc"]) == -(-r["count"] // cfg.block_size)
+    # full doc set survives decompress (shards are disjoint slices)
+    rows = decompress_postings(
+        cidx.postings.filter(F.col("term") == "common"), cidx.block_size
+    ).collect()
+    got = sorted(p["doc_id"] for r in rows for p in r["postings"])
+    assert got == list(range(N))
+
+
+def test_sharded_head_term_query_rank_identical(spark):
+    """WAND over a sharded index and the exhaustive path over BOTH the
+    unsharded logical index and the decompressed sharded index agree."""
+    from fulltextsearch_spark.operators.index_build import IndexTables
+
+    docs = _skew_corpus(spark)
+    cfg = EngineConfig(k=10, stem=False, block_size=4, shard_postings=256)
+    cidx = build_compressed_index(spark, docs, cfg)
+    qdf = spark.createDataFrame(
+        [("q", "common tail5"), ("q2", "common common word3")],
+        ["query_id", "content"],
+    )
+
+    def key(rows):
+        return sorted((r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in rows)
+
+    wand = key(search_wand(cidx, qdf, cfg).collect())
+    idx = build_index(spark, docs, cfg)
+    ex = key(search(idx, qdf, cfg).collect())
+    # exhaustive over the SHARDED rows (multi-row terms, per-slice df)
+    sharded_logical = IndexTables(
+        postings=decompress_postings(cidx.postings, cidx.block_size),
+        doc_stats=cidx.doc_stats,
+        n_docs=cidx.n_docs,
+        avgdl=cidx.avgdl,
+    )
+    ex_sharded = key(search(sharded_logical, qdf, cfg).collect())
+    assert wand == ex == ex_sharded
+    assert len(wand) == 20

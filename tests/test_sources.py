@@ -97,3 +97,34 @@ def test_io_seam_logical_index_round_trip(spark, tmp_path):
     a = sorted(tuple(r) for r in search(idx, q, cfg).collect())
     b = sorted(tuple(r) for r in search(loaded, q, cfg).collect())
     assert a == b and len(a) > 0
+
+
+def test_quality_metrics_script(tmp_path):
+    """J5: result-intersection metrics match the reference semantics
+    (qualityMetrics.py:10-31) — match count + sum |Δscore| over shared docs."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "quality_metrics",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "quality_metrics.py"),
+    )
+    qm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(qm)
+
+    a = tmp_path / "a.tbl"
+    b = tmp_path / "b.tbl"
+    a.write_text("q1|1|10|2.5|\nq1|2|11|1.5|\nq2|1|20|9.0|\n")
+    b.write_text("q1|1|10|2.0|\nq1|2|12|1.0|\nq2|1|20|9.25|\n")
+    m = qm.compare(str(a), str(b))
+    assert m["matches"] == 2
+    assert abs(m["sum_abs_diff"] - 0.75) < 1e-12
+    assert m["only_in_1"] == 1 and m["only_in_2"] == 1
+    assert m["per_query"]["q2"]["matches"] == 1
+
+    # reference CSV format (docId,score — no query column)
+    c = tmp_path / "c.csv"
+    d = tmp_path / "d.csv"
+    c.write_text("10,2.5\n11,1.5\n")
+    d.write_text("10,2.0\n12,7.0\n")
+    m2 = qm.compare(str(c), str(d))
+    assert m2["matches"] == 1 and abs(m2["sum_abs_diff"] - 0.5) < 1e-12

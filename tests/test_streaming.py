@@ -140,3 +140,55 @@ def test_incremental_stream_and_merge(spark, setup):
     # lineage recorded per batch with throughput
     lines = [json.loads(l) for l in open(os.path.join(root, "_stream_lineage.jsonl"))]
     assert len(lines) == 3 and all("docs_per_sec" in l for l in lines)
+
+    # high-watermark manifest: offsets come from the persisted manifest, not
+    # a per-batch rescan of all tokenized parquet; a fresh indexer (restart)
+    # reads the same continuation point.
+    wm = json.load(open(os.path.join(root, "_watermark.json")))
+    assert wm["next_offset"] == 260
+    assert sorted(int(b) for b in wm["batches"]) == [0, 1, 2]
+    assert sum(b["rows"] for b in wm["batches"].values()) == 260
+    restarted = IncrementalIndexer(spark, root, CFG)
+    assert restarted._next_offset() == 260
+
+
+def test_refresh_with_changed_k1_forces_full_rebuild(spark, tmp_path):
+    """Carried rows keep block-max bounds computed under the old (k1, b);
+    refresh under different parameters must fall back to a full rebuild so
+    WAND pruning stays safe."""
+    land = str(tmp_path / "land")
+    root = str(tmp_path / "root")
+    _distinct_urls(generate_webpages(spark, 40, seed=51), "g1").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(land, "g1"))
+    indexer = IncrementalIndexer(spark, root, CFG)
+    indexer.start(f"{land}/g*/", WEBPAGES_SCHEMA).awaitTermination(120)
+    assert refresh_index(spark, root, CFG)["affected_terms"] == -1  # first build
+
+    _distinct_urls(generate_webpages(spark, 30, seed=52), "g2").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(land, "g2"))
+    indexer.start(f"{land}/g*/", WEBPAGES_SCHEMA).awaitTermination(120)
+
+    cfg2 = EngineConfig(k1=2.0, b=CFG.b, k=CFG.k, block_size=CFG.block_size)
+    s = refresh_index(spark, root, cfg2)
+    assert s["affected_terms"] == -1  # (k1, b) changed -> no carry-over
+    idx = load_current_index(spark, root)
+    assert idx.k1 == 2.0 and idx.n_docs == 70
+    # rank-identical vs exhaustive under the new parameters
+    logical = IndexTables(
+        postings=decompress_postings(idx.postings, idx.block_size),
+        doc_stats=idx.doc_stats,
+        n_docs=idx.n_docs,
+        avgdl=idx.avgdl,
+    )
+    qdf = spark.createDataFrame(QUERY_SET[:4], ["query_id", "content"])
+    exhaustive = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in search(logical, qdf, cfg2).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in search_wand(idx, qdf, cfg2).collect()
+    )
+    assert got == exhaustive
