@@ -40,6 +40,8 @@ __all__ = [
     "tokenize_series",
     "tokenize_udf",
     "term_counts_udf",
+    "term_counts_batch",
+    "term_counts_flat",
     "TERM_COUNTS_SCHEMA",
 ]
 
@@ -163,6 +165,126 @@ def term_counts_udf(do_stem: bool = True):
         return pd.DataFrame({"terms": terms_col, "tfs": tfs_col, "dl": dl_col})
 
     return _term_counts
+
+
+def term_counts_batch(texts, do_stem: bool = True, memo: dict | None = None):
+    """Vectorized per-doc term counts over one Arrow batch of texts.
+
+    Returns ``(dl ndarray[int64], terms pa.ListArray<string>,
+    tfs pa.ListArray<int64>)`` with per-doc term arrays sorted
+    lexicographically (deterministic regardless of Arrow batch boundaries).
+
+    Semantically identical to :func:`tokenize` + per-doc counting (pinned by
+    tests/test_tokenizer.py), but the per-TOKEN work runs in C:
+
+    * ``pc.ascii_lower`` = the reference's bytewise C-locale tolower
+      (stemmingtokenizer.cpp:42-47 — only A-Z change);
+    * RE2 ``split_pattern_regex`` on the complement of the 67-char whitelist
+      = maximal whitelist runs (tokenizer_rules.hpp:30-53);
+    * ``dictionary_encode`` collapses the batch to its unique raw tokens, so
+      Python (stop-word check + memoized Snowball stem) touches each unique
+      token ONCE per batch instead of every occurrence — on Zipf-distributed
+      text that is a ~100x reduction of the Python-interpreter hot path;
+    * per-(doc, term) counts come from one ``np.sort`` over packed int64
+      keys; the output list arrays are rebuilt zero-copy with
+      ``pa.ListArray.from_arrays``.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pyarrow as pa  # noqa: PLC0415
+
+    dl, sorted_terms, ud, uc, cnt = term_counts_flat(texts, do_stem, memo)
+    n = dl.size
+    offs = np.searchsorted(ud, np.arange(n + 1, dtype=np.int64))
+    terms_arr = pa.ListArray.from_arrays(
+        pa.array(offs, type=pa.int32()),
+        sorted_terms.take(pa.array(uc, type=pa.int64())),
+    )
+    tfs_arr = pa.ListArray.from_arrays(
+        pa.array(offs, type=pa.int32()), pa.array(cnt, type=pa.int64())
+    )
+    return dl, terms_arr, tfs_arr
+
+
+def term_counts_flat(texts, do_stem: bool = True, memo: dict | None = None):
+    """Flat variant of :func:`term_counts_batch` for fused consumers.
+
+    Returns ``(dl ndarray, sorted_terms pa.StringArray, ud ndarray,
+    uc ndarray, cnt ndarray)`` where ``(ud[i], uc[i], cnt[i])`` is one
+    distinct (doc row index, term rank, term frequency) triple, sorted
+    doc-major then term-rank; ``sorted_terms`` is the batch vocabulary in
+    lexicographic order (``uc`` indexes into it).
+    """
+    import numpy as np  # noqa: PLC0415
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.compute as pc  # noqa: PLC0415
+
+    if memo is None:
+        memo = _shared_memo() if do_stem else {}
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    empty_list = pa.scalar([], type=pa.list_(pa.string()))
+
+    toks = pc.split_pattern_regex(pc.ascii_lower(texts), pattern="[^0-9a-z$%&+@]+")
+    if toks.null_count:
+        toks = pc.if_else(pc.is_valid(toks), toks, empty_list)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    denc = pc.dictionary_encode(pc.list_flatten(toks))
+    uniq = denc.dictionary.to_pylist()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    # python only over the batch's UNIQUE raw tokens
+    mapped = np.empty(max(len(uniq), 1), dtype=np.int64)
+    out_terms: list[str] = []
+    tid: dict[str, int] = {}
+    for i, t in enumerate(uniq):
+        if not t or t in STOP_WORDS:
+            mapped[i] = -1
+            continue
+        if do_stem:
+            s = memo.get(t)
+            if s is None:
+                s = stem(t)
+                memo[t] = s
+                memo[s] = s
+        else:
+            s = t
+        j = tid.get(s)
+        if j is None:
+            j = tid[s] = len(out_terms)
+            out_terms.append(s)
+        mapped[i] = j
+
+    # re-rank codes lexicographically so per-doc output order is a pure
+    # function of the doc's content, not of batch composition
+    nt = max(len(out_terms), 1)
+    rank = np.empty(nt, dtype=np.int64)
+    lex = np.argsort(np.asarray(out_terms or [""], dtype=object))
+    rank[lex] = np.arange(nt, dtype=np.int64)
+    sorted_terms = pa.array(
+        [out_terms[j] for j in lex] if out_terms else [], type=pa.string()
+    )
+
+    fcodes = mapped[codes]
+    keep = fcodes >= 0
+    d = doc_idx[keep]
+    c = rank[fcodes[keep]]
+    dl = np.bincount(d, minlength=n).astype(np.int64)
+
+    key = d * nt + c  # doc-major pack; safe: n * nt << 2^63 per batch
+    sk = np.sort(key)
+    if sk.size:
+        bnd = np.flatnonzero(sk[1:] != sk[:-1]) + 1
+        starts = np.concatenate(([0], bnd))
+        cnts = np.diff(np.concatenate((starts, [sk.size])))
+        ukey = sk[starts]
+    else:
+        ukey = sk
+        cnts = sk
+    ud = ukey // nt
+    uc = ukey % nt
+    return dl, sorted_terms, ud, uc, cnts
 
 
 def tokenized_docs(df, text_col: str = "text", do_stem: bool = True):

@@ -41,7 +41,11 @@ from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
 from fulltextsearch_spark.config import DEFAULT_CONFIG, EngineConfig
-from fulltextsearch_spark.operators.compression import varint_decode, varint_encode
+from fulltextsearch_spark.operators.compression import (
+    varint_decode,
+    varint_encode,
+    varint_nbytes,
+)
 from fulltextsearch_spark.operators.index_build import IndexTables, build_index
 
 __all__ = [
@@ -93,18 +97,8 @@ class CompressedIndex:
     b: float
 
 
-def _nbytes_varint(v: np.ndarray) -> np.ndarray:
-    """LEB128 bytes per value (vectorized)."""
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    shifted = v.astype(np.uint64, copy=False) >> np.uint64(7)
-    while np.any(shifted > 0):
-        nbytes[shifted > 0] += 1
-        shifted >>= np.uint64(7)
-    return nbytes
-
-
-def _block_offsets(values: np.ndarray, block_starts: np.ndarray) -> np.ndarray:
-    cum = np.concatenate(([0], np.cumsum(_nbytes_varint(values))))
+def _offsets_from_nbytes(nbytes: np.ndarray, block_starts: np.ndarray) -> np.ndarray:
+    cum = np.concatenate(([0], np.cumsum(nbytes)))
     return cum[block_starts]
 
 
@@ -116,8 +110,16 @@ def _encode_one(
     k1: float,
     b: float,
     avgdl: float,
+    tfs_enc: bytes | None = None,
+    dls_enc: bytes | None = None,
 ) -> dict:
-    """Encode one term's sorted postings into the compressed row dict."""
+    """Encode one term's sorted postings into the compressed row dict.
+
+    ``tfs_enc``/``dls_enc`` let the streaming merge pass through already-
+    encoded streams (varint streams concatenate as-is, so when partials
+    arrive in doc order their joined tf/dl bytes ARE the output — only the
+    doc deltas need re-encoding for block restarts).
+    """
     n = doc_ids.size
     block_starts = np.arange(0, n, block_size)
     # block-restarting deltas: first value of each block stored absolute, so
@@ -133,15 +135,18 @@ def _encode_one(
     # in postings; guard anyway for tf/dl.
     tfdl = np.divide(tf_f, dl_f, out=np.zeros_like(tf_f), where=dl_f > 0)
 
+    nb_d = varint_nbytes(deltas)
+    nb_t = varint_nbytes(tfs)
+    nb_l = varint_nbytes(dls)
     return {
         "count": int(n),
-        "doc_ids_enc": varint_encode(deltas),
-        "tfs_enc": varint_encode(tfs),
-        "dls_enc": varint_encode(dls),
+        "doc_ids_enc": varint_encode(deltas, nb_d),
+        "tfs_enc": tfs_enc if tfs_enc is not None else varint_encode(tfs, nb_t),
+        "dls_enc": dls_enc if dls_enc is not None else varint_encode(dls, nb_l),
         "block_first_doc": doc_ids[block_starts].tolist(),
-        "block_off_doc": _block_offsets(deltas, block_starts).tolist(),
-        "block_off_tf": _block_offsets(tfs, block_starts).tolist(),
-        "block_off_dl": _block_offsets(dls, block_starts).tolist(),
+        "block_off_doc": _offsets_from_nbytes(nb_d, block_starts).tolist(),
+        "block_off_tf": _offsets_from_nbytes(nb_t, block_starts).tolist(),
+        "block_off_dl": _offsets_from_nbytes(nb_l, block_starts).tolist(),
         "block_max_tf": np.maximum.reduceat(tfs, block_starts).tolist(),
         "block_max_tfpart": np.maximum.reduceat(tfpart, block_starts).tolist(),
         "block_max_tfdl": np.maximum.reduceat(tfdl, block_starts).tolist(),
@@ -195,12 +200,13 @@ class _PartialAccumulator:
         deltas[1:] = docs[1:] - docs[:-1]
         deltas[starts] = docs[starts]
         # one vectorized encode per stream; per-term slices via byte offsets
-        off_d = np.concatenate(([0], np.cumsum(_nbytes_varint(deltas))))
-        off_t = np.concatenate(([0], np.cumsum(_nbytes_varint(tfs))))
-        off_l = np.concatenate(([0], np.cumsum(_nbytes_varint(dls))))
-        enc_d = varint_encode(deltas)
-        enc_t = varint_encode(tfs)
-        enc_l = varint_encode(dls)
+        nb_d, nb_t, nb_l = varint_nbytes(deltas), varint_nbytes(tfs), varint_nbytes(dls)
+        off_d = np.concatenate(([0], np.cumsum(nb_d)))
+        off_t = np.concatenate(([0], np.cumsum(nb_t)))
+        off_l = np.concatenate(([0], np.cumsum(nb_l)))
+        enc_d = varint_encode(deltas, nb_d)
+        enc_t = varint_encode(tfs, nb_t)
+        enc_l = varint_encode(dls, nb_l)
         run_terms = uniq.take(__import__("pyarrow").array(codes[starts])).to_pylist()
         first_docs = docs[starts]
         acc = self.acc
@@ -337,6 +343,92 @@ def _partial_rows_tokenized(with_tc: DataFrame) -> DataFrame:
     )
 
 
+# Sentinel "term" for per-task (doc_id, dl) streams in the fused build.
+# Cannot collide with a real term: tokens consist only of the 67 whitelist
+# chars, and \x00 is a delimiter byte.
+_DOCSTATS_TERM = "\x00docstats"
+
+
+def _partial_rows_fused(docs: DataFrame, text_col: str, stem: bool) -> DataFrame:
+    """text -> tokenize -> delta+varint partials in ONE Arrow pass.
+
+    Fuses :func:`~fulltextsearch_spark.operators.index_build._tokenized` and
+    :func:`_partial_rows_tokenized`: the tokenized token arrays are never
+    materialized, cached, or re-serialized over Arrow IPC — the
+    ``term_counts_flat`` outputs (term ranks + counts) feed the partial
+    packer directly in the same Python worker (the IPC read-back of the
+    cached tokenized table was ~30% of the pack stage, measured via the UDF
+    profiler). Each task additionally emits ONE sentinel row
+    (``_DOCSTATS_TERM``) carrying its delta+varint (doc_id, dl) streams so
+    corpus stats and ``doc_stats`` come from the same single pass.
+    """
+
+    def _map(batches):
+        import pyarrow as pa  # noqa: PLC0415
+
+        from fulltextsearch_spark.functions.tokenizer import term_counts_flat  # noqa: PLC0415
+
+        packer = _PartialAccumulator()
+        doc_parts: list[np.ndarray] = []
+        dl_parts: list[np.ndarray] = []
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            doc_ids = rb.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            dl, sorted_terms, ud, uc, cnt = term_counts_flat(rb.column("text"), stem)
+            doc_parts.append(doc_ids)
+            dl_parts.append(dl)
+            if uc.size:
+                packer.add_buffer(sorted_terms, uc, doc_ids[ud], cnt, dl[ud])
+        out = packer.emit()
+        if out is not None:
+            yield out
+        if doc_parts:
+            docs_all = np.concatenate(doc_parts)
+            dls_all = np.concatenate(dl_parts)
+            o = np.argsort(docs_all, kind="stable")
+            docs_all, dls_all = docs_all[o], dls_all[o]
+            deltas = np.empty_like(docs_all)
+            deltas[0] = docs_all[0]
+            deltas[1:] = np.diff(docs_all)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([_DOCSTATS_TERM], type=pa.string()),
+                    pa.array([int(docs_all[0])], type=pa.int64()),
+                    pa.array([[int(docs_all.size)]], type=pa.list_(pa.int64())),
+                    pa.array([varint_encode(deltas)], type=pa.binary()),
+                    pa.array([b""], type=pa.binary()),
+                    pa.array([varint_encode(dls_all)], type=pa.binary()),
+                ],
+                names=["term", "first_doc", "seg_lens", "doc_bytes", "tf_bytes", "dl_bytes"],
+            )
+
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInArrow(_map, schema=_PARTIAL_FIELDS)
+
+
+def _decode_doc_stats(sentinels: DataFrame) -> DataFrame:
+    """Sentinel partial rows -> (doc_id, dl) frame."""
+
+    def _map(batches):
+        import pyarrow as pa  # noqa: PLC0415
+
+        for rb in batches:
+            for i in range(rb.num_rows):
+                n = int(rb.column("seg_lens")[i][0].as_py())
+                deltas = varint_decode(
+                    rb.column("doc_bytes")[i].as_py(), n
+                ).astype(np.int64)
+                dls = varint_decode(rb.column("dl_bytes")[i].as_py(), n).astype(np.int64)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.cumsum(deltas)), pa.array(dls)],
+                    names=["doc_id", "dl"],
+                )
+
+    return sentinels.mapInArrow(_map, "doc_id long, dl long")
+
+
 def compress_doc_tf(
     doc_tf: DataFrame,
     avgdl: float,
@@ -425,14 +517,22 @@ def _merge_partials(
             # docs[i] = c[i] - (cumsum before the segment) within each segment
             offs = c[seg_starts] - dec[seg_starts]
             docs = c - np.repeat(offs, ns)
-            tfs = varint_decode(b"".join(p[2] for p in parts), total).astype(np.int64)
-            dls = varint_decode(b"".join(p[3] for p in parts), total).astype(np.int64)
+            tfs_join = b"".join(p[2] for p in parts)
+            dls_join = b"".join(p[3] for p in parts)
+            tfs = varint_decode(tfs_join, total).astype(np.int64)
+            dls = varint_decode(dls_join, total).astype(np.int64)
             if docs.size > 1 and not bool(np.all(docs[1:] > docs[:-1])):
                 # partials sorted by first_doc hold disjoint ascending doc
                 # ranges under dense id assignment; sort for any other order
                 o = np.argsort(docs, kind="stable")
                 docs, tfs, dls = docs[o], tfs[o], dls[o]
-            row = _encode_one(docs, tfs, dls, block_size, k1, b, avgdl)
+                tfs_join = dls_join = None  # order changed: must re-encode
+            # in the common sorted case the concatenated tf/dl varint streams
+            # ARE the output encoding — skip two of three re-encodes
+            row = _encode_one(
+                docs, tfs, dls, block_size, k1, b, avgdl,
+                tfs_enc=tfs_join, dls_enc=dls_join,
+            )
             row["term"] = cur_term
             row["df"] = total
             rows.append(row)
@@ -558,18 +658,20 @@ def build_compressed_index(
     cfg: EngineConfig = DEFAULT_CONFIG,
     text_col: str = "text",
 ) -> CompressedIndex:
-    """Corpus -> compressed physical index in one pass.
+    """Corpus -> compressed physical index in ONE fused map pass + shuffle.
 
-    Tokenize once (persisted), then encode straight from the tokenized token
-    arrays via :func:`compress_tokenized` — neither the logical array-postings
-    representation nor an exploded row form is ever materialized.
+    :func:`_partial_rows_fused` tokenizes and packs delta+varint partials in
+    the same Arrow worker pass (no tokenized-table materialization at all);
+    the small partials table is what gets persisted — roughly compressed-
+    index-sized, vs ~input-text-sized for the tokenized cache it replaces.
+    Corpus stats and ``doc_stats`` decode from the per-task sentinel rows.
     """
     from pyspark.storagelevel import StorageLevel  # noqa: PLC0415
 
-    from fulltextsearch_spark.operators.index_build import _tokenized  # noqa: PLC0415
-
-    with_tc = _tokenized(docs, text_col, cfg.stem).persist(StorageLevel.MEMORY_AND_DISK)
-    doc_stats = with_tc.select("doc_id", "dl")
+    partials = _partial_rows_fused(docs, text_col, cfg.stem).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    doc_stats = _decode_doc_stats(partials.filter(F.col("term") == _DOCSTATS_TERM))
     stats_row = doc_stats.agg(
         (F.max("doc_id") + F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
     ).collect()[0]
@@ -578,9 +680,9 @@ def build_compressed_index(
 
     # persist the ENCODED postings: query batches must join the compressed
     # rows, not re-run the shuffle+encode per query batch
-    compressed = compress_tokenized(with_tc, avgdl, cfg).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    compressed = _merge_partials(
+        partials.filter(F.col("term") != _DOCSTATS_TERM), avgdl, cfg
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     return CompressedIndex(
         postings=compressed,
         doc_stats=doc_stats,

@@ -31,22 +31,33 @@ __all__ = [
 _MAX_BYTES = 10  # 64-bit values need at most 10 LEB128 bytes
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode an array of non-negative int64/uint64 values."""
+def varint_nbytes(values: np.ndarray) -> np.ndarray:
+    """LEB128 bytes per value: ceil(bitlength/7), min 1 (vectorized).
+
+    Bit length via log2 on floats is unsafe near 2^53; shift loop (<=10
+    iterations) instead.
+    """
+    v = values.astype(np.uint64, copy=False)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    shifted = v >> np.uint64(7)
+    while np.any(shifted > 0):
+        nbytes[shifted > 0] += 1
+        shifted = shifted >> np.uint64(7)
+    return nbytes
+
+
+def varint_encode(values: np.ndarray, nbytes: np.ndarray | None = None) -> bytes:
+    """LEB128-encode an array of non-negative int64/uint64 values.
+
+    ``nbytes`` (from :func:`varint_nbytes`) can be passed in when the caller
+    already computed it for block offsets — the length scan is ~1/3 of the
+    encode cost on short posting lists.
+    """
     v = values.astype(np.uint64, copy=False)
     if v.size == 0:
         return b""
-    # bytes needed per value: ceil(bitlength/7), min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    nonzero = tmp > 0
-    # bit length via log2 on floats is unsafe near 2^53; use a shift loop (<=10 iters)
-    shifted = tmp.copy()
-    while np.any(shifted > 0):
-        nonzero_mask = shifted > 0
-        nbits[nonzero_mask] += 1
-        shifted >>= np.uint64(7)
-    nbytes = np.maximum(nbits, 1)
+    if nbytes is None:
+        nbytes = varint_nbytes(v)
     offsets = np.zeros(v.size + 1, dtype=np.int64)
     np.cumsum(nbytes, out=offsets[1:])
     total = int(offsets[-1])

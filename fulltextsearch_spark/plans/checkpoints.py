@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fulltextsearch_spark.config import DEFAULT_CONFIG, EngineConfig
-from fulltextsearch_spark.functions.tokenizer import term_counts_udf
+from fulltextsearch_spark.operators.index_build import _tokenized
 from fulltextsearch_spark.operators.compressed_index import (
     CompressedIndex,
     compress_tokenized,
@@ -121,7 +121,6 @@ def resumable_build(
         offsets.append(acc)
         acc += sum(rows for _, _, rows in ch)
 
-    tc = term_counts_udf(cfg.stem)
     built = skipped = 0
     chunk_fps = []
     for i, ch in enumerate(chunks):
@@ -141,9 +140,7 @@ def resumable_build(
         if not has_doc_id:
             raw = assign_dense_doc_ids(raw, order_col=order_col)
             raw = raw.withColumn("doc_id", F.col("doc_id") + F.lit(offsets[i]))
-        tokenized = raw.select(
-            F.col("doc_id").cast("long").alias("doc_id"), tc(F.col(text_col)).alias("_tc")
-        ).select("doc_id", "_tc.dl", "_tc.terms", "_tc.tfs")
+        tokenized = _tokenized(raw, text_col, cfg.stem)
         out = os.path.join(root, "tokenized", f"chunk={i:05d}")
         tokenized.write.mode("overwrite").parquet(out)
         rows = sum(r for _, _, r in ch)

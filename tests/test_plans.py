@@ -78,9 +78,9 @@ def test_tokenize_is_arrow_batched(spark, web_dir):
         spark.read.parquet(web_dir).select("url", "text"), order_col="url"
     )
     plan = _plan(doc_term_frequencies(docs))
-    # pandas_udf shows as ArrowEvalPython; a row-Python BatchEvalPython would
-    # mean someone snuck in a per-row UDF
-    assert "ArrowEvalPython" in plan, plan
+    # pandas_udf shows as ArrowEvalPython, mapInArrow as (Python)MapInArrow;
+    # a row-Python BatchEvalPython would mean someone snuck in a per-row UDF
+    assert "ArrowEvalPython" in plan or "MapInArrow" in plan, plan
     assert "BatchEvalPython" not in plan, plan
 
 

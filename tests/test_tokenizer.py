@@ -95,3 +95,39 @@ def test_series_vectorized_matches_scalar():
     assert out[1] == []
     assert out[2] == []
     assert out[3] == tokenize("résumés c++")
+
+
+def test_term_counts_batch_matches_python_tokenizer():
+    """The vectorized Arrow kernel must agree with the reference-pinned
+    per-token tokenizer on counts, dl, and (sorted) term sets — including
+    nulls, empties, unicode delimiters, stop words, and special chars."""
+    import pyarrow as pa
+
+    from fulltextsearch_spark.functions.tokenizer import term_counts_batch, tokenize
+
+    texts = [
+        "Hello WORLD hello world",
+        None,
+        "",
+        "   ",
+        "the and of",  # stop words only
+        "café résumé naïve",  # non-ASCII bytes are delimiters
+        "$100 r&d a+b 50% x@y",
+        "Running runner RUNS ran",
+        "x" * 5000 + " short",
+        "ééé",  # delimiters only
+        "swimming swimmer swim dup dup dup",
+        "A" * 3 + "\t\n\r" + "b" * 2,
+    ]
+    for do_stem in (True, False):
+        dl, terms, tfs = term_counts_batch(pa.array(texts), do_stem)
+        terms_py = terms.to_pylist()
+        tfs_py = tfs.to_pylist()
+        for i, t in enumerate(texts):
+            toks = tokenize(t, do_stem, {}) if isinstance(t, str) else []
+            want: dict[str, int] = {}
+            for tok in toks:
+                want[tok] = want.get(tok, 0) + 1
+            assert dl[i] == len(toks), (i, t)
+            assert dict(zip(terms_py[i], tfs_py[i])) == want, (i, t)
+            assert terms_py[i] == sorted(terms_py[i])  # deterministic order
