@@ -62,14 +62,13 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from fulltextsearch_spark.config import EngineConfig
     from fulltextsearch_spark.operators.compressed_index import (
-        build_compressed_index,
+        build_compressed_index_files,
         decompress_postings,
     )
     from fulltextsearch_spark.operators.index_build import IndexTables, build_index
     from fulltextsearch_spark.operators.query import search
     from fulltextsearch_spark.operators.wand import search_wand
     from fulltextsearch_spark.session import get_spark
-    from fulltextsearch_spark.sources.ingest import assign_dense_doc_ids
     from fulltextsearch_spark.sources.webpages import QUERY_SET
 
     web_path = os.path.join(CACHE, f"web{WEB_DOCS}")
@@ -112,12 +111,12 @@ def main() -> None:
     # delta+varint partials -> salted merge -> block-max compressed index
     # (build_compressed_index); the headline index_docs_per_sec derives
     # from it.
-    web_raw = spark.read.parquet(web_path)
 
     def _build_web():
-        # never carry the html binary through the id-assignment shuffle
-        web = assign_dense_doc_ids(web_raw.select("url", "text"), order_col="url")
-        wcidx = build_compressed_index(spark, web, cfg)
+        # fastest production path: file-order ids (the reference's own ingest
+        # semantic) via scan metadata -> fused tokenize+pack, zero ingest
+        # shuffle; the term shuffle of compressed partials is the only wide op
+        wcidx = build_compressed_index_files(spark, web_path, cfg)
         wcidx.postings.count()
         return wcidx
 

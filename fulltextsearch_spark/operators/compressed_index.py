@@ -56,6 +56,8 @@ __all__ = [
     "compress_tokenized",
     "decompress_postings",
     "build_compressed_index",
+    "build_compressed_index_raw",
+    "build_compressed_index_files",
     "save_compressed_index",
     "load_compressed_index",
 ]
@@ -349,7 +351,12 @@ def _partial_rows_tokenized(with_tc: DataFrame) -> DataFrame:
 _DOCSTATS_TERM = "\x00docstats"
 
 
-def _partial_rows_fused(docs: DataFrame, text_col: str, stem: bool) -> DataFrame:
+def _partial_rows_fused(
+    docs: DataFrame,
+    text_col: str,
+    stem: bool,
+    bucket_offsets: dict[int, int] | None = None,
+) -> DataFrame:
     """text -> tokenize -> delta+varint partials in ONE Arrow pass.
 
     Fuses :func:`~fulltextsearch_spark.operators.index_build._tokenized` and
@@ -361,6 +368,14 @@ def _partial_rows_fused(docs: DataFrame, text_col: str, stem: bool) -> DataFrame
     profiler). Each task additionally emits ONE sentinel row
     (``_DOCSTATS_TERM``) carrying its delta+varint (doc_id, dl) streams so
     corpus stats and ``doc_stats`` come from the same single pass.
+
+    With ``bucket_offsets`` the input is the *arranged* frame of
+    :func:`~fulltextsearch_spark.sources.ingest.arranged_with_offsets`
+    (``_b`` bucket column, rows sorted (``_b``, order key)) and dense doc_ids
+    are assigned INSIDE this pass (offset + per-bucket running counter,
+    identical ids to ``assign_dense_doc_ids`` by construction) — the text
+    then crosses the Python boundary exactly once for the whole build and
+    never returns to the JVM.
     """
 
     def _map(batches):
@@ -371,10 +386,23 @@ def _partial_rows_fused(docs: DataFrame, text_col: str, stem: bool) -> DataFrame
         packer = _PartialAccumulator()
         doc_parts: list[np.ndarray] = []
         dl_parts: list[np.ndarray] = []
+        used: dict[int, int] = {}
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            doc_ids = rb.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            if bucket_offsets is None:
+                doc_ids = rb.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            else:
+                buckets = rb.column("_b").to_numpy(zero_copy_only=False).astype(np.int64)
+                doc_ids = np.empty(buckets.size, dtype=np.int64)
+                # rows arrive sorted by bucket within the partition; running
+                # counters keep ids correct across Arrow batches
+                for b in np.unique(buckets):
+                    m = buckets == b
+                    start = bucket_offsets[int(b)] + used.get(int(b), 0)
+                    n_b = int(m.sum())
+                    doc_ids[m] = np.arange(start, start + n_b, dtype=np.int64)
+                    used[int(b)] = used.get(int(b), 0) + n_b
             dl, sorted_terms, ud, uc, cnt = term_counts_flat(rb.column("text"), stem)
             doc_parts.append(doc_ids)
             dl_parts.append(dl)
@@ -403,9 +431,13 @@ def _partial_rows_fused(docs: DataFrame, text_col: str, stem: bool) -> DataFrame
                 names=["term", "first_doc", "seg_lens", "doc_bytes", "tf_bytes", "dl_bytes"],
             )
 
-    return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"), F.col(text_col).alias("text")
-    ).mapInArrow(_map, schema=_PARTIAL_FIELDS)
+    if bucket_offsets is None:
+        slim = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"), F.col(text_col).alias("text")
+        )
+    else:
+        slim = docs.select(F.col("_b"), F.col(text_col).alias("text"))
+    return slim.mapInArrow(_map, schema=_PARTIAL_FIELDS)
 
 
 def _decode_doc_stats(sentinels: DataFrame) -> DataFrame:
@@ -666,11 +698,84 @@ def build_compressed_index(
     index-sized, vs ~input-text-sized for the tokenized cache it replaces.
     Corpus stats and ``doc_stats`` decode from the per-task sentinel rows.
     """
+    return _index_from_partials(_partial_rows_fused(docs, text_col, cfg.stem), cfg)
+
+
+def build_compressed_index_raw(
+    spark: SparkSession,
+    raw: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    order_col: str = "url",
+    text_col: str = "text",
+) -> CompressedIndex:
+    """RAW corpus (no doc_id yet) -> compressed index, maximally fused.
+
+    Composes :func:`~fulltextsearch_spark.sources.ingest.arranged_with_offsets`
+    with :func:`_partial_rows_fused`: dense id assignment, tokenization, and
+    partial packing all run inside ONE ``mapInArrow`` pass over the arranged
+    shuffle — the text moves through Python exactly once and only compact
+    binary partials come back (the separate ``assign_dense_doc_ids`` pass
+    was ~30% of wall-clock build time at 8 cores). Ids are identical to the
+    two-pass path by construction (pinned by tests/test_skew.py).
+
+    Note: this path does not materialize a (url, doc_id) map; ingest with
+    ``assign_dense_doc_ids`` first when a doc map is needed.
+    """
+    from fulltextsearch_spark.sources.ingest import arranged_with_offsets  # noqa: PLC0415
+
+    arranged, offsets = arranged_with_offsets(
+        raw.select(order_col, text_col), order_col
+    )
+    return _index_from_partials(
+        _partial_rows_fused(arranged, text_col, cfg.stem, bucket_offsets=offsets), cfg
+    )
+
+
+def build_compressed_index_files(
+    spark: SparkSession,
+    input_path: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    text_col: str = "text",
+) -> CompressedIndex:
+    """Parquet directory -> compressed index with ZERO ingest shuffle.
+
+    Ids come from :func:`~fulltextsearch_spark.sources.ingest.
+    assign_file_order_doc_ids` (sorted-file order — the reference's own
+    ingest semantic, parquet2parquet.py:8-56), a narrow expression over scan
+    metadata; the fused tokenize+pack map then runs directly on the scan
+    partitions. The build's ONLY wide operation is the term shuffle of
+    compressed partials. The fastest build path; pick
+    :func:`build_compressed_index_raw` when ids must follow a key order.
+    """
+    import os  # noqa: PLC0415
+
+    from fulltextsearch_spark.sources.ingest import assign_file_order_doc_ids  # noqa: PLC0415
+
+    # size scan partitions to the cluster: with no ingest shuffle the scan
+    # partitioning IS the build parallelism, and the 128 MB default packs a
+    # small-file corpus into a couple of tasks (observed: 2 tasks on 8
+    # cores). Target ~2 tasks/core, clamped to [4 MB, 128 MB].
+    total = sum(
+        os.path.getsize(f[7:] if f.startswith("file://") else f)
+        for f in spark.read.parquet(input_path).inputFiles()
+    )
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    target = min(max(total // (2 * par) + 1, 4 << 20), 128 << 20)
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+    try:
+        docs = assign_file_order_doc_ids(spark, input_path, columns=[text_col])
+        # stats collect inside materializes the partials cache, so the conf
+        # can be restored as soon as this returns
+        return _index_from_partials(_partial_rows_fused(docs, text_col, cfg.stem), cfg)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def _index_from_partials(raw_partials: DataFrame, cfg: EngineConfig) -> CompressedIndex:
     from pyspark.storagelevel import StorageLevel  # noqa: PLC0415
 
-    partials = _partial_rows_fused(docs, text_col, cfg.stem).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    partials = raw_partials.persist(StorageLevel.MEMORY_AND_DISK)
     doc_stats = _decode_doc_stats(partials.filter(F.col("term") == _DOCSTATS_TERM))
     stats_row = doc_stats.agg(
         (F.max("doc_id") + F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")

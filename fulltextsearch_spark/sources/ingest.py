@@ -24,7 +24,60 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
-__all__ = ["assign_dense_doc_ids", "csv_to_corpus"]
+__all__ = [
+    "assign_dense_doc_ids",
+    "assign_file_order_doc_ids",
+    "arranged_with_offsets",
+    "csv_to_corpus",
+]
+
+
+def assign_file_order_doc_ids(spark, input_path: str, columns: list[str] | None = None):
+    """Dense deterministic ``doc_id`` = position in the sorted-file sequence,
+    with ZERO shuffle.
+
+    This is the reference's own ingest semantic — ``parquet2parquet.py:8-56``
+    assigns a sequential id over *sorted files* — done scalably: parquet
+    footer row counts give per-file offsets (a metadata-only driver pass, the
+    same listing the scan planner performs) and the scan-time
+    ``_metadata.row_index`` column supplies the within-file position, so
+    ``doc_id = file_offset + row_index`` is a narrow expression. The tiny
+    (file, offset) table broadcast-joins in. Ids are stable under resume and
+    under any executor count.
+
+    Use :func:`assign_dense_doc_ids` instead when ids must follow a *key*
+    order (e.g. url) rather than the canonical file layout — that path costs
+    one full shuffle.
+    """
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    import re  # noqa: PLC0415
+
+    def _norm(p: str) -> str:
+        # inputFiles says file:///x, _metadata.file_path says file:/x —
+        # normalize both to a bare /x path (join on mismatch silently drops
+        # every row; pinned by tests/test_sources.py)
+        return re.sub(r"^file:/+", "/", p)
+
+    files = sorted(spark.read.parquet(input_path).inputFiles())
+    rows_off = []
+    acc = 0
+    for f in files:
+        local = _norm(f)
+        rows_off.append((local, acc))
+        acc += pq.ParquetFile(local).metadata.num_rows
+    df = spark.read.parquet(input_path)
+    cols = columns or df.columns
+    off_df = spark.createDataFrame(rows_off, ["_fp", "_off"])
+    return (
+        df.select(
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias("_fp"),
+            F.col("_metadata.row_index").alias("_ri"),
+            *cols,
+        )
+        .join(F.broadcast(off_df), "_fp")
+        .select((F.col("_off") + F.col("_ri")).alias("doc_id"), *cols)
+    )
 
 
 def _murmur3_long(x: int, seed: int = 42) -> int:
@@ -75,10 +128,19 @@ def _partition_exact_keys(n_buckets: int, n_parts: int) -> list[int]:
     return [key_for_partition[b % n_parts] for b in range(n_buckets)]
 
 
-def assign_dense_doc_ids(
+def arranged_with_offsets(
     df: DataFrame, order_col: str = "url", num_partitions: int | None = None
-) -> DataFrame:
-    """Add a dense 0-based ``doc_id`` ordered by ``order_col``, scalably.
+) -> tuple[DataFrame, dict[int, int]]:
+    """The id-assignment *arrangement* without the assignment pass.
+
+    Returns ``(arranged, offsets)``: ``arranged`` is ``df`` plus a ``_b``
+    bucket column, hash-partitioned so each bucket owns one partition and
+    sorted ``(_b, order_col)`` within partitions; ``offsets[b]`` is the
+    global id offset of bucket ``b``. A consumer that walks a partition in
+    order and hands out ``offsets[b] + running_index`` reproduces
+    :func:`assign_dense_doc_ids` exactly — this is the fusion seam the
+    single-pass index build uses to assign ids inside its tokenize+pack
+    worker instead of paying a second Python round trip for the text.
 
     Two-phase (no global sort on one node), with every cross-job input a
     **pure function of the data**:
@@ -159,10 +221,6 @@ def assign_dense_doc_ids(
         offsets[b] = acc
         acc += counts[b]
 
-    out_schema = T.StructType(
-        [T.StructField("doc_id", T.LongType(), False)] + list(df.schema.fields)
-    )
-
     # steer bucket b to shuffle partition b exactly (raw hash(_b) collides).
     # The keys MUST be LongType: Spark's Murmur3 hashes a 4-byte int and an
     # 8-byte long differently, and _murmur3_long models the long layout —
@@ -188,6 +246,22 @@ def assign_dense_doc_ids(
         .repartition(n_buckets, F.col("_pk"))
         .sortWithinPartitions("_b", order_col)
         .drop("_pk")
+    )
+    return arranged, offsets
+
+
+def assign_dense_doc_ids(
+    df: DataFrame, order_col: str = "url", num_partitions: int | None = None
+) -> DataFrame:
+    """Add a dense 0-based ``doc_id`` ordered by ``order_col``, scalably.
+
+    See :func:`arranged_with_offsets` for the two-phase mechanism; this
+    wrapper runs the assignment pass (``mapInPandas`` running counter per
+    bucket) and returns ``df`` with the ``doc_id`` column prepended.
+    """
+    arranged, offsets = arranged_with_offsets(df, order_col, num_partitions)
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType(), False)] + list(df.schema.fields)
     )
 
     def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -51,26 +51,24 @@ def hardware_throughput(procs: int, tasks: int = 96, n: int = 2_000_000) -> floa
 
 def run_level(cpus: int, corpus_path: str, docs: int) -> dict:
     from fulltextsearch_spark.config import EngineConfig
-    from fulltextsearch_spark.operators.compressed_index import build_compressed_index
+    from fulltextsearch_spark.operators.compressed_index import build_compressed_index_files
     from fulltextsearch_spark.operators.wand import search_wand
     from fulltextsearch_spark.session import get_spark
-    from fulltextsearch_spark.sources.ingest import assign_dense_doc_ids
     from fulltextsearch_spark.sources.webpages import QUERY_SET
 
     spark = get_spark(
         app_name=f"fts-scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     cfg = EngineConfig(k1=1.2, b=0.75, k=10, stem=True)
-    raw = spark.read.parquet(corpus_path).select("url", "text")
-    # warm the JVM + python workers on a small slice so the measured run is
-    # steady-state compute, not process spawning/JIT
-    warm = raw.limit(2048)
-    build_compressed_index(spark, assign_dense_doc_ids(warm, "url"), cfg).postings.count()
+    # full-size warm rep: the measured run is steady-state compute, not
+    # process spawning / JIT / page-cache fill
+    warm = build_compressed_index_files(spark, corpus_path, cfg)
+    warm.postings.count()
+    warm.postings.unpersist()
     spark.catalog.clearCache()
 
     t0 = time.perf_counter()
-    web = assign_dense_doc_ids(raw, order_col="url")
-    cidx = build_compressed_index(spark, web, cfg)
+    cidx = build_compressed_index_files(spark, corpus_path, cfg)
     n_terms = cidx.postings.count()
     build_s = time.perf_counter() - t0
 

@@ -128,3 +128,60 @@ def test_quality_metrics_script(tmp_path):
     d.write_text("10,2.0\n12,7.0\n")
     m2 = qm.compare(str(c), str(d))
     assert m2["matches"] == 1 and abs(m2["sum_abs_diff"] - 0.5) < 1e-12
+
+
+def test_assign_file_order_doc_ids(spark, tmp_path):
+    """Zero-shuffle file-order ids: dense 0..N-1, stable across partitioning,
+    offsets from parquet footers + _metadata.row_index (path normalization
+    between inputFiles and _metadata pinned here)."""
+    from fulltextsearch_spark.sources.ingest import assign_file_order_doc_ids
+    from fulltextsearch_spark.sources.webpages import generate_webpages
+
+    path = str(tmp_path / "corpus")
+    generate_webpages(spark, 250, seed=9).repartition(7).write.mode("overwrite").parquet(path)
+
+    docs = assign_file_order_doc_ids(spark, path, columns=["url", "text"])
+    rows = docs.collect()
+    ids = sorted(r["doc_id"] for r in rows)
+    assert ids == list(range(250))  # dense, none dropped by the path join
+    # deterministic: same ids for the same file set on a second derivation
+    again = {r["url"]: r["doc_id"] for r in assign_file_order_doc_ids(
+        spark, path, columns=["url"]).collect()}
+    assert {r["url"]: r["doc_id"] for r in rows} == again
+
+
+def test_build_compressed_index_files_matches_two_pass_scores(spark, tmp_path):
+    """The zero-shuffle file-order build must produce the same corpus stats
+    and (id-free) ranked query results as the url-ordered two-pass build —
+    ids are a permutation, scores are not."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.compressed_index import (
+        build_compressed_index,
+        build_compressed_index_files,
+    )
+    from fulltextsearch_spark.operators.wand import search_wand
+    from fulltextsearch_spark.sources.ingest import assign_dense_doc_ids
+    from fulltextsearch_spark.sources.webpages import QUERY_SET, generate_webpages
+
+    path = str(tmp_path / "corpus")
+    generate_webpages(spark, 300, seed=13).repartition(4).write.mode("overwrite").parquet(path)
+    cfg = EngineConfig(k1=1.2, b=0.75, k=10, block_size=32)
+
+    by_files = build_compressed_index_files(spark, path, cfg)
+    by_url = build_compressed_index(
+        spark,
+        assign_dense_doc_ids(spark.read.parquet(path).select("url", "text"), "url"),
+        cfg,
+    )
+    assert by_files.n_docs == by_url.n_docs == 300
+    assert abs(by_files.avgdl - by_url.avgdl) < 1e-12
+
+    qdf = spark.createDataFrame(QUERY_SET, ["query_id", "content"])
+
+    def id_free(idx):
+        return sorted(
+            (r["query_id"], r["rank"], round(r["score"], 9))
+            for r in search_wand(idx, qdf, cfg).collect()
+        )
+
+    assert id_free(by_files) == id_free(by_url)
