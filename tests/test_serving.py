@@ -67,3 +67,28 @@ def test_serving_k1_mismatch_rejected(spark, index_root):
     server = QueryServer.load(spark, index_root)
     with pytest.raises(ValueError, match="k1"):
         server.search(QUERY_SET, EngineConfig(k1=2.0, b=0.75))
+
+
+def test_repl_script_end_to_end(spark, index_root):
+    """S3: the interactive query loop (reference CommandLineIterator,
+    query_iterator.cpp:34-51) over a saved index, driven via piped stdin."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "repl.py"),
+         "--index", index_root, "--k", "3", "--cpus", "2"],
+        input="cat salmon\nzzzunknownzzz\n!q\n",
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout.splitlines()
+    # latency line for each query, then doc_id|score| rows for the first
+    assert any(l.startswith("cat salmon: ") for l in out), out
+    assert any(l.startswith("zzzunknownzzz: ") for l in out), out
+    result_lines = [l for l in out if l.endswith("|") and "|" in l[:-1]]
+    assert 1 <= len(result_lines) <= 3
+    for l in result_lines:
+        doc_id, score = l.rstrip("|").split("|")
+        int(doc_id); float(score)
