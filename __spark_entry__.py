@@ -330,6 +330,27 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: transitive closure of the exact-Jaccard pair
+    graph (the step after pair generation that a real dedup pipeline needs —
+    keep one canonical doc per cluster, not per pair). Spark side: iterative
+    min-label propagation; oracle: DuckDB recursive CTE reachability."""
+    from fulltextsearch_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    pairs = ngram_jaccard_pairs(docs, shingle_k=8, threshold=0.08)
+    cc = connected_components(
+        pairs, all_nodes=docs.select(F.col("doc_id").alias("node"))
+    )
+    return cc.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("comp").cast("long").alias("component"),
+    )
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup: MinHash-LSH near-dup candidate pairs. The KR/M61 shingle hash
     and the (a*h+b) mod 2^61-1 permutation family are exact integer math, so
@@ -477,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
+        "neardup_clusters": q_neardup_clusters,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
@@ -1085,6 +1107,37 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = ia
 JOIN sizes sb ON sb.doc_id = ib
 WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.08
+""",
+        # transitive closure of the same pair graph: component = min
+        # reachable doc_id (recursive CTE; UNION set semantics terminate)
+        "neardup_clusters": """
+WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      range(1, greatest(length(text) - 7, 1) + 1),
+      i -> substr(text, i::INT, 8)))) AS shingle
+  FROM d
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pr AS (
+  SELECT ia AS a, ib AS b FROM inter
+  JOIN sizes sa ON sa.doc_id = ia
+  JOIN sizes sb ON sb.doc_id = ib
+  WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.08
+),
+edges AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node::BIGINT AS doc_id, min(comp)::BIGINT AS component
+FROM reach GROUP BY node
 """,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),

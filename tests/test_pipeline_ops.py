@@ -341,3 +341,24 @@ def test_ivf_sample_is_bounded(spark, emb_df):
     assert cent.shape[0] <= 4
     assert assigned.count() == total  # every vector assigned to some list
     assert assigned.select("list_id").distinct().count() <= 4
+
+
+def test_connected_components(spark):
+    """Min-label propagation matches a hand-computed transitive closure:
+    a path graph (long chain exercises multi-round propagation), a separate
+    pair, and isolated nodes as singletons."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22)],
+        ["doc_id_a", "doc_id_b"],
+    )
+    all_nodes = spark.createDataFrame([(n,) for n in range(1, 31)], ["node"])
+    out = {
+        r["node"]: r["comp"]
+        for r in dd.connected_components(pairs, all_nodes=all_nodes).collect()
+    }
+    assert len(out) == 30
+    assert all(out[n] == 1 for n in (1, 2, 3, 4, 5))
+    assert out[10] == out[11] == 10
+    assert out[20] == out[21] == out[22] == 20
+    singles = set(range(1, 31)) - {1, 2, 3, 4, 5, 10, 11, 20, 21, 22}
+    assert all(out[n] == n for n in singles)
