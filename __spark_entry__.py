@@ -351,6 +351,25 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup MATERIALIZATION: keep one canonical doc (min doc_id) per
+    near-dup cluster, all other columns passing through — the step that
+    actually shrinks a training corpus. Returns the surviving doc_ids with
+    their text lengths to prove content rides along the semi join."""
+    from fulltextsearch_spark.operators.dedup import (
+        dedup_by_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    pairs = ngram_jaccard_pairs(docs, shingle_k=8, threshold=0.08)
+    kept = dedup_by_components(docs, pairs)
+    return kept.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup: MinHash-LSH near-dup candidate pairs. The KR/M61 shingle hash
     and the (a*h+b) mod 2^61-1 permutation family are exact integer math, so
@@ -499,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         "neardup_clusters": q_neardup_clusters,
+        "dedup_canonical": q_dedup_canonical,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
@@ -1138,6 +1158,40 @@ reach(node, comp) AS (
 )
 SELECT node::BIGINT AS doc_id, min(comp)::BIGINT AS component
 FROM reach GROUP BY node
+""",
+        # canonical survivor per component (min reachable id == self), with
+        # text length joined back from the corpus
+        "dedup_canonical": """
+WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      range(1, greatest(length(text) - 7, 1) + 1),
+      i -> substr(text, i::INT, 8)))) AS shingle
+  FROM d
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pr AS (
+  SELECT ia AS a, ib AS b FROM inter
+  JOIN sizes sa ON sa.doc_id = ia
+  JOIN sizes sb ON sb.doc_id = ib
+  WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.08
+),
+edges AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+),
+labels AS (
+  SELECT node, min(comp) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id::BIGINT AS doc_id, length(d.text)::BIGINT AS text_len
+FROM d JOIN labels l ON l.node = d.doc_id AND l.component = d.doc_id
 """,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),

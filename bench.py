@@ -62,7 +62,7 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from fulltextsearch_spark.config import EngineConfig
     from fulltextsearch_spark.operators.compressed_index import (
-        build_compressed_index_files,
+        build_compressed_index_pyfiles,
         decompress_postings,
     )
     from fulltextsearch_spark.operators.index_build import IndexTables, build_index
@@ -114,9 +114,10 @@ def main() -> None:
 
     def _build_web():
         # fastest production path: file-order ids (the reference's own ingest
-        # semantic) via scan metadata -> fused tokenize+pack, zero ingest
-        # shuffle; the term shuffle of compressed partials is the only wide op
-        wcidx = build_compressed_index_files(spark, web_path, cfg)
+        # semantic), workers reading parquet directly with pyarrow (no JVM
+        # decode / Arrow-IPC text hop) -> fused tokenize+pack; the term
+        # shuffle of compressed partials is the only wide op
+        wcidx = build_compressed_index_pyfiles(spark, web_path, cfg)
         wcidx.postings.count()
         return wcidx
 

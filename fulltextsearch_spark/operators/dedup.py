@@ -50,6 +50,7 @@ __all__ = [
     "simhash_neardup_pairs",
     "ngram_jaccard_pairs",
     "connected_components",
+    "dedup_by_components",
 ]
 
 _MERSENNE = M61
@@ -393,3 +394,33 @@ def connected_components(
             break
     edges.unpersist()
     return comp.select("node", "comp")
+
+
+def dedup_by_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+) -> DataFrame:
+    """Materialize the dedup decision: keep exactly ONE canonical document
+    (the min ``id_col`` of its near-dup cluster) per connected component of
+    the pair graph, passing every other column of ``docs`` through.
+
+    This is the step that actually shrinks the corpus after any of the pair
+    generators (:func:`minhash_lsh_pairs`, :func:`simhash_neardup_pairs`,
+    :func:`ngram_jaccard_pairs`). Docs touched by no pair are their own
+    component and survive. One hash join of ``docs`` against the canonical
+    id set on ``id_col`` — at 100 TB both sides are partitioned by the same
+    key, and the label table produced by :func:`connected_components` is
+    orders of magnitude smaller than the corpus (only docs in some pair plus
+    one row per survivor need labels, and text never enters the loop).
+    """
+    comp = connected_components(
+        pairs, all_nodes=docs.select(F.col(id_col).cast("long").alias("node")),
+        src=src, dst=dst,
+    )
+    keep = comp.filter(F.col("node") == F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(keep, id_col, "semi")

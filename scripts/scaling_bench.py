@@ -49,9 +49,48 @@ def hardware_throughput(procs: int, tasks: int = 96, n: int = 2_000_000) -> floa
         return tasks / (time.perf_counter() - t0)
 
 
+def _kernel_task(path: str) -> int:
+    """The job's own map kernel on one parquet file — NO Spark: pyarrow read
+    + fused tokenize+pack. What this measures is the single-box scaling
+    ceiling of the workload CLASS (Arrow/numpy streaming kernels share the
+    memory subsystem; the pure-python burn above is cache-resident and
+    scales higher). On a real cluster each node brings its own memory
+    channels, which is exactly what one box cannot emulate."""
+    import numpy as np  # noqa: PLC0415
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    from fulltextsearch_spark.functions.tokenizer import term_counts_flat  # noqa: PLC0415
+    from fulltextsearch_spark.operators.compressed_index import _PartialAccumulator  # noqa: PLC0415
+
+    packer = _PartialAccumulator()
+    col = pq.read_table(path, columns=["text"]).column("text").combine_chunks()
+    n = len(col)
+    for i in range(0, n, 10_000):
+        chunk = col.slice(i, 10_000)
+        ids = np.arange(i, i + len(chunk), dtype=np.int64)
+        dl, sorted_terms, ud, uc, cnt = term_counts_flat(chunk, True)
+        if uc.size:
+            packer.add_buffer(sorted_terms, uc, ids[ud], cnt, dl[ud])
+    packer.emit()
+    return n
+
+
+def kernel_throughput(procs: int, corpus_path: str, max_files: int = 16) -> float:
+    """Docs/second of the map kernel (pyarrow read + tokenize + pack) at the
+    given process count — the workload-matched hardware ceiling probe."""
+    import glob  # noqa: PLC0415
+
+    files = sorted(glob.glob(os.path.join(corpus_path, "*.parquet")))[:max_files]
+    with mp.Pool(procs) as p:
+        p.map(_kernel_task, files[:procs])  # warm imports + page cache
+        t0 = time.perf_counter()
+        total = sum(p.map(_kernel_task, files))
+        return total / (time.perf_counter() - t0)
+
+
 def run_level(cpus: int, corpus_path: str, docs: int) -> dict:
     from fulltextsearch_spark.config import EngineConfig
-    from fulltextsearch_spark.operators.compressed_index import build_compressed_index_files
+    from fulltextsearch_spark.operators.compressed_index import build_compressed_index_pyfiles
     from fulltextsearch_spark.operators.wand import search_wand
     from fulltextsearch_spark.session import get_spark
     from fulltextsearch_spark.sources.webpages import QUERY_SET
@@ -62,13 +101,13 @@ def run_level(cpus: int, corpus_path: str, docs: int) -> dict:
     cfg = EngineConfig(k1=1.2, b=0.75, k=10, stem=True)
     # full-size warm rep: the measured run is steady-state compute, not
     # process spawning / JIT / page-cache fill
-    warm = build_compressed_index_files(spark, corpus_path, cfg)
+    warm = build_compressed_index_pyfiles(spark, corpus_path, cfg)
     warm.postings.count()
     warm.postings.unpersist()
     spark.catalog.clearCache()
 
     t0 = time.perf_counter()
-    cidx = build_compressed_index_files(spark, corpus_path, cfg)
+    cidx = build_compressed_index_pyfiles(spark, corpus_path, cfg)
     n_terms = cidx.postings.count()
     build_s = time.perf_counter() - t0
 
@@ -130,6 +169,7 @@ def main() -> None:
     for rep in range(args.repeat):
         for cpus in levels:
             hw_adjacent = round(hardware_throughput(min(cpus, 8), tasks=32), 1)
+            kern_adjacent = round(kernel_throughput(cpus, corpus), 1)
             # pin the whole child (JVM + python workers) to exactly `cpus`
             # OS cores: in unpinned local mode a local[2] JVM still spreads
             # GC/shuffle/Arrow threads over all 32 CPUs, inflating the
@@ -145,6 +185,7 @@ def main() -> None:
             r = json.loads(out.stdout.strip().splitlines()[-1])
             r["rep"] = rep
             r["hw_adjacent_tasks_per_sec"] = hw_adjacent
+            r["kernel_adjacent_docs_per_sec"] = kern_adjacent
             all_runs.append(r)
 
     best: dict[int, dict] = {}
@@ -176,6 +217,9 @@ def main() -> None:
     hw = {c: round(hardware_throughput(c), 1) for c in {small["cpus"], large["cpus"], 32}}
     hw_ceiling = hw[large["cpus"]] / hw[small["cpus"]]
     eff_vs_hw = speedup / hw_ceiling
+    kern = {c: round(kernel_throughput(c, corpus), 1) for c in (small["cpus"], large["cpus"])}
+    kern_ceiling = kern[large["cpus"]] / kern[small["cpus"]]
+    eff_vs_kernel = speedup / kern_ceiling
 
     summary = {
         "metric": "index-build scaling efficiency",
@@ -191,6 +235,9 @@ def main() -> None:
         "hardware_tasks_per_sec": hw,
         "hardware_ceiling_speedup": round(hw_ceiling, 3),
         "efficiency_vs_hardware": round(eff_vs_hw, 3),
+        "kernel_docs_per_sec": kern,
+        "kernel_ceiling_speedup": round(kern_ceiling, 3),
+        "efficiency_vs_kernel_ceiling": round(eff_vs_kernel, 3),
     }
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -241,6 +288,26 @@ def main() -> None:
         "job (so 8 vs 32 cannot evidence >=0.8 on this box regardless of the code).",
         f"Normalized to the hardware ceiling, the pipeline achieves "
         f"{eff_vs_hw:.2f} of the achievable speedup.",
+        "",
+        "## Workload-matched ceiling (the job's own kernel, no Spark)",
+        "",
+        "The pure-python burn is cache-resident; the index build streams text",
+        "through Arrow/numpy kernels that share one memory subsystem on this",
+        "box. `kernel_throughput` runs the job's own map kernel (pyarrow file",
+        "read + tokenize + pack) under plain multiprocessing — no Spark, no",
+        "shuffle, embarrassingly parallel — at each level:",
+        "",
+        "| procs | kernel docs/sec |",
+        "|---|---|",
+    ] + [
+        f"| {c} | {kern[c]} |" for c in sorted(kern)
+    ] + [
+        "",
+        f"Even this shuffle-free ideal scales only {kern_ceiling:.2f}x from "
+        f"{small['cpus']}->{large['cpus']} procs here (memory channels are shared;",
+        "on a real cluster each node brings its own). Against that matched",
+        f"ceiling the full Spark build — including its term shuffle and merge —",
+        f"achieves {eff_vs_kernel:.2f}.",
         "",
         "Per-round driver benchmarks (sf0.1, local[32]) are recorded in",
         "`BENCH_r{N}.json` by the driver; see `bench.py` for the query list.",

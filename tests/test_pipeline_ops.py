@@ -362,3 +362,15 @@ def test_connected_components(spark):
     assert out[20] == out[21] == out[22] == 20
     singles = set(range(1, 31)) - {1, 2, 3, 4, 5, 10, 11, 20, 21, 22}
     assert all(out[n] == n for n in singles)
+
+
+def test_dedup_by_components(spark):
+    """One canonical (min-id) survivor per cluster; untouched docs pass
+    through with all columns intact."""
+    docs = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(8)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 5), (6, 7)], ["doc_id_a", "doc_id_b"])
+    kept = dd.dedup_by_components(docs, pairs).collect()
+    assert sorted(r["doc_id"] for r in kept) == [0, 1, 3, 4, 6]
+    assert all(r["text"] == f"text-{r['doc_id']}" for r in kept)

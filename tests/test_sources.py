@@ -185,3 +185,38 @@ def test_build_compressed_index_files_matches_two_pass_scores(spark, tmp_path):
         )
 
     assert id_free(by_files) == id_free(by_url)
+
+
+def test_build_compressed_index_pyfiles_identical(spark, tmp_path):
+    """The python-reader build must produce an index IDENTICAL to the JVM
+    scan build — same doc_ids (sorted-file order), same compressed posting
+    rows, same stats — not merely rank-identical."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.compressed_index import (
+        build_compressed_index_files,
+        build_compressed_index_pyfiles,
+    )
+    from fulltextsearch_spark.sources.webpages import generate_webpages
+
+    path = str(tmp_path / "corpus")
+    generate_webpages(spark, 300, seed=17).repartition(4).write.mode("overwrite").parquet(path)
+    cfg = EngineConfig(k1=1.2, b=0.75, k=10, block_size=32)
+
+    jvm = build_compressed_index_files(spark, path, cfg)
+    pyf = build_compressed_index_pyfiles(spark, path, cfg, batch_rows=97)
+    assert pyf.n_docs == jvm.n_docs == 300
+    assert abs(pyf.avgdl - jvm.avgdl) < 1e-12
+
+    cols = ["term", "df", "count", "doc_ids_enc", "tfs_enc", "dls_enc",
+            "block_first_doc", "block_max_tf"]
+
+    def rows(idx):
+        return sorted(
+            tuple(r[c] for c in cols) for r in idx.postings.select(*cols).collect()
+        )
+
+    assert rows(pyf) == rows(jvm)
+    ds = lambda idx: sorted(
+        (r["doc_id"], r["dl"]) for r in idx.doc_stats.collect()
+    )
+    assert ds(pyf) == ds(jvm)
