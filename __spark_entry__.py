@@ -481,7 +481,10 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(TOPK)
     )
-    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    # constant partition key: the window runs over the <=k post-limit rows
+    # either way, but an empty partitionSpec trips WindowExec's
+    # move-all-data warning, which must stay reserved for real regressions
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("sim"), F.asc("vec_id"))
     return top.withColumn("rank", F.row_number().over(w)).select(
         F.col("rank").cast("long").alias("rank"), "vec_id", F.round("sim", 4).alias("sim")
     )

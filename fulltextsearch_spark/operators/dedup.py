@@ -41,6 +41,7 @@ from fulltextsearch_spark.functions.hashing import (
     perm61,
     rolling_kgram_hashes,
 )
+from fulltextsearch_spark.operators.util import spread_for_python_kernel
 
 __all__ = [
     "exact_dedup",
@@ -98,18 +99,36 @@ def minhash_signatures(
     and recomputable in plain SQL (DuckDB HUGEINT) for the driver oracle.
     """
     a, b = _perm_params(num_perm, seed)
+    # cap the (num_perm x n_shingles) permutation matrix per numpy call at
+    # 64k elements (~0.5 MB) so every temporary of the limb-split mulmod
+    # stays cache-resident (large uint64 temporaries fall off a steep
+    # memory cliff) while amortizing the ~30 numpy ops across a few docs;
+    # measured optimum on 300-char docs — both larger and smaller are slower
+    chunk_shingles = max(1, 65_536 // num_perm)
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _sig(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            h = _shingle_hashes(t if isinstance(t, str) else "", shingle_k)
-            # num_perm x n_shingles, min over shingles
-            vals = perm61(a[:, None], b[:, None], h[None, :])
-            out.append(vals.min(axis=1).astype(np.int64).tolist())
+        hs = [
+            _shingle_hashes(t if isinstance(t, str) else "", shingle_k) for t in texts
+        ]
+        out: list[list[int]] = []
+        i = 0
+        while i < len(hs):
+            j, total = i, 0
+            while j < len(hs) and (j == i or total + hs[j].size <= chunk_shingles):
+                total += hs[j].size
+                j += 1
+            lens = np.fromiter((h.size for h in hs[i:j]), dtype=np.int64, count=j - i)
+            allh = np.concatenate(hs[i:j])
+            vals = perm61(a[:, None], b[:, None], allh[None, :])
+            starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+            # segmented min per doc (every doc has >=1 shingle by padding)
+            mins = np.minimum.reduceat(vals, starts, axis=1).astype(np.int64)
+            out.extend(mins[:, d].tolist() for d in range(j - i))
+            i = j
         return pd.Series(out)
 
-    return docs.select(
+    return spread_for_python_kernel(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"), _sig(F.col(text_col)).alias("sig")
     )
 
@@ -223,7 +242,7 @@ def simhash_signatures(
         out[d[starts]] = sig.astype(np.int64)  # 2's-compl. (top bits are 0)
         return pd.Series(out)
 
-    return docs.select(
+    return spread_for_python_kernel(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"), _sim(F.col(text_col)).alias("simhash")
     )
 

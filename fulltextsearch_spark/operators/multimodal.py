@@ -30,6 +30,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from fulltextsearch_spark.operators.util import spread_for_python_kernel
+
 __all__ = [
     "FTSB_HEADER_FMT",
     "MEDIA_SCHEMA",
@@ -161,7 +163,9 @@ def media_from_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 ids.append(i)
             yield pd.DataFrame({"media_id": ids, "modality": mods, "payload": pays})
 
-    return docs.select("doc_id", text_col).mapInPandas(_enc, schema=MEDIA_SCHEMA)
+    return spread_for_python_kernel(docs.select("doc_id", text_col)).mapInPandas(
+        _enc, schema=MEDIA_SCHEMA
+    )
 
 
 def media_metadata(media: DataFrame) -> DataFrame:

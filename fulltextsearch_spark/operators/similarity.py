@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from fulltextsearch_spark.operators.util import spread_for_python_kernel
+
 __all__ = [
     "brute_cosine_topk",
     "hyperplane_lsh_buckets",
@@ -96,7 +98,9 @@ def brute_cosine_topk(
                 }
             )
 
-    partial = embeddings.mapInPandas(_partial, schema="query_id LONG, vec_id LONG, sim DOUBLE")
+    partial = spread_for_python_kernel(embeddings).mapInPandas(
+        _partial, schema="query_id LONG, vec_id LONG, sim DOUBLE"
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         partial.withColumn("rank", F.row_number().over(w))
@@ -149,7 +153,9 @@ def hyperplane_lsh_buckets(
                 }
             )
 
-    return embeddings.mapInPandas(_bucket, schema="vec_id LONG, table LONG, bucket LONG")
+    return spread_for_python_kernel(embeddings).mapInPandas(
+        _bucket, schema="vec_id LONG, table LONG, bucket LONG"
+    )
 
 
 def lsh_cosine_topk(
@@ -219,12 +225,25 @@ def lsh_cosine_topk(
     )
 
 
+def _sqdist_argmin(m: np.ndarray, cent: np.ndarray, chunk: int = 256) -> np.ndarray:
+    """argmin_c ||m_i - cent_c||^2 per row, computed in row chunks so the
+    (chunk, k, dim) temporary stays cache-resident (a monolithic
+    (n, k, dim) temporary is tens of MB and falls off the shared-host
+    memory cliff). Bit-identical to the monolithic form — same elementwise
+    ops, no reassociation."""
+    out = np.empty(m.shape[0], dtype=np.int64)
+    for i in range(0, m.shape[0], chunk):
+        blk = m[i : i + chunk]
+        d = ((blk[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        out[i : i + chunk] = d.argmin(axis=1)
+    return out
+
+
 def _kmeans(sample: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     cent = sample[rng.choice(sample.shape[0], size=n_centroids, replace=False)].copy()
     for _ in range(iters):
-        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        assign = _sqdist_argmin(sample, cent)
         for c in range(n_centroids):
             pts = sample[assign == c]
             if len(pts):
@@ -281,15 +300,19 @@ def ivf_assign(
             if len(pdf) == 0:
                 continue
             m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
-                    "list_id": d.argmin(axis=1).astype(np.int64),
+                    "list_id": _sqdist_argmin(m, cent),
                 }
             )
 
-    return embeddings.mapInPandas(_assign, schema="vec_id LONG, list_id LONG"), cent
+    return (
+        spread_for_python_kernel(embeddings).mapInPandas(
+            _assign, schema="vec_id LONG, list_id LONG"
+        ),
+        cent,
+    )
 
 
 def ivf_cosine_topk(

@@ -25,6 +25,7 @@ from pyspark.sql.pandas.functions import pandas_udf
 
 from fulltextsearch_spark.functions.hashing import rolling_kgram_hashes as _kgram_hashes
 from fulltextsearch_spark.functions.tokenizer import STOP_WORDS
+from fulltextsearch_spark.operators.util import spread_for_python_kernel
 
 __all__ = [
     "LANG_STOPWORDS",
@@ -129,7 +130,7 @@ def winnow_fingerprints(
             ]
         )
 
-    return docs.select(
+    return spread_for_python_kernel(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"), F.explode(_fp(F.col(text_col))).alias("_f")
     ).select("doc_id", F.col("_f.pos").alias("pos"), F.col("_f.fingerprint").alias("fingerprint"))
 
