@@ -490,6 +490,15 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline composition: exact-dedup canonicalization ->
+    language filter -> quality gates in ONE declarative plan (single
+    md5-window shuffle; lang/quality are codegen'd Column exprs)."""
+    from fulltextsearch_spark.operators.curation import curate_corpus
+
+    return curate_corpus(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -530,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_metadata": q_media_metadata,
+        "curate_corpus": q_curate_corpus,
     }
 
 
@@ -653,6 +663,51 @@ SELECT doc_id::BIGINT AS doc_id,
             WHEN v_es = {best} THEN 'es'
             ELSE 'fr' END AS lang
 FROM v
+"""
+
+
+def _curate_sql() -> str:
+    from fulltextsearch_spark.operators.textstats import LANG_STOPWORDS
+
+    vote_cols = []
+    for lang, words in LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        vote_cols.append(f"len(list_filter(ws, x -> x IN ({lst}))) AS v_{lang}")
+    votes = ",\n         ".join(vote_cols)
+    best = "greatest(v_en, v_de, v_es, v_fr)"
+    en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g'))::DOUBLE
+           / greatest(length(text), 1) AS cjk,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+  FROM documents
+),
+q AS (
+  SELECT doc_id, canon, cjk,
+         len(ws) AS n_words,
+         len(list_filter(ws, x -> x IN ({en})))::DOUBLE
+           / greatest(len(ws), 1) AS stop_ratio,
+         length(text)::DOUBLE / greatest(len(ws), 1) AS cpw,
+         {votes}
+  FROM t
+)
+SELECT doc_id::BIGINT AS doc_id,
+       CASE WHEN cjk >= 0.2 THEN 'zh'
+            WHEN {best} <= 0 THEN 'und'
+            WHEN v_en = {best} THEN 'en'
+            WHEN v_de = {best} THEN 'de'
+            WHEN v_es = {best} THEN 'es'
+            ELSE 'fr' END AS lang,
+       n_words::BIGINT AS n_words,
+       round(stop_ratio, 4) AS stop_ratio,
+       round(cpw, 4) AS chars_per_word
+FROM q
+WHERE doc_id = canon
+  AND cjk < 0.2 AND v_en > 0 AND v_en = {best}
+  AND n_words >= 30 AND stop_ratio >= 0.03 AND cpw <= 15.0
 """
 
 
@@ -1104,6 +1159,7 @@ SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,
 FROM words
 """,
         "lang_id": _lang_id_sql(),
+        "curate_corpus": _curate_sql(),
         "token_count_bpe": r"""
 SELECT doc_id::BIGINT AS doc_id,
        len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::BIGINT AS n_ws_tokens,

@@ -163,6 +163,7 @@ def main() -> None:
         entrymod.q_ann_cosine_topk(spark, warm_dir).collect()
         entrymod.q_ann_ivf_topk(spark, warm_dir).collect()
     timed("exact_dedup", lambda: entrymod.q_exact_dedup(spark, sf_dir).count())
+    timed("curate_corpus", lambda: entrymod.q_curate_corpus(spark, sf_dir).count())
     timed("quality_score", lambda: entrymod.q_quality_score(spark, sf_dir).count())
     timed("lang_id", lambda: entrymod.q_lang_id(spark, sf_dir).count())
     timed("minhash_pairs", lambda: entrymod.q_minhash_pairs(spark, sf_dir).count())

@@ -1,0 +1,90 @@
+"""Corpus curation: the composed training-data pipeline as ONE operator.
+
+New work relative to the reference (it only searches; a 100 TB pretraining
+pipeline also has to *select* documents before indexing/training): exact-
+dedup canonicalization -> language filter -> quality filter, expressed as a
+single declarative plan so Catalyst fuses everything around one shuffle.
+
+Plan shape (verified via .explain):
+* the ONLY wide operation is the window over ``md5(text)`` that picks the
+  canonical copy of each exact-duplicate group — one hash shuffle of
+  (doc_id, text_hash) scale, the same single shuffle a groupBy-dedup costs;
+* language ID, word counts, stop-word ratio and chars/word are pure Column
+  expressions (:func:`fulltextsearch_spark.operators.textstats.
+  language_expr`) computed map-side inside whole-stage codegen — no Python
+  workers, no extra pass over the corpus, no join back;
+* filters run before the final projection, so at 100 TB the post-shuffle
+  output is the *surviving* subset only.
+
+Near-dup curation composes the same way at scale: feed
+``dedup.minhash_lsh_pairs`` survivors through this operator's quality gate
+(they are separate shuffles by construction — signatures need an Arrow
+kernel pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fulltextsearch_spark.operators.textstats import (
+    LANG_STOPWORDS,
+    _ws_tokens,
+    language_expr,
+)
+
+__all__ = ["curate_corpus"]
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    langs: tuple[str, ...] = ("en",),
+    min_words: int = 30,
+    min_stop_ratio: float = 0.03,
+    max_chars_per_word: float = 15.0,
+) -> DataFrame:
+    """Curated subset of ``docs``: canonical exact-dedup copy, wanted
+    language, and passing cheap quality gates.
+
+    Returns (doc_id, lang, n_words, stop_ratio, chars_per_word) for every
+    surviving document. Gates follow the standard web-corpus heuristics:
+    too-short documents, documents with an unnaturally low stop-word ratio
+    (boilerplate/word salad), and absurd characters-per-word (markup blobs)
+    are dropped.
+    """
+    ws = _ws_tokens(text_col)
+    stop_words = LANG_STOPWORDS["en"]
+    n_words = F.size(ws)
+    n_stop = F.size(F.filter(ws, lambda x: x.isin(*stop_words)))
+    stop_ratio = n_stop.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    cpw = F.length(text_col).cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    canonical = F.col("doc_id") == F.min("doc_id").over(w)
+
+    feats = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(text_col),
+        language_expr(text_col).alias("lang"),
+        n_words.cast("long").alias("n_words"),
+        stop_ratio.alias("_stop_ratio"),
+        cpw.alias("_cpw"),
+    ).withColumn("_canonical", canonical)
+
+    return (
+        feats.filter(
+            F.col("_canonical")
+            & F.col("lang").isin(*langs)
+            & (F.col("n_words") >= F.lit(min_words))
+            & (F.col("_stop_ratio") >= F.lit(min_stop_ratio))
+            & (F.col("_cpw") <= F.lit(max_chars_per_word))
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_words",
+            F.round("_stop_ratio", 4).alias("stop_ratio"),
+            F.round("_cpw", 4).alias("chars_per_word"),
+        )
+    )

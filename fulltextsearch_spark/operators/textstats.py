@@ -29,6 +29,7 @@ from fulltextsearch_spark.operators.util import spread_for_python_kernel
 
 __all__ = [
     "LANG_STOPWORDS",
+    "language_expr",
     "language_id",
     "token_counts",
     "winnow_fingerprints",
@@ -54,8 +55,10 @@ def _ws_tokens(text_col: str):
     )
 
 
-def language_id(docs: DataFrame, text_col: str = "text", cjk_threshold: float = 0.2) -> DataFrame:
-    """(doc_id, lang) — deterministic heuristic language ID."""
+def language_expr(text_col: str = "text", cjk_threshold: float = 0.2):
+    """Language-ID as a pure Column expression (whole-stage-codegen'd),
+    reusable inside composed pipelines without a join: stopword-profile
+    votes + CJK character-ratio shortcut."""
     toks = _ws_tokens(text_col)
     votes = {
         lang: F.size(F.filter(toks, lambda x: x.isin(*words)))
@@ -64,13 +67,17 @@ def language_id(docs: DataFrame, text_col: str = "text", cjk_threshold: float = 
     n_cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
     cjk_ratio = n_cjk.cast("double") / F.greatest(F.length(text_col), F.lit(1)).cast("double")
     best = F.greatest(*[votes[lang] for lang in _LANG_PRIORITY])
-    lang_expr = F.when(cjk_ratio >= F.lit(cjk_threshold), F.lit("zh"))
     cond = F.when(best <= F.lit(0), F.lit("und"))
     for lang in _LANG_PRIORITY:
         cond = cond.when(votes[lang] == best, F.lit(lang))
-    lang_expr = lang_expr.otherwise(cond)
+    return F.when(cjk_ratio >= F.lit(cjk_threshold), F.lit("zh")).otherwise(cond)
+
+
+def language_id(docs: DataFrame, text_col: str = "text", cjk_threshold: float = 0.2) -> DataFrame:
+    """(doc_id, lang) — deterministic heuristic language ID."""
     return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"), lang_expr.alias("lang")
+        F.col("doc_id").cast("long").alias("doc_id"),
+        language_expr(text_col, cjk_threshold).alias("lang"),
     )
 
 

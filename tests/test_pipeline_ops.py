@@ -374,3 +374,29 @@ def test_dedup_by_components(spark):
     kept = dd.dedup_by_components(docs, pairs).collect()
     assert sorted(r["doc_id"] for r in kept) == [0, 1, 3, 4, 6]
     assert all(r["text"] == f"text-{r['doc_id']}" for r in kept)
+
+
+def test_curate_corpus(spark):
+    """Composed curation: exact-dup groups keep only the min-id copy; short,
+    stopword-free, or non-English docs are dropped; survivors carry their
+    quality features."""
+    from fulltextsearch_spark.operators.curation import curate_corpus
+
+    good = "the cat and the dog sat in the house of the king " * 4  # 48 words, en
+    docs = spark.createDataFrame(
+        [
+            (0, good),                        # survives (canonical)
+            (1, good),                        # exact dup of 0 -> dropped
+            (2, "short text the end"),        # < min_words -> dropped
+            (3, "alpha beta gamma " * 15),    # no stopwords -> lang und + ratio 0
+            (4, "der hund und die katze ist nicht ein tier mit dem auch " * 4),  # de
+            (5, good + "extra trailing words here"),  # survives (distinct)
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in curate_corpus(docs).collect()}
+    assert sorted(out) == [0, 5]
+    assert out[0]["lang"] == "en"
+    assert out[0]["n_words"] == 48
+    assert out[0]["stop_ratio"] > 0.3
+    assert out[5]["chars_per_word"] < 15.0
