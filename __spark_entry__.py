@@ -186,6 +186,36 @@ def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S7 + serving path under the hard gate: build -> save_compressed_index
+    -> QueryServer.load -> driver-tokenized static-IN-pruned search.
+    Rank-identical to the exhaustive path, so it shares bm25_topk's oracle."""
+    import hashlib as _hl
+
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.compressed_index import (
+        build_compressed_index,
+        save_compressed_index,
+    )
+    from fulltextsearch_spark.operators.serving import QueryServer
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    root = f"/tmp/fts_entry_serve_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    cidx = build_compressed_index(spark, _docs(spark, sf_dir), cfg)
+    save_compressed_index(cidx, root)
+    server = QueryServer.load(spark, root)
+    queries = [
+        (qid, " ".join(t for q, t in QUERY_TOKENS if q == qid))
+        for qid in sorted({q for q, _ in QUERY_TOKENS})
+    ]
+    return server.search(queries, cfg).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_vsm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-space-model tf-idf cosine top-k — the engine the reference
     declares but never implemented (vector_space_model_engine.cpp:8-33 all
@@ -518,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_summary": q_postings_summary,
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand": q_bm25_topk_wand,
+        "bm25_topk_serve": q_bm25_topk_serve,
         "tfidf_topk": q_tfidf_topk,
         "vsm_topk": q_vsm_topk,
         "bm25_topk_stemmed": q_bm25_topk_stemmed,
@@ -1084,6 +1115,7 @@ FROM tf GROUP BY 1
         "trigram_topk": _trigram_sql(),
         "bm25_topk": _scored_sql(bm25),
         "bm25_topk_wand": _scored_sql(bm25),
+        "bm25_topk_serve": _scored_sql(bm25),
         "bm25_topk_stemmed": _scored_sql(bm25, stemmed=True),
         "tfidf_topk": _scored_sql(tfidf),
         "vsm_topk": f"""
