@@ -216,6 +216,51 @@ def q_bm25_topk_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming path under the hard gate: ingest the corpus as two
+    micro-batches through the IncrementalIndexer sink, refresh after each
+    (the second refresh exercises the affected-terms carry-over merge, not a
+    rebuild), then query the CURRENT index version. Dense ids are assigned
+    from a zero-padded order key so they replicate the table's doc_ids, and
+    N/avgdl recompute over the full corpus — the final index is therefore
+    value-identical to a batch build and shares bm25_topk's DuckDB oracle."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.wand import search_wand
+    from fulltextsearch_spark.streaming.incremental import (
+        IncrementalIndexer,
+        load_current_index,
+        refresh_index,
+    )
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    root = f"/tmp/fts_entry_incr_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    _sh.rmtree(root, ignore_errors=True)
+    docs = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"), "text", "doc_id"
+    )
+    n = docs.count()
+    indexer = IncrementalIndexer(spark, root, cfg, order_col="url", text_col="text")
+    indexer.process_batch(docs.filter(F.col("doc_id") < n // 2), 0)
+    refresh_index(spark, root, cfg)
+    indexer.process_batch(docs.filter(F.col("doc_id") >= n // 2), 1)
+    refresh_index(spark, root, cfg)
+    cidx = load_current_index(spark, root)
+    queries = spark.createDataFrame(
+        [(qid, " ".join(t for q, t in QUERY_TOKENS if q == qid)) for qid in
+         sorted({q for q, _ in QUERY_TOKENS})],
+        ["query_id", "content"],
+    )
+    return search_wand(cidx, queries, cfg).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_vsm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-space-model tf-idf cosine top-k — the engine the reference
     declares but never implemented (vector_space_model_engine.cpp:8-33 all
@@ -549,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_topk_serve": q_bm25_topk_serve,
+        "bm25_topk_incremental": q_bm25_topk_incremental,
         "tfidf_topk": q_tfidf_topk,
         "vsm_topk": q_vsm_topk,
         "bm25_topk_stemmed": q_bm25_topk_stemmed,
@@ -1116,6 +1162,7 @@ FROM tf GROUP BY 1
         "bm25_topk": _scored_sql(bm25),
         "bm25_topk_wand": _scored_sql(bm25),
         "bm25_topk_serve": _scored_sql(bm25),
+        "bm25_topk_incremental": _scored_sql(bm25),
         "bm25_topk_stemmed": _scored_sql(bm25, stemmed=True),
         "tfidf_topk": _scored_sql(tfidf),
         "vsm_topk": f"""
