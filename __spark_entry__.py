@@ -324,6 +324,69 @@ def q_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trigram_topk_loaded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram S6/S7 under the hard gate: build -> save_trigram_index ->
+    load_trigram_index -> search (reference store/load,
+    trigram_index_engine.cpp:95-155). Round-trip is lossless, so it shares
+    trigram_topk's oracle."""
+    import hashlib as _hl
+
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.trigram import (
+        build_trigram_index,
+        load_trigram_index,
+        save_trigram_index,
+        search_trigram,
+    )
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK)
+    root = f"/tmp/fts_entry_tri_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    save_trigram_index(build_trigram_index(spark, _docs(spark, sf_dir), cfg), root)
+    idx = load_trigram_index(spark, root)
+    qs = [("t1", "dup"), ("t2", "dup value"), ("t3", "window dup table")]
+    return search_trigram(idx, qs, cfg).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_bm25_topk_resumable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed-build path under the hard gate: resumable_build (chunk
+    manifests, lineage, A6 HLL metric, merge fingerprint) -> load -> WAND.
+    The merged index is value-identical to a batch build, so it shares
+    bm25_topk's oracle."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.wand import search_wand
+    from fulltextsearch_spark.plans.checkpoints import (
+        load_compressed_index,
+        resumable_build,
+    )
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    root = f"/tmp/fts_entry_ckpt_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    _sh.rmtree(root, ignore_errors=True)
+    summary = resumable_build(
+        spark, f"{sf_dir}/documents.parquet", root, cfg, has_doc_id=True
+    )
+    cidx = load_compressed_index(spark, summary["index_path"])
+    queries = spark.createDataFrame(
+        [(qid, " ".join(t for q, t in QUERY_TOKENS if q == qid)) for qid in
+         sorted({q for q, _ in QUERY_TOKENS})],
+        ["query_id", "content"],
+    )
+    return search_wand(cidx, queries, cfg).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_stop_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10: compactify — drop terms with df > n_docs/stop_share (trigram
     engine's stop-key pruning, trigram_index_engine.cpp:36-38)."""
@@ -595,6 +658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_topk_serve": q_bm25_topk_serve,
         "bm25_topk_incremental": q_bm25_topk_incremental,
+        "bm25_topk_resumable": q_bm25_topk_resumable,
+        "trigram_topk_loaded": q_trigram_topk_loaded,
         "tfidf_topk": q_tfidf_topk,
         "vsm_topk": q_vsm_topk,
         "bm25_topk_stemmed": q_bm25_topk_stemmed,
@@ -1163,6 +1228,8 @@ FROM tf GROUP BY 1
         "bm25_topk_wand": _scored_sql(bm25),
         "bm25_topk_serve": _scored_sql(bm25),
         "bm25_topk_incremental": _scored_sql(bm25),
+        "bm25_topk_resumable": _scored_sql(bm25),
+        "trigram_topk_loaded": _trigram_sql(),
         "bm25_topk_stemmed": _scored_sql(bm25, stemmed=True),
         "tfidf_topk": _scored_sql(tfidf),
         "vsm_topk": f"""
