@@ -594,6 +594,39 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(media_from_docs(_docs(spark, sf_dir).filter(F.col("doc_id") < 30)))
 
 
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: per-channel means + gray std over FTSB image payloads.
+    The payload is the doc's text bytes repeated to w*h*3, so the DuckDB
+    oracle recomputes every statistic from character codes alone while
+    Spark actually decodes the binary container."""
+    from fulltextsearch_spark.operators.multimodal import image_stats, media_from_docs
+
+    media = media_from_docs(_docs(spark, sf_dir).filter(F.col("doc_id") < 30))
+    return image_stats(media).select(
+        "media_id",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("std_gray", 6).alias("std_gray"),
+    )
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: PCM features over FTSB audio payloads (int16 LE samples
+    from the doc's text bytes — sample values, rms and frame counts are
+    all predictable from character codes in the DuckDB oracle)."""
+    from fulltextsearch_spark.operators.multimodal import audio_features, media_from_docs
+
+    media = media_from_docs(_docs(spark, sf_dir).filter(F.col("doc_id") < 60))
+    return audio_features(media).select(
+        "media_id",
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        "n_frames_energy",
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search: brute-force cosine top-k vs the vec_id=0 vector."""
     emb = _embeddings(spark, sf_dir).select(
@@ -681,6 +714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_metadata": q_media_metadata,
+        "image_stats": q_image_stats,
+        "audio_features": q_audio_features,
         "curate_corpus": q_curate_corpus,
     }
 
@@ -1414,6 +1449,53 @@ SELECT doc_id::BIGINT AS media_id,
           ELSE (4 + doc_id % 8) * 16 * 16 * 3
         END)::BIGINT AS payload_bytes
 FROM documents WHERE doc_id < 30
+""",
+        "image_stats": """
+WITH img AS (
+  SELECT doc_id, text,
+         8 + doc_id % 56 AS w,
+         8 + (doc_id * 7) % 56 AS h,
+         greatest(length(text), 1) AS L
+  FROM documents WHERE doc_id < 30 AND doc_id % 3 = 0
+),
+px AS (
+  SELECT doc_id,
+    list_transform(range(0, w*h), j -> ascii(substr(text, ((3*j    ) % L)::INT + 1, 1))::DOUBLE) AS r,
+    list_transform(range(0, w*h), j -> ascii(substr(text, ((3*j + 1) % L)::INT + 1, 1))::DOUBLE) AS g,
+    list_transform(range(0, w*h), j -> ascii(substr(text, ((3*j + 2) % L)::INT + 1, 1))::DOUBLE) AS b
+  FROM img
+),
+gr AS (
+  SELECT doc_id, r, g, b,
+    list_transform(range(0, len(r)), j -> (r[j::INT+1] + g[j::INT+1] + b[j::INT+1]) / 3.0) AS gray
+  FROM px
+)
+SELECT doc_id::BIGINT AS media_id,
+       round(list_avg(r), 6) AS mean_r,
+       round(list_avg(g), 6) AS mean_g,
+       round(list_avg(b), 6) AS mean_b,
+       round(sqrt(list_avg(list_transform(gray, x -> x*x)) - list_avg(gray)^2), 6) AS std_gray
+FROM gr
+""",
+        "audio_features": """
+WITH a AS (
+  SELECT doc_id, text, greatest(length(text), 1) // 2 AS ns
+  FROM documents WHERE doc_id < 60 AND doc_id % 3 = 1
+),
+v AS (
+  SELECT doc_id, ns,
+    list_transform(range(0, ns), j ->
+      CASE WHEN ascii(substr(text, (2*j+2)::INT, 1)) >= 128
+           THEN (ascii(substr(text, (2*j+1)::INT, 1)) + 256*ascii(substr(text, (2*j+2)::INT, 1)) - 65536)::DOUBLE
+           ELSE (ascii(substr(text, (2*j+1)::INT, 1)) + 256*ascii(substr(text, (2*j+2)::INT, 1)))::DOUBLE END) AS pcm
+  FROM a
+)
+SELECT doc_id::BIGINT AS media_id,
+       ns::BIGINT AS n_samples,
+       round(ns / 16000.0, 6) AS duration_s,
+       round(coalesce(sqrt(list_avg(list_transform(pcm, x -> x*x))), 0.0), 6) AS rms,
+       (ns // 400)::BIGINT AS n_frames_energy
+FROM v
 """,
         "minhash_pairs": _minhash_sql(),
         "simhash_pairs": _simhash_sql(),
