@@ -627,6 +627,35 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: nearest-neighbor resize re-encodes real pixel bytes into a
+    fresh FTSB container; parsing the result's header proves the decode ->
+    transform -> encode round trip against a formula oracle."""
+    from fulltextsearch_spark.operators.multimodal import (
+        media_from_docs,
+        media_metadata,
+        resize_images,
+    )
+
+    media = media_from_docs(_docs(spark, sf_dir).filter(F.col("doc_id") < 30))
+    return media_metadata(resize_images(media, out_w=12, out_h=9)).select(
+        "media_id", "width", "height", "channels", "n_frames", "payload_bytes"
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: every-2nd-frame sampling over FTSB video payloads; frame
+    indexes and single-frame payload sizes are exact formulas of doc_id."""
+    from fulltextsearch_spark.operators.multimodal import media_from_docs, sample_frames
+
+    media = media_from_docs(_docs(spark, sf_dir).filter(F.col("doc_id") < 30))
+    return sample_frames(media, every_nth=2).select(
+        "media_id",
+        "frame_idx",
+        F.length("frame_payload").cast("long").alias("frame_bytes"),
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search: brute-force cosine top-k vs the vec_id=0 vector."""
     emb = _embeddings(spark, sf_dir).select(
@@ -716,6 +745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         "image_stats": q_image_stats,
         "audio_features": q_audio_features,
+        "resize_meta": q_resize_meta,
+        "frame_sample": q_frame_sample,
         "curate_corpus": q_curate_corpus,
     }
 
@@ -1449,6 +1480,22 @@ SELECT doc_id::BIGINT AS media_id,
           ELSE (4 + doc_id % 8) * 16 * 16 * 3
         END)::BIGINT AS payload_bytes
 FROM documents WHERE doc_id < 30
+""",
+        "resize_meta": """
+SELECT doc_id::BIGINT AS media_id,
+       12::BIGINT AS width, 9::BIGINT AS height, 3::BIGINT AS channels,
+       1::BIGINT AS n_frames, (12*9*3)::BIGINT AS payload_bytes
+FROM documents WHERE doc_id < 30 AND doc_id % 3 = 0
+""",
+        "frame_sample": """
+WITH vid AS (
+  SELECT doc_id, 4 + doc_id % 8 AS nf
+  FROM documents WHERE doc_id < 30 AND doc_id % 3 = 2
+)
+SELECT doc_id::BIGINT AS media_id,
+       f.fi::BIGINT AS frame_idx,
+       (16 + 16*16*3)::BIGINT AS frame_bytes
+FROM vid, LATERAL (SELECT unnest(range(0, nf, 2)) AS fi) f
 """,
         "image_stats": """
 WITH img AS (
