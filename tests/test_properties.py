@@ -142,3 +142,59 @@ def test_spread_for_python_kernel(spark):
     assert spread_for_python_kernel(wide) is wide
     # rows are preserved either way
     assert spread.count() == 100
+
+
+# ---------------------------------------------------------------------------
+# Fused Arrow tokenizer vs the per-doc Python spec (the byte-identical
+# per-url invariant rides on these agreeing for ANY input, not just fixtures)
+# ---------------------------------------------------------------------------
+
+_TEXT = st.text(
+    alphabet=st.sampled_from(
+        list("abcXYZ019$%&+@ \t\n.,;!?-_/\\\"'()<>")
+        + ["é", "ß", "中", "🙂", "\x00", "\x7f"]
+    ),
+    max_size=80,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_TEXT, min_size=1, max_size=12), st.booleans())
+def test_term_counts_flat_matches_python_tokenizer(texts, do_stem):
+    import pyarrow as pa
+    from collections import Counter
+
+    from fulltextsearch_spark.functions.tokenizer import (
+        term_counts_flat,
+        tokenize,
+    )
+
+    dl, sorted_terms, ud, uc, cnt = term_counts_flat(pa.array(texts), do_stem)
+    vocab = sorted_terms.to_pylist()
+    got: dict[int, Counter] = {}
+    for d, c, n in zip(ud, uc, cnt):
+        got.setdefault(int(d), Counter())[vocab[int(c)]] = int(n)
+    for i, text in enumerate(texts):
+        want = Counter(tokenize(text, do_stem))
+        assert int(dl[i]) == sum(want.values()), (i, text)
+        assert got.get(i, Counter()) == want, (i, text)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_TEXT, min_size=1, max_size=12), st.booleans())
+def test_term_counts_batch_matches_python_tokenizer_prop(texts, do_stem):
+    import pyarrow as pa
+    from collections import Counter
+
+    from fulltextsearch_spark.functions.tokenizer import (
+        term_counts_batch,
+        tokenize,
+    )
+
+    dl, terms, tfs = term_counts_batch(pa.array(texts), do_stem)
+    terms_py = terms.to_pylist()
+    tfs_py = tfs.to_pylist()
+    for i, text in enumerate(texts):
+        want = Counter(tokenize(text, do_stem))
+        assert int(dl[i]) == sum(want.values())
+        assert Counter(dict(zip(terms_py[i], tfs_py[i]))) == want
