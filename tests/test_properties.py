@@ -198,3 +198,103 @@ def test_term_counts_batch_matches_python_tokenizer_prop(texts, do_stem):
         want = Counter(tokenize(text, do_stem))
         assert int(dl[i]) == sum(want.values())
         assert Counter(dict(zip(terms_py[i], tfs_py[i]))) == want
+
+
+# ---------------------------------------------------------------------------
+# Block-max MaxScore kernel vs exhaustive scoring on random corpora — the
+# pruning-safety argument (wand.py module docstring) checked empirically for
+# arbitrary posting shapes, block sizes, and query weights.
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def _wand_instance(draw):
+    n_docs = draw(st.integers(min_value=1, max_value=60))
+    dls = draw(
+        st.lists(
+            st.integers(min_value=1, max_value=50),
+            min_size=n_docs,
+            max_size=n_docs,
+        )
+    )
+    n_terms = draw(st.integers(min_value=1, max_value=5))
+    terms = []
+    for _ in range(n_terms):
+        docs = sorted(
+            draw(
+                st.sets(
+                    st.integers(min_value=0, max_value=n_docs - 1),
+                    min_size=1,
+                    max_size=n_docs,
+                )
+            )
+        )
+        tfs = draw(
+            st.lists(
+                st.integers(min_value=1, max_value=9),
+                min_size=len(docs),
+                max_size=len(docs),
+            )
+        )
+        qtf = draw(st.integers(min_value=1, max_value=3))
+        terms.append((docs, tfs, qtf))
+    k = draw(st.integers(min_value=1, max_value=10))
+    block_size = draw(st.sampled_from([1, 2, 4, 128]))
+    return n_docs, dls, terms, k, block_size
+
+
+@settings(max_examples=150, deadline=None)
+@given(_wand_instance())
+def test_maxscore_rank_identical_to_exhaustive(instance):
+    from hypothesis import assume
+
+    from fulltextsearch_spark.operators.wand import maxscore_topk
+
+    n_docs, dls_list, raw_terms, k, block_size = instance
+    k1, b = 1.2, 0.75
+    dls = np.array(dls_list, dtype=np.int64)
+    avgdl = float(dls.sum()) / n_docs
+
+    exhaustive = np.zeros(n_docs, dtype=np.float64)
+    kernel_terms = []
+    for docs, tfs, qtf in raw_terms:
+        doc_ids = np.array(docs, dtype=np.int64)
+        tf = np.array(tfs, dtype=np.int64)
+        dl = dls[doc_ids]
+        df = len(docs)
+        idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        tfpart = tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * (dl.astype(np.float64) / avgdl))
+        )
+        exhaustive[doc_ids] += qtf * idf * tfpart
+        enc = encode_postings(doc_ids, tf, dl, block_size=block_size, k1=k1, b=b, avgdl=avgdl)
+        kernel_terms.append(
+            {
+                "qtf": qtf,
+                "df": df,
+                "count": enc.count,
+                "doc_ids_enc": enc.doc_ids_enc,
+                "tfs_enc": enc.tfs_enc,
+                "dls_enc": enc.dls_enc,
+                "block_first_doc": enc.block_first_doc,
+                "block_off_doc": enc.block_off_doc,
+                "block_off_tf": enc.block_off_tf,
+                "block_off_dl": enc.block_off_dl,
+                "block_max_tfpart": enc.block_max_tfpart,
+            }
+        )
+
+    scored = np.flatnonzero(exhaustive > 0)
+    order = np.lexsort((scored, -exhaustive[scored]))
+    want_docs = scored[order][:k]
+    # skip instances where float summation-order noise could legitimately
+    # reorder the boundary: require clear gaps around every returned rank
+    want_all = exhaustive[scored[order]]
+    gaps = np.abs(np.diff(want_all[: k + 1])) if want_all.size > 1 else np.array([1.0])
+    assume((gaps > 1e-9).all())
+
+    got_docs, got_scores = maxscore_topk(
+        kernel_terms, n_docs, avgdl, k, "bm25", k1, b, block_size
+    )
+    np.testing.assert_array_equal(got_docs, want_docs)
+    np.testing.assert_allclose(got_scores, exhaustive[want_docs], rtol=1e-9, atol=1e-12)
