@@ -158,6 +158,7 @@ def main() -> None:
     # production never re-pays it.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
+        entrymod.q_curate_corpus(spark, warm_dir).count()
         entrymod.q_minhash_pairs(spark, warm_dir).count()
         entrymod.q_simhash_pairs(spark, warm_dir).count()
         entrymod.q_ann_cosine_topk(spark, warm_dir).collect()

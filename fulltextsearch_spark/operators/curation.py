@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 from fulltextsearch_spark.operators.textstats import (
     LANG_STOPWORDS,
     _ws_tokens,
-    language_expr,
+    language_from_votes,
+    language_votes,
 )
 
 __all__ = ["curate_corpus"]
@@ -63,17 +64,23 @@ def curate_corpus(
     w = Window.partitionBy(F.md5(F.col(text_col)))
     canonical = F.col("doc_id") == F.min("doc_id").over(w)
 
+    # lang votes materialize as four ints + a double here, BEFORE the
+    # md5 shuffle; the winner CASE runs over those plain columns after it.
+    # Inlining the CASE directly would duplicate the tokenize subtree ~25x
+    # in one projection — a compile- and run-time blowup, since the filter
+    # lambda keeps codegen subexpression elimination out.
     feats = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col(text_col),
-        language_expr(text_col).alias("lang"),
         n_words.cast("long").alias("n_words"),
         stop_ratio.alias("_stop_ratio"),
         cpw.alias("_cpw"),
+        *[expr.alias(name) for name, expr in language_votes(text_col).items()],
     ).withColumn("_canonical", canonical)
 
     return (
-        feats.filter(
+        feats.withColumn("lang", language_from_votes())
+        .filter(
             F.col("_canonical")
             & F.col("lang").isin(*langs)
             & (F.col("n_words") >= F.lit(min_words))

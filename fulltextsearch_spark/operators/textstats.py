@@ -30,6 +30,8 @@ from fulltextsearch_spark.operators.util import spread_for_python_kernel
 __all__ = [
     "LANG_STOPWORDS",
     "language_expr",
+    "language_votes",
+    "language_from_votes",
     "language_id",
     "token_counts",
     "winnow_fingerprints",
@@ -55,10 +57,42 @@ def _ws_tokens(text_col: str):
     )
 
 
+def language_votes(text_col: str = "text") -> dict[str, "F.Column"]:
+    """Per-language stop-word occurrence counts (duplicates included) plus
+    the CJK character ratio, as named Column expressions.
+
+    Split from :func:`language_from_votes` so composed pipelines can
+    materialize these few narrow columns (e.g. across a shuffle) and build
+    the winner CASE from plain int columns afterwards — inlining the CASE
+    over these expressions duplicates the tokenize subtree ~25x, and the
+    filter lambda blocks codegen subexpression elimination, which makes the
+    one-expression form quadratically expensive to both compile and run."""
+    toks = _ws_tokens(text_col)
+    votes = {
+        f"v_{lang}": F.size(F.filter(toks, lambda x: x.isin(*words)))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    n_cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
+    votes["cjk_ratio"] = (
+        n_cjk.cast("double") / F.greatest(F.length(text_col), F.lit(1)).cast("double")
+    )
+    return votes
+
+
+def language_from_votes(cjk_threshold: float = 0.2):
+    """Winner CASE over materialized ``v_<lang>`` / ``cjk_ratio`` columns."""
+    votes = {lang: F.col(f"v_{lang}") for lang in _LANG_PRIORITY}
+    best = F.greatest(*[votes[lang] for lang in _LANG_PRIORITY])
+    cond = F.when(best <= F.lit(0), F.lit("und"))
+    for lang in _LANG_PRIORITY:
+        cond = cond.when(votes[lang] == best, F.lit(lang))
+    return F.when(F.col("cjk_ratio") >= F.lit(cjk_threshold), F.lit("zh")).otherwise(cond)
+
+
 def language_expr(text_col: str = "text", cjk_threshold: float = 0.2):
-    """Language-ID as a pure Column expression (whole-stage-codegen'd),
-    reusable inside composed pipelines without a join: stopword-profile
-    votes + CJK character-ratio shortcut."""
+    """Language-ID as a single Column expression. Fine for a standalone
+    projection; inside wide composed plans prefer the two-stage
+    votes-then-CASE form (see :func:`language_votes`)."""
     toks = _ws_tokens(text_col)
     votes = {
         lang: F.size(F.filter(toks, lambda x: x.isin(*words)))
