@@ -63,9 +63,8 @@ def main() -> None:
     from fulltextsearch_spark.config import EngineConfig
     from fulltextsearch_spark.operators.compressed_index import (
         build_compressed_index_pyfiles,
-        decompress_postings,
     )
-    from fulltextsearch_spark.operators.index_build import IndexTables, build_index
+    from fulltextsearch_spark.operators.index_build import build_index
     from fulltextsearch_spark.operators.query import search
     from fulltextsearch_spark.operators.wand import search_wand
     from fulltextsearch_spark.session import get_spark
@@ -138,17 +137,12 @@ def main() -> None:
     timed("bm25_web50k_serve", lambda: server.search(QUERY_SET, cfg).collect())
     serve_ms_per_query = round(1000.0 * timings["bm25_web50k_serve"] / len(QUERY_SET), 1)
 
-    # exhaustive oracle path over the same (decompressed) index
-    def _exhaustive_web():
-        widx = IndexTables(
-            postings=decompress_postings(wcidx.postings, wcidx.block_size),
-            doc_stats=wcidx.doc_stats,
-            n_docs=wcidx.n_docs,
-            avgdl=wcidx.avgdl,
-        )
-        return search(widx, wq, cfg).collect()
-
-    timed("bm25_web50k", _exhaustive_web)
+    # exhaustive baseline over the SAME compressed rows and join-pushdown IO
+    # (prune=False decodes every matched term in full — the fair pruning-
+    # benefit contrast to bm25_web50k_wand; rank-identical by construction).
+    # Decompressing the whole index first would time thousands of unqueried
+    # terms' decode instead of the query path.
+    timed("bm25_web50k", lambda: search_wand(wcidx, wq, cfg, prune=False).collect())
 
     # --- training-pipeline ops at sf ----------------------------------------
     # untimed worker warmup at the tiniest sf: the first Arrow UDF per module

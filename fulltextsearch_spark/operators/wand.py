@@ -112,8 +112,14 @@ def maxscore_topk(
     b: float = 0.75,
     block_size: int = 128,
     stats: dict | None = None,
+    prune: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Pure-numpy block-max MaxScore kernel for ONE query.
+
+    ``prune=False`` disables MaxScore/block-max pruning entirely (every term
+    is decoded in full and union-merged) — the exhaustive baseline over the
+    SAME compressed rows and join-pushdown IO, rank-identical by
+    construction. Used for the pruning-benefit comparison in bench.py.
 
     ``terms``: one dict per distinct query term with keys qtf, df, count,
     doc_ids_enc, tfs_enc, dls_enc, block_first_doc, block_off_doc/tf/dl and
@@ -146,7 +152,7 @@ def maxscore_topk(
 
     for i, t in enumerate(terms):
         rest_after = suffix[i + 1]
-        candidates_only = cand_docs.size >= k and suffix[i] < theta
+        candidates_only = prune and cand_docs.size >= k and suffix[i] < theta
 
         if candidates_only:
             # (3) drop candidates that can no longer reach theta
@@ -209,6 +215,7 @@ def search_wand(
     cfg: EngineConfig = DEFAULT_CONFIG,
     scoring: str = "bm25",
     k: int | None = None,
+    prune: bool = True,
 ) -> DataFrame:
     """queries(query_id, content) -> (query_id, rank, doc_id, score).
 
@@ -227,7 +234,8 @@ def search_wand(
     q_terms = query_terms(queries, stem=cfg.stem)
     joined = index.postings.join(F.broadcast(q_terms), "term", "inner")
     return topk_from_joined(
-        joined, index.n_docs, index.avgdl, kk, scoring, cfg.k1, cfg.b, index.block_size
+        joined, index.n_docs, index.avgdl, kk, scoring, cfg.k1, cfg.b, index.block_size,
+        prune=prune,
     )
 
 
@@ -240,6 +248,7 @@ def topk_from_joined(
     k1: float,
     b: float,
     block_size: int,
+    prune: bool = True,
 ) -> DataFrame:
     """Shared kernel application: (query_id, qtf, <compressed posting row>)
     rows -> per-query top-k via :func:`maxscore_topk` (one pandas group per
@@ -273,7 +282,8 @@ def topk_from_joined(
                 }
             )
         doc_ids, scores = maxscore_topk(
-            terms, n_docs, avgdl, kk, scoring=scoring, k1=k1, b=b, block_size=block_size
+            terms, n_docs, avgdl, kk, scoring=scoring, k1=k1, b=b,
+            block_size=block_size, prune=prune,
         )
         return pd.DataFrame(
             {

@@ -298,3 +298,9 @@ def test_maxscore_rank_identical_to_exhaustive(instance):
     )
     np.testing.assert_array_equal(got_docs, want_docs)
     np.testing.assert_allclose(got_scores, exhaustive[want_docs], rtol=1e-9, atol=1e-12)
+    # prune=False (the exhaustive-baseline mode) must agree exactly too
+    full_docs, full_scores = maxscore_topk(
+        kernel_terms, n_docs, avgdl, k, "bm25", k1, b, block_size, prune=False
+    )
+    np.testing.assert_array_equal(full_docs, want_docs)
+    np.testing.assert_allclose(full_scores, exhaustive[want_docs], rtol=1e-9, atol=1e-12)
