@@ -7,8 +7,11 @@ Headline queries:
   * build_web50k    — index build over a 50k-doc synthetic webpages corpus
                       (Common-Crawl-shaped, deterministic seed) incl. dense
                       doc_id assignment; the 100TB-scale path
-  * bm25_web50k     — reference query set over the web index
-  * exact_dedup / ann_cosine_topk / quality_score — training-pipeline ops
+  * bm25_web50k_wand / bm25_web50k — block-max WAND vs same-IO exhaustive
+                      baseline over the web index; bm25_web50k_serve = the
+                      persisted-index serving path (warm, per-batch)
+  * exact_dedup / curate_corpus / quality_score / lang_id / minhash_pairs /
+    simhash_pairs / ann_cosine_topk / ann_ivf_topk — training-pipeline ops
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
