@@ -92,3 +92,34 @@ def test_repl_script_end_to_end(spark, index_root):
     for l in result_lines:
         doc_id, score = l.rstrip("|").split("|")
         int(doc_id); float(score)
+
+
+def test_fts_cli_file_mode(tmp_path):
+    """The reference-flag-compatible one-shot CLI (cli.cpp:12-29,
+    main.cpp:17-86): build, serve a query dir, write <scoring>_result.tbl
+    into it with query|rank|doc_id|score| lines under the file-stem id."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    (qdir / "t1.txt").write_text("dup\ndup value\n")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "fts.py"),
+         "-d", "/root/testdata/sf0.001/documents.parquet",
+         "-a", "inverted", "-s", "bm25", "-n", "3",
+         "-q", str(qdir), "--cpus", "2"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    tbl = qdir / "bm25_result.tbl"
+    assert tbl.is_dir()
+    lines = []
+    for p in sorted(tbl.glob("part*")):
+        lines += p.read_text().splitlines()
+    assert lines, proc.stdout
+    for line in lines:
+        qid, rank, doc_id, score, trailing = line.split("|")
+        assert qid == "t1" and trailing == ""
+        int(rank); int(doc_id); float(score)
