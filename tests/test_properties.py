@@ -304,3 +304,23 @@ def test_maxscore_rank_identical_to_exhaustive(instance):
     )
     np.testing.assert_array_equal(full_docs, want_docs)
     np.testing.assert_allclose(full_scores, exhaustive[want_docs], rtol=1e-9, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized trigram parser vs the per-byte C++ transcription oracle
+# (tests/trigram_oracle.py) — arbitrary byte strings, not just fixtures.
+# ---------------------------------------------------------------------------
+
+_BYTES = st.binary(max_size=120) | st.text(
+    alphabet=st.sampled_from(list("abXZ09$%&+@ .,\t\n!") + ["é", "中"]),
+    max_size=120,
+).map(lambda s: s.encode("utf-8"))
+
+
+@settings(max_examples=300, deadline=None)
+@given(_BYTES)
+def test_trigram_parser_matches_byte_oracle(data):
+    from fulltextsearch_spark.functions.trigram import trigram_values
+    from tests.trigram_oracle import oracle_trigrams
+
+    assert trigram_values(data).tolist() == oracle_trigrams(data)
