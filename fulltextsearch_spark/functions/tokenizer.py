@@ -273,7 +273,11 @@ def term_counts_flat(texts, do_stem: bool = True, memo: dict | None = None):
     dl = np.bincount(d, minlength=n).astype(np.int64)
 
     key = d * nt + c  # doc-major pack; safe: n * nt << 2^63 per batch
-    sk = np.sort(key)
+    # in-place: key is a fresh temporary, and it is already doc-major
+    # (doc_idx is non-decreasing) so the sort itself is near-linear; the
+    # copy np.sort() would make costs more than the sort on this host
+    key.sort()
+    sk = key
     if sk.size:
         bnd = np.flatnonzero(sk[1:] != sk[:-1]) + 1
         starts = np.concatenate(([0], bnd))
