@@ -266,13 +266,21 @@ def term_counts_flat(texts, do_stem: bool = True, memo: dict | None = None):
         [out_terms[j] for j in lex] if out_terms else [], type=pa.string()
     )
 
-    fcodes = mapped[codes]
-    keep = fcodes >= 0
+    # compose the lex re-rank into the unique-token map (tiny domain) so the
+    # big gather below lands directly in rank space — one 8B/token gather
+    # instead of two
+    mapped_rank = np.where(mapped >= 0, rank[np.maximum(mapped, 0)], -1)
+    fr = mapped_rank[codes]
+    keep = fr >= 0
     d = doc_idx[keep]
-    c = rank[fcodes[keep]]
+    c = fr[keep]
     dl = np.bincount(d, minlength=n).astype(np.int64)
 
-    key = d * nt + c  # doc-major pack; safe: n * nt << 2^63 per batch
+    # doc-major pack built in place over d's buffer (d is a fresh gather
+    # output, not needed past this point); safe: n * nt << 2^63 per batch
+    d *= nt
+    d += c
+    key = d
     # in-place: key is a fresh temporary, and it is already doc-major
     # (doc_idx is non-decreasing) so the sort itself is near-linear; the
     # copy np.sort() would make costs more than the sort on this host
