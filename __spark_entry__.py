@@ -681,12 +681,26 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(TOPK)
     )
-    # constant partition key: the window runs over the <=k post-limit rows
-    # either way, but an empty partitionSpec trips WindowExec's
-    # move-all-data warning, which must stay reserved for real regressions
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("sim"), F.asc("vec_id"))
-    return top.withColumn("rank", F.row_number().over(w)).select(
-        F.col("rank").cast("long").alias("rank"), "vec_id", F.round("sim", 4).alias("sim")
+    # rank WITHOUT a window: pack the <=k rows into one array, sort, and
+    # posexplode (rank = pos+1). A global window here — even over k rows —
+    # trips WindowExec's move-all-data warning, which must stay reserved for
+    # real regressions (a lit(0) partition key gets constant-folded away and
+    # does NOT suppress it).
+    cmp = lambda a, b: (  # noqa: E731
+        F.when(a["sim"] > b["sim"], -1)
+        .when(a["sim"] < b["sim"], 1)
+        .when(a["vec_id"] < b["vec_id"], -1)
+        .when(a["vec_id"] > b["vec_id"], 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    packed = top.agg(F.collect_list(F.struct("sim", "vec_id")).alias("xs"))
+    return packed.select(
+        F.posexplode(F.array_sort("xs", cmp)).alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("rank"),
+        F.col("x.vec_id").alias("vec_id"),
+        F.round("x.sim", 4).alias("sim"),
     )
 
 

@@ -1066,7 +1066,14 @@ def _index_from_partials(raw_partials: DataFrame, cfg: EngineConfig) -> Compress
 
 
 def save_compressed_index(index: CompressedIndex, root: str) -> None:
-    """Persist under ``root``: postings clustered by term, stats scalars."""
+    """Persist under ``root``: postings clustered by term, stats scalars.
+
+    Also appends an index-footprint line (bytes on disk per table) to
+    ``{root}/_lineage.jsonl`` — the reference's footprint metric
+    (``fts_engine.hpp:50-60``) re-expressed as durable storage size.
+    """
+    from fulltextsearch_spark.operators.util import record_footprint  # noqa: PLC0415
+
     index.postings.repartition(F.col("term")).sortWithinPartitions("term").write.mode(
         "overwrite"
     ).parquet(f"{root}/postings")
@@ -1076,6 +1083,14 @@ def save_compressed_index(index: CompressedIndex, root: str) -> None:
         [(index.n_docs, index.avgdl, index.block_size, index.k1, index.b)],
         "n_docs LONG, avgdl DOUBLE, block_size LONG, k1 DOUBLE, b DOUBLE",
     ).write.mode("overwrite").parquet(f"{root}/corpus_stats")
+    record_footprint(
+        root,
+        {
+            "postings": f"{root}/postings",
+            "doc_stats": f"{root}/doc_stats",
+            "corpus_stats": f"{root}/corpus_stats",
+        },
+    )
 
 
 def load_compressed_index(spark: SparkSession, root: str) -> CompressedIndex:

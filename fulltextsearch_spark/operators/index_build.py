@@ -45,12 +45,20 @@ class IndexTables:
               sorted by doc_id ascending; dl denormalized into the posting so
               the query path needs no doc_stats join.
     doc_stats: (doc_id BIGINT, dl BIGINT) — one row per document, dl=0 kept.
+
+    ``sharded`` marks postings that may carry one term across several
+    doc-range rows (``cfg.shard_postings``, e.g. a decompressed compressed
+    index): each row's ``df`` is then the per-slice count and scoring must
+    aggregate the term total. :func:`build_index` always produces one row per
+    term, so the query path skips that aggregation unless the constructor
+    says otherwise.
     """
 
     postings: DataFrame
     doc_stats: DataFrame
     n_docs: int
     avgdl: float
+    sharded: bool = False
 
 
 def _tokenized(docs: DataFrame, text_col: str, stem: bool) -> DataFrame:

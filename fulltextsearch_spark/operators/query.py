@@ -47,31 +47,36 @@ def _scored_candidates(
 ) -> DataFrame:
     """(query_id, doc_id, score) — per-(query, doc) accumulated scores.
 
-    Shard-aware: a doc-range-sharded index (``cfg.shard_postings``, e.g. a
-    decompressed :mod:`compressed_index`) carries a head term as several rows
-    whose ``df`` is the per-row slice; idf needs the term total. The totals
-    come from a skinny (term, df) projection (column pruning keeps the
-    postings arrays out of this scan) aggregated only over the broadcast
-    query terms — never a window over rows carrying posting arrays.
+    Shard-aware: a doc-range-sharded index (``index.sharded``, produced via
+    ``cfg.shard_postings`` + :func:`decompress_postings`) carries a head term
+    as several rows whose ``df`` is the per-row slice; idf needs the term
+    total. The totals come from a skinny (term, df) projection (column
+    pruning keeps the postings arrays out of this scan) aggregated only over
+    the broadcast query terms — never a window over rows carrying posting
+    arrays. On the common unsharded index (``build_index`` output) the row's
+    ``df`` IS the term total, so the extra scan + join are skipped entirely.
     """
-    df_tot = (
-        index.postings.select("term", "df")
-        .join(F.broadcast(q_terms.select("term").distinct()), "term")
-        .groupBy("term")
-        .agg(F.sum("df").alias("df_term"))
-    )
-    joined = index.postings.join(F.broadcast(q_terms), "term", "inner").join(
-        F.broadcast(df_tot), "term", "inner"
-    )
+    joined = index.postings.join(F.broadcast(q_terms), "term", "inner")
+    if index.sharded:
+        df_tot = (
+            index.postings.select("term", "df")
+            .join(F.broadcast(q_terms.select("term").distinct()), "term")
+            .groupBy("term")
+            .agg(F.sum("df").alias("df_term"))
+        )
+        joined = joined.drop("df").join(F.broadcast(df_tot), "term", "inner")
+        df_col = F.col("df_term")
+    else:
+        df_col = F.col("df")
     flat = joined.select(
         "query_id",
         "qtf",
-        F.col("df_term").alias("df"),
+        df_col.alias("_df"),
         F.explode("postings").alias("p"),
     ).select(
         "query_id",
         "qtf",
-        "df",
+        F.col("_df").alias("df"),
         F.col("p.doc_id").alias("doc_id"),
         F.col("p.tf").alias("tf"),
         F.col("p.dl").alias("dl"),

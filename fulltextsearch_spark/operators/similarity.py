@@ -23,6 +23,7 @@ Everything numerical is numpy over Arrow batches; bucket routing is JVM-side.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Iterator
 
 import numpy as np
@@ -37,6 +38,8 @@ __all__ = [
     "hyperplane_lsh_buckets",
     "lsh_cosine_topk",
     "ivf_assign",
+    "IVFIndex",
+    "build_ivf",
     "ivf_cosine_topk",
     "embedding_neardup_exact",
 ]
@@ -254,21 +257,20 @@ def _kmeans(sample: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.n
 def _bounded_sample(
     embeddings: DataFrame, vec_col: str, max_rows: int, seed: int
 ) -> np.ndarray:
-    """Driver-side training sample, HARD-bounded to ``max_rows`` rows.
+    """Driver-side training sample, HARD-bounded to ``max_rows`` rows, in ONE
+    incremental job (no ``count()`` pre-pass).
 
-    The fraction is derived from the table count so the expected sample is
-    ~max_rows regardless of corpus size, and a limit() backstop caps the
-    collect even when the sampler over-delivers — the driver never holds
-    more than max_rows vectors no matter how big the table is.
+    ``limit(max_rows + 1)`` short-circuits: CollectLimit scans partitions
+    incrementally and stops once it has enough rows. If the probe came back
+    short, it IS the whole table (the common small-corpus / oracle case,
+    byte-identical to a full collect). Otherwise the table is larger than the
+    cap and the first ``max_rows`` rows train k-means — for a coarse
+    quantizer the front-of-scan bias is irrelevant and the driver never holds
+    more than ~max_rows vectors no matter how big the table is.
     """
-    n = embeddings.count()
-    if n <= max_rows:
-        rows = embeddings.select(vec_col).collect()
-    else:
-        frac = min(1.0, (max_rows * 1.2) / n)  # slight oversample, then cap
-        rows = (
-            embeddings.select(vec_col).sample(False, frac, seed).limit(max_rows).collect()
-        )
+    rows = embeddings.select(vec_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        rows = rows[:max_rows]
     return np.array([r[0] for r in rows], dtype=np.float64)
 
 
@@ -315,6 +317,39 @@ def ivf_assign(
     )
 
 
+@dataclass
+class IVFIndex:
+    """IVF build artifacts: the distributed list assignment + the trained
+    coarse-quantizer centroids. Mirrors :class:`~.vsm.VSMIndex` — train ONCE
+    at build time, reuse across every query batch (re-training k-means per
+    call wastes a sample collect + a full assignment pass each time)."""
+
+    assigned: DataFrame  # (vec_id, list_id)
+    centroids: np.ndarray  # (n_centroids, dim)
+
+
+def build_ivf(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    max_sample_rows: int | None = None,
+    iters: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    persist: bool = True,
+) -> IVFIndex:
+    """Materialize the IVF build artifacts once (persisted assignment +
+    centroids), the artifact-reuse analogue of :func:`~.vsm.build_vsm`."""
+    assigned, cent = ivf_assign(
+        embeddings, n_centroids, max_sample_rows, iters, seed, id_col, vec_col
+    )
+    if persist:
+        from pyspark.storagelevel import StorageLevel  # noqa: PLC0415
+
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    return IVFIndex(assigned=assigned, centroids=cent)
+
+
 def ivf_cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -326,11 +361,19 @@ def ivf_cosine_topk(
     vec_col: str = "embedding",
     q_id_col: str = "query_id",
     q_vec_col: str = "qvec",
+    ivf: IVFIndex | None = None,
 ) -> DataFrame:
-    """Approximate top-k probing the nprobe nearest inverted lists."""
-    assigned, cent = ivf_assign(
-        embeddings, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
-    )
+    """Approximate top-k probing the nprobe nearest inverted lists.
+
+    Pass a prebuilt :class:`IVFIndex` (from :func:`build_ivf`) to reuse the
+    trained quantizer; otherwise one is trained inline for this call.
+    """
+    if ivf is not None:
+        assigned, cent = ivf.assigned, ivf.centroids
+    else:
+        assigned, cent = ivf_assign(
+            embeddings, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
+        )
     qids, qm = _collect_queries(queries, q_id_col, q_vec_col)
     if qids.size == 0:
         return embeddings.sparkSession.createDataFrame(

@@ -21,8 +21,15 @@ trigram_index_engine.cpp``:
   top-k with our deterministic (score DESC, doc_id ASC) tiebreak.
 
 Plan shape mirrors the inverted engine: one Arrow tokenize pass, explode,
-``groupBy(key)`` posting aggregation (Zipf head on trigrams is milder than on
-terms but AQE skew handling stays on), broadcast query join at serve time.
+then the SAME map-side partial-combine + streaming reduce the inverted
+engine's compressed build uses (``_partial_rows``/``_merge_partials`` — the
+key rides as a string; everything else is identical), decompressed back to
+logical posting arrays. No posting list ever materializes as a single JVM
+``collect_list`` array in one task: partials are bounded per map task, the
+reduce encodes in 64k-posting sub-chunks, and ``cfg.shard_postings`` splits
+a surviving head key into bounded doc-range rows exactly like a head term
+(readers sum per-row ``df`` for the key total). Broadcast query join at
+serve time.
 """
 
 from __future__ import annotations
@@ -57,7 +64,9 @@ __all__ = [
 class TrigramIndex:
     """postings: (key BIGINT, df BIGINT,
     postings ARRAY<STRUCT<doc_id BIGINT, tf BIGINT, dl BIGINT>>).
-    ``compactified`` postings have hot keys removed (stop-trigram pruning)."""
+    ``compactified`` postings have hot keys removed (stop-trigram pruning).
+    With ``cfg.shard_postings`` a head key spans several doc-range rows whose
+    ``df`` is the per-slice count (readers sum rows for the key total)."""
 
     postings: DataFrame
     doc_stats: DataFrame
@@ -102,25 +111,19 @@ def build_trigram_index(
         F.col("raw").bitwiseAND(F.lit(~0xFF))
         + F.least(off, F.lit(MAX_WORD_OFFSET - 1))
     ).alias("key")
-    posting = F.struct(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("tf").cast("long").alias("tf"),
-        F.col("dl").cast("long").alias("dl"),
-    )
-
     # stop-trigram pruning (compactify, trigram_index_engine.cpp:36-38)
     # C++: std::clamp(static_cast<uint32_t>(doc_count/(avg+1)), 2U, 10U)
     stop_share = int(np.clip(int(doc_count / (avgdl + 1.0)), 2, 10))
     threshold = doc_count // stop_share
 
-    keyed = flat.select(key, posting.alias("p"))
+    keyed = flat.select(key, "doc_id", "tf", "dl")
     if compactify:
         # Skew safety: hot keys (df above the stop threshold) are exactly the
         # ones compactify discards, so drop them BEFORE any posting list
         # materializes — df comes from a cheap partial-aggregated count and
         # the hot-key set is tiny by definition (high-df keys), so it
         # broadcast-anti-joins without reshuffling the big side. Without
-        # this, a boilerplate trigram at web scale OOMs the collect_list task
+        # this, a boilerplate trigram at web scale bloats the aggregation
         # first and gets filtered only after the fact.
         hot = (
             keyed.groupBy("key")
@@ -129,9 +132,26 @@ def build_trigram_index(
             .select("key")
         )
         keyed = keyed.join(F.broadcast(hot), "key", "left_anti")
-    postings = keyed.groupBy("key").agg(
-        F.sort_array(F.collect_list("p")).alias("postings"),
-        F.count(F.lit(1)).alias("df"),
+
+    # aggregate through the compressed build's partial-combine machinery
+    # (map-side delta+varint partials -> term shuffle -> sub-chunked reduce):
+    # a surviving just-under-threshold key NEVER materializes as one
+    # collect_list array in one task, and cfg.shard_postings splits head
+    # keys into bounded doc-range rows (multi-row keys; df per row is the
+    # slice count, summed by readers). The key travels as a string and is
+    # cast back after the decompress to logical arrays.
+    from fulltextsearch_spark.operators.compressed_index import (  # noqa: PLC0415
+        _merge_partials,
+        _partial_rows,
+        decompress_postings,
+    )
+
+    ktf = keyed.select(
+        F.col("key").cast("string").alias("term"), "doc_id", "tf", "dl"
+    )
+    merged = _merge_partials(_partial_rows(ktf), avgdl if avgdl > 0 else 1.0, cfg)
+    postings = decompress_postings(merged, cfg.block_size).select(
+        F.col("term").cast("long").alias("key"), "df", "postings"
     )
     postings = postings.persist()
 
@@ -174,8 +194,18 @@ def search_trigram(
     q = query_trigrams(spark, queries)
     # lookup probes with the UNCAPPED raw value (reference quirk): join on
     # equality — keys with offset 14 only match query offset exactly 14.
-    joined = index.postings.join(
-        F.broadcast(q), index.postings["key"] == q["raw"], "inner"
+    # Shard-aware df: a head key split into doc-range rows
+    # (cfg.shard_postings) carries per-slice df per row; the key total is the
+    # sum over matched rows — aggregated over the probed keys only (tiny),
+    # never over the whole index.
+    probe_keys = q.select(F.col("raw").alias("key")).distinct()
+    matched = index.postings.join(F.broadcast(probe_keys), "key")
+    df_tot = matched.groupBy("key").agg(F.sum("df").alias("df_key"))
+    joined = (
+        matched.drop("df")
+        .join(F.broadcast(q), matched["key"] == q["raw"], "inner")
+        .join(F.broadcast(df_tot), "key", "inner")
+        .withColumnRenamed("df_key", "df")
     )
     flat = joined.select(
         "query_id", "qtf", "n_q", "df", F.explode("postings").alias("p")
@@ -215,6 +245,8 @@ def save_trigram_index(index: TrigramIndex, root: str) -> None:
     parquet clustered by key so a reload scans exactly the probed rows via
     footer min/max, and the scalar stats ride in a one-row table.
     """
+    from fulltextsearch_spark.operators.util import record_footprint  # noqa: PLC0415
+
     index.postings.repartition(F.col("key")).sortWithinPartitions("key").write.mode(
         "overwrite"
     ).parquet(f"{root}/postings")
@@ -223,6 +255,14 @@ def save_trigram_index(index: TrigramIndex, root: str) -> None:
         [(index.doc_count, index.avgdl, index.stop_threshold)],
         "doc_count LONG, avgdl DOUBLE, stop_threshold LONG",
     ).write.mode("overwrite").parquet(f"{root}/stats")
+    record_footprint(
+        root,
+        {
+            "postings": f"{root}/postings",
+            "doc_stats": f"{root}/doc_stats",
+            "stats": f"{root}/stats",
+        },
+    )
 
 
 def load_trigram_index(spark: SparkSession, root: str) -> TrigramIndex:

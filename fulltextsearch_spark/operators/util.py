@@ -32,3 +32,41 @@ def spread_for_python_kernel(df: DataFrame, min_partitions: int | None = None) -
     if current >= target:
         return df
     return df.repartition(target)
+
+
+def record_footprint(root: str, tables: dict[str, str]) -> dict:
+    """Index size-on-disk metric: sum bytes per saved table, append ONE line
+    to ``{root}/_lineage.jsonl``.
+
+    The Spark analogue of the reference's footprint API
+    (``/root/reference/src/fts_engine.hpp:50-60``,
+    ``inverted_index_engine.cpp:164-188`` — it reports index
+    size/capacity from its in-RAM structures; here the durable truth is
+    parquet bytes on disk). Local/NFS paths only — non-file URI schemes are
+    skipped (object stores report size through their own metadata APIs).
+    """
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    rec: dict = {"stage": "footprint"}
+    for name, path in tables.items():
+        if "://" in path and not path.startswith("file://"):
+            continue
+        p = path.removeprefix("file://")
+        total = 0
+        for dirpath, _, files in os.walk(p):
+            for fn in files:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, fn))
+                except OSError:  # file vanished mid-walk
+                    pass
+        rec[f"{name}_bytes"] = total
+    if "://" not in root or root.startswith("file://"):
+        try:
+            with open(
+                os.path.join(root.removeprefix("file://"), "_lineage.jsonl"), "a"
+            ) as f:
+                f.write(json.dumps(rec) + "\n")
+        except OSError:  # pragma: no cover - read-only store
+            pass
+    return rec

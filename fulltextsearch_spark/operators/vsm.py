@@ -45,9 +45,27 @@ def _idf(df_col, n_docs: int):
     return F.log((F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5) + 1.0)
 
 
+def _term_total_postings(index: IndexTables) -> DataFrame:
+    """Postings with ``df`` guaranteed to be the TERM total.
+
+    A doc-range-sharded index (``index.sharded``) carries a head term across
+    several rows whose ``df`` is the per-slice count; idf needs the total, so
+    re-aggregate from a skinny (term, df) projection and join it back. The
+    common unsharded index passes through untouched.
+    """
+    if not index.sharded:
+        return index.postings
+    df_tot = (
+        index.postings.select("term", "df").groupBy("term").agg(F.sum("df").alias("df"))
+    )
+    return index.postings.drop("df").join(df_tot, "term")
+
+
 def _flat_weights(index: IndexTables) -> DataFrame:
     """(term, df, doc_id, w) — tf-idf weight per posting."""
-    flat = index.postings.select("term", "df", F.explode("postings").alias("p")).select(
+    flat = _term_total_postings(index).select(
+        "term", "df", F.explode("postings").alias("p")
+    ).select(
         "term",
         "df",
         F.col("p.doc_id").alias("doc_id"),
@@ -102,9 +120,12 @@ def search_vsm(
 
     q_terms = query_terms(queries, cfg.stem)
     dft = index.postings.select("term", "df")
+    if index.sharded:
+        dft = dft.groupBy("term").agg(F.sum("df").alias("df"))
     qw = q_terms.join(dft, "term").select(
         "query_id",
         "term",
+        F.col("df").alias("df_term"),
         (F.col("qtf").cast("double") * _idf(F.col("df"), index.n_docs)).alias("qw"),
     )
     qnorm = qw.groupBy("query_id").agg(F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("qnorm"))
@@ -112,13 +133,17 @@ def search_vsm(
     # join BEFORE exploding: only the matched terms' posting arrays unnest
     # (a Generate never sees the unmatched corpus rows); the per-posting
     # weight math is identical to _flat_weights.
+    # df_term rides in on the broadcast query side, so sharded per-row df
+    # never reaches the weight math.
     matched = index.postings.join(F.broadcast(qw), "term").select(
         "query_id",
         "qw",
-        "df",
+        "df_term",
         F.explode("postings").alias("p"),
     )
-    dw = (F.col("p.tf").cast("double") / F.col("p.dl")) * _idf(F.col("df"), index.n_docs)
+    dw = (F.col("p.tf").cast("double") / F.col("p.dl")) * _idf(
+        F.col("df_term"), index.n_docs
+    )
     dots = (
         matched.select(
             "query_id", F.col("p.doc_id").alias("doc_id"), (dw * F.col("qw")).alias("_d")

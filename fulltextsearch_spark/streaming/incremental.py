@@ -12,19 +12,27 @@ living web corpus needs:
   with the engine tokenizer, and appends to ``{root}/delta_tokenized`` plus a
   ``doc_map`` (doc_id <-> url) — exactly-once via the streaming checkpoint +
   idempotent per-batch output paths.
-* :func:`refresh_index` — **affected-terms merge**, not a rebuild: terms
-  touched by the delta get their postings re-aggregated from the full
-  tokenized corpus; untouched terms carry over (their doc_id lists are
-  append-only facts). Corpus stats (N = max_id+1, avgdl) recompute — BM25
-  scores legitimately shift for *all* docs when N/avgdl move, which a posting
-  carry-over handles for free because dl lives in the posting and idf/avgdl
-  are applied at query time. A new index version directory is written and a
-  ``CURRENT`` pointer flips atomically; readers never see a half-written
-  index.
+* :func:`refresh_index` — **delta-append merge**, not a rebuild: the
+  watermark guarantees every delta doc_id is strictly greater than anything
+  already indexed, so delta postings are pure APPENDS per term. Each carried
+  compressed row for an affected term is reinterpreted *metadata-only* as a
+  partial-combine row (its delta+varint blocks ARE valid partial segments —
+  absolutes restart at every block boundary) and merged with the delta's own
+  partial rows through the same reduce the batch build uses; untouched terms
+  carry over byte-identical. The tokenized base corpus is NEVER read again —
+  the refresh touches only (a) the new delta batches and (b) the previous
+  index version (which it must read anyway to write the next version).
+  Corpus stats (N = max_id+1, avgdl) update from the previous version's
+  doc_stats total plus the delta — BM25 scores legitimately shift for *all*
+  docs when N/avgdl move, which the carry-over handles for free because dl
+  lives in the posting and idf/avgdl are applied at query time. A new index
+  version directory is written and a ``CURRENT`` pointer flips atomically;
+  readers never see a half-written index.
 
 At 100 TB the delta-vs-base asymmetry is the whole point: a day of crawl is
-~0.1% of the corpus, so the merge re-aggregates ~the Zipf-weighted term slice
-it touched instead of 10^12 docs.
+~0.1% of the corpus, so the refresh does O(delta + index-copy) work instead
+of re-tokenizing/re-exploding 10^12 docs (the reference can only rebuild,
+``inverted_index_engine.cpp:15-35``).
 """
 
 from __future__ import annotations
@@ -40,7 +48,8 @@ from fulltextsearch_spark.config import DEFAULT_CONFIG, EngineConfig
 from fulltextsearch_spark.functions.tokenizer import term_counts_udf
 from fulltextsearch_spark.operators.compressed_index import (
     CompressedIndex,
-    compress_doc_tf,
+    _merge_partials,
+    _partial_rows_tokenized,
     compress_tokenized,
     load_compressed_index,
     save_compressed_index,
@@ -48,6 +57,14 @@ from fulltextsearch_spark.operators.compressed_index import (
 from fulltextsearch_spark.sources.ingest import assign_dense_doc_ids
 
 __all__ = ["IncrementalIndexer", "refresh_index", "load_current_index"]
+
+
+def _read_watermark_file(root: str) -> dict | None:
+    try:
+        with open(os.path.join(root, "_watermark.json")) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
 
 
 def _current_version(root: str) -> int:
@@ -94,11 +111,7 @@ class IncrementalIndexer:
         return os.path.join(self.root, "_watermark.json")
 
     def _read_watermark(self) -> dict | None:
-        try:
-            with open(self._watermark_path()) as f:
-                return json.load(f)
-        except (OSError, json.JSONDecodeError):
-            return None
+        return _read_watermark_file(self.root)
 
     def _write_watermark(self, wm: dict) -> None:
         tmp = self._watermark_path() + ".tmp"
@@ -133,15 +146,30 @@ class IncrementalIndexer:
         out = os.path.join(self.root, "delta_tokenized", f"batch={batch_id:010d}")
         map_out = os.path.join(self.root, "doc_map", f"batch={batch_id:010d}")
         wm = self._read_watermark() or {"next_offset": self._next_offset(), "batches": {}}
-        # replay idempotence: the batch is durable only once BOTH outputs
-        # exist AND the watermark recorded it (the manifest is written last,
-        # so a crash between the two parquet writes can never mark the batch
-        # done with the doc_map missing).
-        if (
-            str(batch_id) in wm["batches"]
-            and os.path.exists(os.path.join(out, "_SUCCESS"))
-            and os.path.exists(os.path.join(map_out, "_SUCCESS"))
+        # replay idempotence: a batch with BOTH _SUCCESS markers is durable —
+        # reprocessing it would assign fresh (shifted) doc_ids and corrupt
+        # n_docs/avgdl. The manifest is written last, so a crash between the
+        # parquet writes can never look durable with the doc_map missing; a
+        # crash AFTER the writes but BEFORE the manifest (or a root created
+        # before the manifest existed) leaves a durable batch the manifest
+        # doesn't know — ADOPT it: seed its (offset, rows) from its own
+        # parquet instead of re-running it.
+        if os.path.exists(os.path.join(out, "_SUCCESS")) and os.path.exists(
+            os.path.join(map_out, "_SUCCESS")
         ):
+            if str(batch_id) not in wm["batches"]:
+                row = (
+                    self.spark.read.parquet(out)
+                    .agg(
+                        F.min("doc_id").alias("off"),
+                        F.count(F.lit(1)).alias("n"),
+                    )
+                    .collect()[0]
+                )
+                offset, n = int(row["off"] or 0), int(row["n"])
+                wm["batches"][str(batch_id)] = {"offset": offset, "rows": n}
+                wm["next_offset"] = max(int(wm["next_offset"]), offset + n)
+                self._write_watermark(wm)
             return
         t0 = time.perf_counter()
         offset = int(wm["next_offset"])
@@ -209,67 +237,127 @@ def _tokenized_union(spark: SparkSession, root: str) -> DataFrame:
     return out
 
 
+def _compressed_rows_as_partials(postings: DataFrame, block_size: int) -> DataFrame:
+    """Reinterpret compressed index rows as partial-combine rows, METADATA-ONLY.
+
+    A compressed row's streams are already in the partial format
+    (:data:`~fulltextsearch_spark.operators.compressed_index._PARTIAL_FIELDS`):
+    ``doc_ids_enc`` stores an absolute value at every block start and deltas
+    elsewhere — exactly a multi-segment partial with one segment per block —
+    and ``tfs_enc``/``dls_enc`` are plain varint streams that concatenate
+    as-is. No byte is decoded or copied here; the reduce side
+    (``_merge_partials``) re-blocks affected terms once, bounded by those
+    terms' compressed bytes.
+    """
+    nb = F.size("block_first_doc")
+    seg_lens = F.concat(
+        F.array_repeat(F.lit(block_size).cast("long"), nb - F.lit(1)),
+        F.array((F.col("count") - (nb - F.lit(1)) * F.lit(block_size)).cast("long")),
+    )
+    return postings.select(
+        "term",
+        F.element_at("block_first_doc", 1).cast("long").alias("first_doc"),
+        seg_lens.alias("seg_lens"),
+        F.col("doc_ids_enc").alias("doc_bytes"),
+        F.col("tfs_enc").alias("tf_bytes"),
+        F.col("dls_enc").alias("dl_bytes"),
+    )
+
+
 def refresh_index(
     spark: SparkSession, root: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> dict:
-    """Merge the delta into a new index version; flip CURRENT atomically.
+    """Merge new delta batches into a new index version; flip CURRENT atomically.
 
-    Affected-terms strategy: only terms appearing in the delta re-aggregate
-    (from base+delta, so their postings stay globally doc_id-sorted);
-    unaffected term rows are carried over from the previous version as-is.
+    Delta-append strategy: the watermark guarantees delta doc_ids exceed
+    everything already indexed, so per affected term the delta postings are a
+    pure append. Affected carried rows are reinterpreted as partial-combine
+    rows (zero decode) and merged with the delta's partial rows through the
+    standard reduce; unaffected rows carry over as-is (block-max bounds
+    rescaled for the avgdl move). Neither ``base_tokenized`` nor
+    already-merged delta batches are ever read — refresh IO is
+    O(new delta + previous index), not O(corpus).
+
+    Falls back to a full rebuild (reading all tokenized data) on the first
+    materialization, when the watermark manifest is missing, or when
+    (k1, b, block_size) changed (carried block metadata would be unsafe).
     """
     t0 = time.perf_counter()
-    full = _tokenized_union(spark, root)
-    doc_stats = full.select("doc_id", "dl")
-    stats = doc_stats.agg(
-        (F.max("doc_id") + F.lit(1)).alias("n"), F.sum("dl").alias("total")
-    ).collect()[0]
-    n_docs = int(stats["n"])
-    avgdl = float(stats["total"]) / n_docs if n_docs else 0.0
-
-    def _explode(df: DataFrame) -> DataFrame:
-        return df.select(
-            "doc_id",
-            "dl",
-            F.explode(F.arrays_zip(F.col("terms"), F.col("tfs"))).alias("_z"),
-        ).select(
-            "doc_id",
-            F.col("_z.terms").alias("term"),
-            F.col("_z.tfs").cast("long").alias("tf"),
-            "dl",
-        )
-
     delta_path = os.path.join(root, "delta_tokenized")
     prev_version = _current_version(root)
-    have_delta = os.path.isdir(delta_path) and any(
-        f.endswith(".parquet") for _, _, fs in os.walk(delta_path) for f in fs
-    )
+    wm = _read_watermark_file(root)
 
-    carry_safe = True
+    prev = None
+    carry_safe = False
     if prev_version >= 0:
-        prev_probe = load_compressed_index(
+        prev = load_compressed_index(
             spark, os.path.join(root, f"index_v{prev_version:05d}")
         )
         # carried rows keep block-max bounds computed under the PREVIOUS
-        # (k1, b); with different parameters those bounds can under-estimate
-        # and make WAND pruning unsafe (search_wand's cfg assert only sees
-        # the NEW index's stamp). A parameter change forces a full rebuild.
-        carry_safe = prev_probe.k1 == cfg.k1 and prev_probe.b == cfg.b
-
-    if prev_version < 0 or not have_delta or not carry_safe:
-        # first materialization, nothing new, or (k1, b) changed: full build
-        affected_count = -1
-        compressed = compress_tokenized(full, avgdl, cfg)
-    else:
-        delta_terms = (
-            spark.read.parquet(delta_path)
-            .select(F.explode("terms").alias("term"))
-            .distinct()
+        # (k1, b) and the block layout of the previous block_size; with
+        # different parameters the bounds can under-estimate (WAND unsafe)
+        # or the block reinterpretation is wrong. A change forces a rebuild.
+        carry_safe = (
+            prev.k1 == cfg.k1
+            and prev.b == cfg.b
+            and prev.block_size == cfg.block_size
+            and wm is not None
         )
+
+    if not carry_safe:
+        # first materialization, pre-manifest root, or parameters changed:
+        # full build over everything tokenized (base + all delta batches).
+        full = _tokenized_union(spark, root)
+        doc_stats = full.select("doc_id", "dl")
+        stats = doc_stats.agg(
+            (F.max("doc_id") + F.lit(1)).alias("n"), F.sum("dl").alias("total")
+        ).collect()[0]
+        n_docs = int(stats["n"])
+        avgdl = float(stats["total"]) / n_docs if n_docs else 0.0
+        compressed = compress_tokenized(full, avgdl, cfg)
+        affected_count, delta_docs = -1, -1
+    else:
+        # batches already folded into version v satisfy offset < prev.n_docs
+        # (doc_ids are dense and monotone across batches); anything at or
+        # above the previous high-watermark is new.
+        new_batches = sorted(
+            (int(bid), meta)
+            for bid, meta in wm["batches"].items()
+            if int(meta["offset"]) >= prev.n_docs
+        )
+        if not new_batches:
+            return {
+                "version": prev_version,
+                "n_docs": prev.n_docs,
+                "avgdl": prev.avgdl,
+                "affected_terms": 0,
+                "delta_docs": 0,
+                "unchanged": True,
+                "seconds": round(time.perf_counter() - t0, 3),
+            }
+        delta = spark.read.parquet(
+            *(
+                os.path.join(delta_path, f"batch={bid:010d}")
+                for bid, _ in new_batches
+            )
+        ).select("doc_id", "dl", "terms", "tfs")
+        delta_docs = sum(int(m["rows"]) for _, m in new_batches)
+
+        # corpus stats: previous totals + delta totals — exact integer dl
+        # sums, never a base re-scan (prev doc_stats is two skinny columns).
+        prev_total = int(
+            prev.doc_stats.agg(F.sum("dl").alias("t")).collect()[0]["t"] or 0
+        )
+        dstats = delta.agg(
+            (F.max("doc_id") + F.lit(1)).alias("n"), F.sum("dl").alias("total")
+        ).collect()[0]
+        n_docs = max(prev.n_docs, int(dstats["n"] or 0))
+        total = prev_total + int(dstats["total"] or 0)
+        avgdl = float(total) / n_docs if n_docs else 0.0
+        doc_stats = prev.doc_stats.unionByName(delta.select("doc_id", "dl"))
+
+        delta_terms = delta.select(F.explode("terms").alias("term")).distinct()
         affected_count = delta_terms.count()
-        affected_tf = _explode(full).join(F.broadcast(delta_terms), "term")
-        rebuilt = compress_doc_tf(affected_tf, avgdl, cfg)
-        prev = prev_probe
         carried = prev.postings.join(F.broadcast(delta_terms), "term", "left_anti")
         # Carried block_max_tfpart was computed with the OLD avgdl. tfpart is
         # monotone in avgdl with ratio bounded by avgdl_new/avgdl_old (the
@@ -282,6 +370,18 @@ def refresh_index(
         carried = carried.withColumn(
             "block_max_tfpart",
             F.transform("block_max_tfpart", lambda x: x * F.lit(factor)),
+        )
+        # affected terms: carried compressed rows AS partials (no decode)
+        # + delta partials, through the standard partial-combine reduce.
+        # Delta doc_ids all exceed the carried rows' (watermark), so the
+        # reduce's pass-through path concatenates byte streams and only
+        # re-blocks; block-max metadata recomputes under the NEW avgdl.
+        prev_partials = _compressed_rows_as_partials(
+            prev.postings.join(F.broadcast(delta_terms), "term", "inner"),
+            prev.block_size,
+        )
+        rebuilt = _merge_partials(
+            prev_partials.unionByName(_partial_rows_tokenized(delta)), avgdl, cfg
         )
         compressed = carried.unionByName(rebuilt)
 
@@ -302,5 +402,6 @@ def refresh_index(
         "n_docs": n_docs,
         "avgdl": avgdl,
         "affected_terms": affected_count,
+        "delta_docs": delta_docs,
         "seconds": round(time.perf_counter() - t0, 3),
     }

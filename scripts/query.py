@@ -64,6 +64,7 @@ def main() -> None:
             doc_stats=cidx.doc_stats,
             n_docs=cidx.n_docs,
             avgdl=cidx.avgdl,
+            sharded=True,
         )
         results = search(logical, queries, cfg, scoring=args.scoring)
     rows = results.orderBy("query_id", "rank").collect()

@@ -70,6 +70,18 @@ def test_build_resume_and_identity(spark, input_dir, tmp_path):
     assert stages.count("tokenize") == 4 and stages.count("merge") == 1
     assert all("docs_per_sec" in l and "seconds" in l for l in lines)
 
+    # index footprint metric (reference fts_engine.hpp:50-60): every
+    # save_compressed_index appends bytes-on-disk per table to the saved
+    # index's own _lineage.jsonl
+    fp_lines = [
+        json.loads(l)
+        for l in open(os.path.join(root, "index", "_lineage.jsonl"))
+        if json.loads(l).get("stage") == "footprint"
+    ]
+    assert fp_lines, "no footprint record written by save_compressed_index"
+    fp = fp_lines[-1]
+    assert fp["postings_bytes"] > 0 and fp["doc_stats_bytes"] > 0
+
 
 def test_config_change_rebuilds_merge_only(spark, input_dir, tmp_path):
     root = str(tmp_path / "idx_root2")

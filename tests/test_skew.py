@@ -10,6 +10,8 @@ full list — the reduce concatenates byte streams.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import functions as F
 
 from fulltextsearch_spark.config import EngineConfig
@@ -108,6 +110,7 @@ def test_sharded_head_term_query_rank_identical(spark):
         doc_stats=cidx.doc_stats,
         n_docs=cidx.n_docs,
         avgdl=cidx.avgdl,
+        sharded=True,
     )
     ex_sharded = key(search(sharded_logical, qdf, cfg).collect())
     assert wand == ex == ex_sharded
@@ -148,3 +151,61 @@ def test_raw_fused_build_identical_to_two_pass(spark):
     stats_one = sorted((r["doc_id"], r["dl"]) for r in one.doc_stats.collect())
     stats_two = sorted((r["doc_id"], r["dl"]) for r in two.doc_stats.collect())
     assert stats_one == stats_two
+
+
+def test_sharded_trigram_key_rows_bounded(spark):
+    """A head trigram key (df far above cfg.shard_postings) must build as
+    MULTIPLE bounded doc-range rows — never one task holding the full posting
+    list — and sharded serving must be rank- and score-identical to the
+    unsharded build (readers sum per-row df for the key total)."""
+    from pyspark.sql import functions as F
+
+    from fulltextsearch_spark.operators.trigram import (
+        build_trigram_index,
+        search_trigram,
+    )
+
+    rng = random.Random(13)
+    fillers = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    # 'shardme' appears in EVERY doc -> each of its trigram keys has df=300
+    rows = [
+        (
+            i,
+            "shardme "
+            + " ".join(rng.choice(fillers) for _ in range(rng.randint(2, 5)))
+            + " ",
+        )
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING").repartition(8)
+
+    sharded_cfg = EngineConfig(k=10, block_size=8, shard_postings=64)
+    plain_cfg = EngineConfig(k=10, block_size=8)
+    # compactify=False keeps the hot keys — the hardest case for row size
+    idx_sharded = build_trigram_index(spark, docs, sharded_cfg, compactify=False)
+    idx_plain = build_trigram_index(spark, docs, plain_cfg, compactify=False)
+
+    key_sha = (ord("s") << 24) | (ord("h") << 16) | (ord("a") << 8) | 0
+    shards = (
+        idx_sharded.postings.filter(F.col("key") == key_sha)
+        .select("df", F.size("postings").alias("n"))
+        .collect()
+    )
+    assert len(shards) > 1  # actually split into doc-range rows
+    assert sum(r["df"] for r in shards) == 300  # df total = sum of slices
+    assert all(r["n"] == r["df"] for r in shards)
+    #every row bounded: far below the full 300-posting list (cuts happen at
+    # partial-row granularity, so allow ~2x the threshold)
+    assert max(r["n"] for r in shards) <= 2 * 64
+
+    queries = [("q1", "shardme"), ("q2", "alpha shardme"), ("q3", "beta")]
+
+    def key(res):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in res.collect()
+        )
+
+    assert key(search_trigram(idx_sharded, queries, sharded_cfg)) == key(
+        search_trigram(idx_plain, queries, plain_cfg)
+    )

@@ -152,6 +152,85 @@ def test_incremental_stream_and_merge(spark, setup):
     assert restarted._next_offset() == 260
 
 
+def test_refresh_never_rescans_merged_data(spark, tmp_path):
+    """The incremental path reads ONLY the new delta batches + the previous
+    index version. Proof by poisoning: after v0, base_tokenized is created
+    with garbage bytes and the already-merged batch's parquet payloads are
+    overwritten with garbage (keeping _SUCCESS) — any list/read of either
+    would throw. The refresh must still succeed, report delta-only IO, and
+    produce an index value-identical to a from-scratch batch build."""
+    land = str(tmp_path / "land")
+    root = str(tmp_path / "root")
+    _distinct_urls(generate_webpages(spark, 40, seed=61), "h1").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(land, "h1"))
+    indexer = IncrementalIndexer(spark, root, CFG)
+    indexer.start(f"{land}/h*/", WEBPAGES_SCHEMA).awaitTermination(120)
+    s0 = refresh_index(spark, root, CFG)
+    assert s0["version"] == 0 and s0["affected_terms"] == -1
+
+    # poison everything a non-incremental refresh would have to read
+    base = os.path.join(root, "base_tokenized")
+    os.makedirs(base)
+    with open(os.path.join(base, "part-00000.parquet"), "wb") as f:
+        f.write(b"NOT A PARQUET FILE")
+    batch0 = os.path.join(root, "delta_tokenized", "batch=0000000000")
+    for fn in os.listdir(batch0):
+        if fn.endswith(".parquet"):
+            with open(os.path.join(batch0, fn), "wb") as f:
+                f.write(b"GARBAGE AFTER MERGE")
+
+    _distinct_urls(generate_webpages(spark, 30, seed=62), "h2").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(land, "h2"))
+    indexer.start(f"{land}/h*/", WEBPAGES_SCHEMA).awaitTermination(120)
+
+    s1 = refresh_index(spark, root, CFG)
+    assert s1["version"] == 1
+    assert s1["delta_docs"] == 30  # merged exactly the new batch's rows
+    assert s1["affected_terms"] > 0
+    idx = load_current_index(spark, root)
+    assert idx.n_docs == 70
+
+    # value-identical to a from-scratch batch build over all 70 docs
+    corpus_all = spark.read.parquet(f"{land}/h1", f"{land}/h2")
+    doc_map = spark.read.parquet(os.path.join(root, "doc_map"))
+    docs_all = doc_map.join(corpus_all, "url").select("doc_id", "text")
+    assert _results(spark, idx) == _batch_results_with_ids(spark, docs_all)
+
+    # a refresh with nothing new is a no-op (no version bump, no IO storm)
+    s2 = refresh_index(spark, root, CFG)
+    assert s2.get("unchanged") and s2["version"] == 1
+
+
+def test_adopts_durable_batch_missing_from_manifest(spark, tmp_path):
+    """A batch dir with both _SUCCESS markers but absent from the watermark
+    manifest (pre-manifest root, or crash between parquet write and manifest
+    write) is adopted — NOT reprocessed with shifted doc_ids."""
+    land = str(tmp_path / "land")
+    root = str(tmp_path / "root")
+    _distinct_urls(generate_webpages(spark, 25, seed=71), "k1").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(land, "k1"))
+    indexer = IncrementalIndexer(spark, root, CFG)
+    indexer.start(f"{land}/k*/", WEBPAGES_SCHEMA).awaitTermination(120)
+
+    # simulate the crash/migration: manifest lost, outputs durable
+    os.remove(os.path.join(root, "_watermark.json"))
+    corpus = spark.read.parquet(os.path.join(land, "k1"))
+    indexer2 = IncrementalIndexer(spark, root, CFG)
+    indexer2.process_batch(corpus, 0)  # replay of the durable batch
+
+    wm = json.load(open(os.path.join(root, "_watermark.json")))
+    assert wm["next_offset"] == 25  # seeded from the durable batch, not 25+25
+    assert wm["batches"]["0"]["rows"] == 25
+    ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(root, "doc_map")).collect()
+    )
+    assert ids == list(range(25))  # ids unchanged — batch was not reprocessed
+
+
 def test_refresh_with_changed_k1_forces_full_rebuild(spark, tmp_path):
     """Carried rows keep block-max bounds computed under the old (k1, b);
     refresh under different parameters must fall back to a full rebuild so
