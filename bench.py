@@ -138,7 +138,20 @@ def main() -> None:
     server = QueryServer.load(spark, idx_root)
     server.search(QUERY_SET[:1], cfg).collect()  # warm the scan/plan path
     timed("bm25_web50k_serve", lambda: server.search(QUERY_SET, cfg).collect())
-    serve_ms_per_query = round(1000.0 * timings["bm25_web50k_serve"] / len(QUERY_SET), 1)
+    serve_job_ms_per_query = round(
+        1000.0 * timings["bm25_web50k_serve"] / len(QUERY_SET), 1
+    )
+    # interactive fast path: same footer pruning + MaxScore kernel, executed
+    # in-process (no Spark job) — the apples-to-apples number against the
+    # reference's warm in-RAM serving loop. Rank-identity vs the job path is
+    # pinned in tests/test_serving.py; median over reps for timer stability.
+    server.search_local(QUERY_SET[:1], cfg)  # warm: footer manifest + handles
+    reps = []
+    for _ in range(9):
+        t0 = time.perf_counter()
+        server.search_local(QUERY_SET, cfg)
+        reps.append(time.perf_counter() - t0)
+    serve_ms_per_query = round(1000.0 * sorted(reps)[len(reps) // 2] / len(QUERY_SET), 2)
 
     # exhaustive baseline over the SAME compressed rows and join-pushdown IO
     # (prune=False decodes every matched term in full — the fair pruning-
@@ -182,6 +195,7 @@ def main() -> None:
                 "web_docs": WEB_DOCS,
                 "index_docs_per_sec": docs_per_sec,
                 "serve_ms_per_query": serve_ms_per_query,
+                "serve_job_ms_per_query": serve_job_ms_per_query,
                 "cpus": cpus,
             }
         )

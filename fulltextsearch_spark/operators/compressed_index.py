@@ -349,6 +349,26 @@ def _partial_rows_tokenized(with_tc: DataFrame) -> DataFrame:
     )
 
 
+def _open_parquet(path: str):
+    """Open a parquet file for footer/row-group reads on ANY pyarrow.fs-
+    supported store: local paths and ``file://`` URIs go straight to
+    :class:`pyarrow.parquet.ParquetFile`; other URI schemes (s3://, hdfs://,
+    gs://) resolve through ``pyarrow.fs.FileSystem.from_uri`` — they must
+    NOT be mangled into local paths (a stripped-scheme s3 key is not a
+    filesystem path)."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    if "://" in path and not path.startswith("file://"):
+        from pyarrow import fs as pafs  # noqa: PLC0415
+
+        filesystem, inner = pafs.FileSystem.from_uri(path)
+        return pq.ParquetFile(filesystem.open_input_file(inner))
+    local = path.removeprefix("file://")
+    if not local.startswith("/"):
+        local = "/" + local.lstrip("/")
+    return pq.ParquetFile(local)
+
+
 # Sentinel "term" for per-task (doc_id, dl) streams in the fused build.
 # Cannot collide with a real term: tokens consist only of the 67 whitelist
 # chars, and \x00 is a delimiter byte.
@@ -977,30 +997,25 @@ def build_compressed_index_pyfiles(
     first (also true for the JVM scan, which cannot split inside a row
     group either).
     """
-    import pyarrow.parquet as pq  # noqa: PLC0415
-
     stem = cfg.stem
 
     files = sorted(spark.read.parquet(input_path).inputFiles())
-    manifest: list[tuple[str, int, int]] = []  # (local_path, row_group, start_id)
+    manifest: list[tuple[str, int, int]] = []  # (path_or_uri, row_group, start_id)
     acc = 0
     for f in files:
-        local = f[7:] if f.startswith("file://") else f
-        local = "/" + local.lstrip("/") if not local.startswith("/") else local
-        meta = pq.ParquetFile(local).metadata
+        meta = _open_parquet(f).metadata
         for rg in range(meta.num_row_groups):
             n = meta.row_group(rg).num_rows
             if n:
-                manifest.append((local, rg, acc))
+                manifest.append((f, rg, acc))
                 acc += n
 
     par = max(spark.sparkContext.defaultParallelism, 1)
     n_tasks = max(1, min(len(manifest), tasks_per_core * par))
 
     def _map(batches):
-        import pyarrow.parquet as pq  # noqa: PLC0415
-
         from fulltextsearch_spark.functions.tokenizer import term_counts_flat  # noqa: PLC0415
+        from fulltextsearch_spark.operators.compressed_index import _open_parquet  # noqa: PLC0415
 
         packer = _PartialAccumulator()
         doc_parts: list[np.ndarray] = []
@@ -1012,7 +1027,7 @@ def build_compressed_index_pyfiles(
                 rb.column("start_id").to_pylist(),
             ):
                 col = (
-                    pq.ParquetFile(path)
+                    _open_parquet(path)
                     .read_row_group(rg, columns=[text_col])
                     .column(text_col)
                     .combine_chunks()

@@ -6,9 +6,11 @@ dedup canonicalization -> language filter -> quality filter, expressed as a
 single declarative plan so Catalyst fuses everything around one shuffle.
 
 Plan shape (verified via .explain):
-* the ONLY wide operation is the window over ``md5(text)`` that picks the
-  canonical copy of each exact-duplicate group — one hash shuffle of
-  (doc_id, text_hash) scale, the same single shuffle a groupBy-dedup costs;
+* the ONLY wide operation is the window over a MATERIALIZED ``md5(text)``
+  column that picks the canonical copy of each exact-duplicate group — one
+  hash shuffle of (doc_id, text_hash, features) scale (text is projected
+  away map-side, never crossing the exchange), the same single shuffle a
+  groupBy-dedup costs;
 * language ID, word counts, stop-word ratio and chars/word are pure Column
   expressions (:func:`fulltextsearch_spark.operators.textstats.
   language_expr`) computed map-side inside whole-stage codegen — no Python
@@ -61,22 +63,26 @@ def curate_corpus(
     stop_ratio = n_stop.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
     cpw = F.length(text_col).cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
 
-    w = Window.partitionBy(F.md5(F.col(text_col)))
-    canonical = F.col("doc_id") == F.min("doc_id").over(w)
-
     # lang votes materialize as four ints + a double here, BEFORE the
     # md5 shuffle; the winner CASE runs over those plain columns after it.
     # Inlining the CASE directly would duplicate the tokenize subtree ~25x
     # in one projection — a compile- and run-time blowup, since the filter
-    # lambda keeps codegen subexpression elimination out.
+    # lambda keeps codegen subexpression elimination out. The dedup hash is
+    # likewise MATERIALIZED here (16 bytes) and the window partitions on the
+    # column, not the expression — partitioning on md5(text) directly would
+    # force the full text column through the exchange; this way Catalyst
+    # prunes text map-side and the shuffle moves (doc_id, hash, feature)
+    # rows only.
     feats = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.col(text_col),
+        F.md5(F.col(text_col)).alias("_text_hash"),
         n_words.cast("long").alias("n_words"),
         stop_ratio.alias("_stop_ratio"),
         cpw.alias("_cpw"),
         *[expr.alias(name) for name, expr in language_votes(text_col).items()],
-    ).withColumn("_canonical", canonical)
+    )
+    w = Window.partitionBy("_text_hash")
+    feats = feats.withColumn("_canonical", F.col("doc_id") == F.min("doc_id").over(w))
 
     return (
         feats.withColumn("lang", language_from_votes())

@@ -411,6 +411,18 @@ def connected_components(
         prev.unpersist()
         if n_changed == 0:
             break
+    else:
+        # iteration cap hit with labels still moving: the labels are WRONG
+        # (a cluster would keep several "canonical" docs downstream with no
+        # signal). Fail loudly — callers can raise max_iterations or switch
+        # to the large-star/small-star contraction for adversarial chains.
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge after {max_iterations} "
+            f"iterations ({n_changed} labels still changing); raise "
+            "max_iterations (chain diameter exceeds it) before trusting "
+            "component labels"
+        )
     edges.unpersist()
     return comp.select("node", "comp")
 

@@ -23,21 +23,47 @@ the serving path:
 At 100 TB the index is TBs of parquet; this plan still reads only the row
 groups containing the queried terms, which is why serving latency is
 independent of corpus size (modulo posting-list length).
+
+:meth:`QueryServer.search_local` is the interactive fast path: the SAME
+footer-statistics pruning and MaxScore kernel, but executed in-process with
+pyarrow — no Spark job at all, so the per-job scheduler overhead (the whole
+residual latency once the scan reads O(query terms) row groups) disappears.
+This is the standard serving architecture for a Spark-built index: the
+cluster builds and maintains the artifact; a serving tier memory-maps /
+range-reads it directly. Results are rank- and score-identical to
+``search()``/``search_wand`` (pinned by tests). Local/NFS index roots only —
+the Spark path stays the answer for object stores and huge query batches.
 """
 
 from __future__ import annotations
 
 from collections import Counter
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fulltextsearch_spark.config import DEFAULT_CONFIG, EngineConfig
 from fulltextsearch_spark.functions.tokenizer import tokenize
-from fulltextsearch_spark.operators.wand import topk_from_joined
+from fulltextsearch_spark.operators.wand import maxscore_topk, topk_from_joined
 
 __all__ = ["QueryServer"]
+
+# columns the MaxScore kernel needs from a compressed posting row
+_KERNEL_COLS = [
+    "term",
+    "count",
+    "doc_ids_enc",
+    "tfs_enc",
+    "dls_enc",
+    "block_first_doc",
+    "block_off_doc",
+    "block_off_tf",
+    "block_off_dl",
+    "block_max_tfpart",
+    "block_max_tfdl",
+]
 
 
 @dataclass
@@ -51,6 +77,10 @@ class QueryServer:
     block_size: int
     k1: float
     b: float
+    # lazy fast-path state: per-row-group (path, rg, term_min, term_max)
+    # manifest from the parquet footers + open file handles
+    _rg_manifest: list | None = field(default=None, repr=False)
+    _pf_cache: dict = field(default_factory=dict, repr=False)
 
     @classmethod
     def load(cls, spark: SparkSession, root: str) -> "QueryServer":
@@ -107,3 +137,150 @@ class QueryServer:
             cfg.b,
             self.block_size,
         )
+
+    # ------------------------------------------------------------------ #
+    # in-process fast path (no Spark job)                                 #
+    # ------------------------------------------------------------------ #
+
+    def _local_postings_dir(self) -> str:
+        root = self.root
+        if "://" in root and not root.startswith("file://"):
+            raise ValueError(
+                f"search_local needs a local/NFS index root, got {root!r}; "
+                "use search() (the Spark path) for object stores"
+            )
+        return root.removeprefix("file://") + "/postings"
+
+    def _ensure_manifest(self) -> None:
+        """One footer-metadata pass over the postings files: per row group,
+        record the term column's min/max statistics (the writer clusters
+        rows by term, so these prune exactly like the Spark scan's
+        PushedFilters do). O(row groups) driver memory — a few dozen bytes
+        per ~128 MB of index."""
+        if self._rg_manifest is not None:
+            return
+        import os  # noqa: PLC0415
+
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        pdir = self._local_postings_dir()
+        manifest: list[tuple[str, int, str | None, str | None]] = []
+        for fn in sorted(os.listdir(pdir)):
+            if not fn.endswith(".parquet"):
+                continue
+            path = os.path.join(pdir, fn)
+            pf = pq.ParquetFile(path)
+            self._pf_cache[path] = pf
+            # physical (leaf) column index of 'term' — list columns flatten
+            # into multiple leaves, so match on the dotted path
+            pschema = pf.metadata.schema
+            term_idx = next(
+                i for i in range(len(pschema)) if pschema.column(i).path == "term"
+            )
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(term_idx).statistics
+                mn = st.min if st is not None and st.has_min_max else None
+                mx = st.max if st is not None and st.has_min_max else None
+                manifest.append((path, rg, mn, mx))
+        self._rg_manifest = manifest
+
+    def _matched_rows(self, terms: list[str]) -> dict[str, list[dict]]:
+        """Read ONLY the row groups whose [min, max] term range can contain a
+        query term, filter to exact matches, return rows grouped by term."""
+        import bisect  # noqa: PLC0415
+
+        import pyarrow as pa  # noqa: PLC0415
+        import pyarrow.compute as pc  # noqa: PLC0415
+
+        term_set = pa.array(terms, type=pa.string())
+        by_term: dict[str, list[dict]] = {}
+        for path, rg, mn, mx in self._rg_manifest:
+            if mn is not None and mx is not None:
+                i = bisect.bisect_left(terms, mn)
+                if i >= len(terms) or terms[i] > mx:
+                    continue  # no query term inside this row group's range
+            tbl = self._pf_cache[path].read_row_group(rg, columns=_KERNEL_COLS)
+            tbl = tbl.filter(pc.is_in(tbl.column("term"), value_set=term_set))
+            for row in tbl.to_pylist():  # O(query terms x shards) rows
+                by_term.setdefault(row["term"], []).append(row)
+        return by_term
+
+    def search_local(
+        self,
+        queries: list[tuple[str, str]],
+        cfg: EngineConfig = DEFAULT_CONFIG,
+        scoring: str = "bm25",
+        k: int | None = None,
+    ) -> list[tuple[str, int, int, float]]:
+        """[(query_id, content)] -> [(query_id, rank, doc_id, score)] rows,
+        entirely in-process (pyarrow reads + the numpy MaxScore kernel) —
+        rank- and score-identical to :meth:`search` without the per-job
+        scheduler overhead. ``queries`` order is preserved; queries with no
+        matching terms contribute no rows (same as the Spark path)."""
+        if scoring == "bm25" and (cfg.k1 != self.k1 or cfg.b != self.b):
+            raise ValueError(
+                f"index built with (k1={self.k1}, b={self.b}); query config "
+                f"has (k1={cfg.k1}, b={cfg.b}) — rebuild or re-encode"
+            )
+        self._ensure_manifest()
+        parsed = [
+            (qid, Counter(tokenize(content, cfg.stem))) for qid, content in queries
+        ]
+        terms = sorted({t for _, c in parsed for t in c})
+        if not terms:
+            return []
+        by_term = self._matched_rows(terms)
+
+        kk = k if k is not None else cfg.k
+        out: list[tuple[str, int, int, float]] = []
+        for qid, counts in parsed:
+            entries = []
+            for term, qtf in counts.items():
+                trows = by_term.get(term)
+                if not trows:
+                    continue  # find() miss — term drops out
+                df_t = sum(int(r["count"]) for r in trows)  # term-total df
+                for r in trows:  # one entry per doc-range shard row
+                    entries.append(
+                        {
+                            "qtf": int(qtf),
+                            "df": df_t,
+                            "count": int(r["count"]),
+                            "doc_ids_enc": bytes(r["doc_ids_enc"]),
+                            "tfs_enc": bytes(r["tfs_enc"]),
+                            "dls_enc": bytes(r["dls_enc"]),
+                            "block_first_doc": np.asarray(
+                                r["block_first_doc"], dtype=np.int64
+                            ),
+                            "block_off_doc": np.asarray(
+                                r["block_off_doc"], dtype=np.int64
+                            ),
+                            "block_off_tf": np.asarray(
+                                r["block_off_tf"], dtype=np.int64
+                            ),
+                            "block_off_dl": np.asarray(
+                                r["block_off_dl"], dtype=np.int64
+                            ),
+                            "block_max_tfpart": np.asarray(
+                                r["block_max_tfpart"], dtype=np.float64
+                            ),
+                            "block_max_tfdl": np.asarray(
+                                r["block_max_tfdl"], dtype=np.float64
+                            ),
+                        }
+                    )
+            doc_ids, scores = maxscore_topk(
+                entries,
+                self.n_docs,
+                self.avgdl,
+                kk,
+                scoring=scoring,
+                k1=cfg.k1,
+                b=cfg.b,
+                block_size=self.block_size,
+            )
+            out.extend(
+                (qid, rank + 1, int(d), float(s))
+                for rank, (d, s) in enumerate(zip(doc_ids, scores))
+            )
+        return out

@@ -7,10 +7,11 @@ Mirrors the reference's command-line query mode
 sequential ids, and stops on ``!q``; ``src/main.cpp:86-104`` prints each
 result as ``doc_id|score|`` after a per-query latency line).
 
-Serving goes through :class:`fulltextsearch_spark.operators.serving.
-QueryServer` — the saved index stays on disk and each query reads only the
-row groups holding its terms, so the loop stays interactive on arbitrarily
-large corpora.
+Serving goes through :meth:`fulltextsearch_spark.operators.serving.
+QueryServer.search_local` — the saved index stays on disk, each query reads
+only the row groups holding its terms (parquet footer statistics), and the
+scoring kernel runs in-process with no per-query Spark job, so the loop
+answers in milliseconds on arbitrarily large corpora.
 
     python scripts/repl.py --index /path/to/index \
         [--k 10 --scoring bm25 --cpus 8]
@@ -57,13 +58,15 @@ def main() -> int:
         if content == "!q":
             break
         t0 = time.perf_counter()
-        rows = server.search(
+        # in-process fast path: footer-pruned pyarrow reads + the MaxScore
+        # kernel, no per-query Spark job (rank-identical to server.search)
+        rows = server.search_local(
             [(str(count), content)], cfg, scoring=args.scoring, k=args.k
-        ).collect()
+        )
         # reference prints "<query>: <latency ns>" then doc_id|score| lines
         print(f"{content}: {int((time.perf_counter() - t0) * 1e9)}")
-        for r in sorted(rows, key=lambda r: r["rank"]):
-            print(f"{r['doc_id']}|{r['score']:g}|")
+        for _qid, _rank, doc_id, score in sorted(rows, key=lambda r: r[1]):
+            print(f"{doc_id}|{score:g}|")
         count += 1
     spark.stop()
     return 0

@@ -394,9 +394,19 @@ def test_curate_corpus(spark):
         ],
         ["doc_id", "text"],
     )
-    out = {r["doc_id"]: r for r in curate_corpus(docs).collect()}
+    result = curate_corpus(docs)
+    out = {r["doc_id"]: r for r in result.collect()}
     assert sorted(out) == [0, 5]
     assert out[0]["lang"] == "en"
     assert out[0]["n_words"] == 48
     assert out[0]["stop_ratio"] > 0.3
     assert out[5]["chars_per_word"] < 15.0
+
+    # the raw text column must NOT cross the dedup exchange: the window
+    # partitions on the MATERIALIZED md5 column (computed map-side in the
+    # pre-shuffle projection), so the exchange moves (doc_id, hash, features)
+    # rows only
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    exchange_lines = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exchange_lines and all("_text_hash" in l for l in exchange_lines), plan[:3000]
+    assert not any("md5(text" in l for l in exchange_lines)

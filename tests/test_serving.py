@@ -69,6 +69,49 @@ def test_serving_k1_mismatch_rejected(spark, index_root):
         server.search(QUERY_SET, EngineConfig(k1=2.0, b=0.75))
 
 
+def test_search_local_rank_identical(spark, index_root):
+    """The in-process fast path (pyarrow footer pruning + the same MaxScore
+    kernel, no Spark job) must be rank- AND score-identical to the Spark
+    serving path — and to search_wand by transitivity."""
+    server = QueryServer.load(spark, index_root)
+    got = sorted(
+        (q, r, d, round(s, 9)) for q, r, d, s in server.search_local(QUERY_SET, CFG)
+    )
+    want = _key(server.search(QUERY_SET, CFG).collect())
+    assert got == want and len(got) > 0
+    # tfidf scoring takes the same path
+    got_t = sorted(
+        (q, r, d, round(s, 9))
+        for q, r, d, s in server.search_local(QUERY_SET, CFG, scoring="tfidf")
+    )
+    want_t = _key(server.search(QUERY_SET, CFG, scoring="tfidf").collect())
+    assert got_t == want_t and len(got_t) > 0
+
+
+def test_search_local_edge_queries(spark, index_root):
+    server = QueryServer.load(spark, index_root)
+    assert server.search_local([("q6", "the and of"), ("q7", "zzzunknownzzz")], CFG) == []
+    assert server.search_local([], CFG) == []
+    with pytest.raises(ValueError, match="k1"):
+        server.search_local(QUERY_SET, EngineConfig(k1=2.0, b=0.75))
+
+
+def test_search_local_latency(spark, index_root):
+    """The whole point of the fast path: a warm single query completes in
+    milliseconds, not a Spark job's fixed ~100 ms scheduler overhead."""
+    import time
+
+    server = QueryServer.load(spark, index_root)
+    server.search_local(QUERY_SET[:1], CFG)  # warm: footer manifest + handles
+    t0 = time.perf_counter()
+    reps = 20
+    for _ in range(reps):
+        server.search_local(QUERY_SET, CFG)
+    ms_per_query = 1000.0 * (time.perf_counter() - t0) / (reps * len(QUERY_SET))
+    # generous bound for shared CI hosts; typical is well under 5 ms
+    assert ms_per_query < 50, ms_per_query
+
+
 def test_repl_script_end_to_end(spark, index_root):
     """S3: the interactive query loop (reference CommandLineIterator,
     query_iterator.cpp:34-51) over a saved index, driven via piped stdin."""
