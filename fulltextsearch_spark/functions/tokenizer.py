@@ -62,6 +62,25 @@ STOP_WORDS = frozenset(
 # Token = maximal run of the 67 whitelisted ASCII chars (tokenizer_rules.hpp:11).
 _TOKEN_RE = re.compile(r"[0-9a-zA-Z$%&+@]+")
 
+# 256-entry byte tables for the vectorized scan: token-class membership and
+# C-locale tolower (only A-Z change — stemmingtokenizer.cpp:42-47). Built
+# lazily so importing this module does not require numpy.
+_BYTE_TABLES: tuple | None = None
+
+
+def _byte_tables():
+    global _BYTE_TABLES  # noqa: PLW0603
+    if _BYTE_TABLES is None:
+        import numpy as np  # noqa: PLC0415
+
+        cls = np.zeros(256, dtype=bool)
+        cls[list(b"0123456789abcdefghijklmnopqrstuvwxyz"
+                 b"ABCDEFGHIJKLMNOPQRSTUVWXYZ$%&+@")] = True
+        lower = np.arange(256, dtype=np.uint8)
+        lower[65:91] += 32
+        _BYTE_TABLES = (cls, lower)
+    return _BYTE_TABLES
+
 # ASCII-only lowercase map (A-Z -> a-z, everything else untouched).
 _ASCII_LOWER = str.maketrans(
     "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
@@ -177,10 +196,9 @@ def term_counts_batch(texts, do_stem: bool = True, memo: dict | None = None):
     Semantically identical to :func:`tokenize` + per-doc counting (pinned by
     tests/test_tokenizer.py), but the per-TOKEN work runs in C:
 
-    * ``pc.ascii_lower`` = the reference's bytewise C-locale tolower
-      (stemmingtokenizer.cpp:42-47 — only A-Z change);
-    * RE2 ``split_pattern_regex`` on the complement of the 67-char whitelist
-      = maximal whitelist runs (tokenizer_rules.hpp:30-53);
+    * :func:`_split_tokens_np` = bytewise C-locale tolower + maximal
+      whitelist-run split (stemmingtokenizer.cpp:42-47,
+      tokenizer_rules.hpp:30-53) as numpy 256-entry table scans;
     * ``dictionary_encode`` collapses the batch to its unique raw tokens, so
       Python (stop-word check + memoized Snowball stem) touches each unique
       token ONCE per batch instead of every occurrence — on Zipf-distributed
@@ -205,6 +223,70 @@ def term_counts_batch(texts, do_stem: bool = True, memo: dict | None = None):
     return dl, terms_arr, tfs_arr
 
 
+def _split_tokens_np(arr):
+    """Vectorized tokenize-split: StringArray -> (flat lowercased tokens,
+    doc_of_token int64[]).
+
+    A 256-entry byte-class table scan replacing ``pc.ascii_lower`` +
+    ``pc.split_pattern_regex`` (measured ~1.6x faster on web text — the RE2
+    split plus full-string lowercase copy dominated the kernel). Semantics
+    are the reference's byte loop (stemmingtokenizer.cpp:25-61): a token is
+    a maximal run of the 67 whitelisted bytes within one document; all
+    other bytes — including every non-ASCII byte — delimit; only A-Z
+    lowercase. Unlike the regex split this never materializes empty tokens
+    at document edges (the downstream stop-word pass dropped them anyway).
+    """
+    import numpy as np  # noqa: PLC0415
+    import pyarrow as pa  # noqa: PLC0415
+
+    cls_tbl, lower_tbl = _byte_tables()
+    if arr.null_count:
+        arr = arr.fill_null("")
+    bufs = arr.buffers()
+    n = len(arr)
+    if pa.types.is_large_string(arr.type):
+        off = np.frombuffer(bufs[1], dtype=np.int64, count=n + 1, offset=arr.offset * 8)
+    else:
+        off = np.frombuffer(
+            bufs[1], dtype=np.int32, count=n + 1, offset=arr.offset * 4
+        ).astype(np.int64)
+    if bufs[2] is not None:
+        data = np.frombuffer(bufs[2], dtype=np.uint8)
+    else:
+        data = np.empty(0, dtype=np.uint8)
+    lo = int(off[0])
+    buf = data[lo : int(off[-1])]
+    doc_off = off - lo  # doc i spans buf[doc_off[i]:doc_off[i+1]]
+    m = buf.size
+    mask = cls_tbl[buf]
+    # run starts = token byte whose predecessor is not one; document starts
+    # force a break so runs never span documents
+    prev = np.empty(m, dtype=bool)
+    nxt = np.empty(m, dtype=bool)
+    if m:
+        prev[0] = False
+        prev[1:] = mask[:-1]
+        ds = doc_off[:-1]
+        prev[ds[ds < m]] = False
+        nxt[-1] = False
+        nxt[:-1] = mask[1:]
+        de = doc_off[1:] - 1
+        nxt[de[(de >= 0) & (de < m)]] = False
+    s = np.flatnonzero(mask & ~prev)
+    lens = (np.flatnonzero(mask & ~nxt) + 1) - s
+    doc_of = np.searchsorted(doc_off[1:], s, side="right").astype(np.int64)
+    # compact values buffer: token bytes in order, lowercased
+    tokbytes = lower_tbl[buf[mask]]
+    toff = np.zeros(lens.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=toff[1:])
+    flat = pa.Array.from_buffers(
+        pa.large_utf8(),
+        lens.size,
+        [None, pa.py_buffer(toff), pa.py_buffer(np.ascontiguousarray(tokbytes))],
+    )
+    return flat, doc_of
+
+
 def term_counts_flat(texts, do_stem: bool = True, memo: dict | None = None):
     """Flat variant of :func:`term_counts_batch` for fused consumers.
 
@@ -222,20 +304,19 @@ def term_counts_flat(texts, do_stem: bool = True, memo: dict | None = None):
         memo = _shared_memo() if do_stem else {}
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    if not isinstance(texts, pa.Array):
+        texts = pa.array(texts, type=pa.string())
     n = len(texts)
-    empty_list = pa.scalar([], type=pa.list_(pa.string()))
 
-    toks = pc.split_pattern_regex(pc.ascii_lower(texts), pattern="[^0-9a-z$%&+@]+")
-    if toks.null_count:
-        toks = pc.if_else(pc.is_valid(toks), toks, empty_list)
-    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
-    denc = pc.dictionary_encode(pc.list_flatten(toks))
+    flat, doc_idx = _split_tokens_np(texts)
+    denc = pc.dictionary_encode(flat)
     uniq = denc.dictionary.to_pylist()
     codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
 
     # python only over the batch's UNIQUE raw tokens
-    mapped = np.empty(max(len(uniq), 1), dtype=np.int64)
+    # -1-filled: with zero tokens in the batch the loop below never runs
+    # (the old regex split always yielded at least an empty-string token)
+    mapped = np.full(max(len(uniq), 1), -1, dtype=np.int64)
     out_terms: list[str] = []
     tid: dict[str, int] = {}
     for i, t in enumerate(uniq):

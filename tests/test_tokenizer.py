@@ -131,3 +131,43 @@ def test_term_counts_batch_matches_python_tokenizer():
             assert dl[i] == len(toks), (i, t)
             assert dict(zip(terms_py[i], tfs_py[i])) == want, (i, t)
             assert terms_py[i] == sorted(terms_py[i])  # deterministic order
+
+
+def test_split_tokens_np_buffer_layouts():
+    """The byte-table split must be layout-independent: sliced arrays
+    (nonzero ``arr.offset``), ``large_string``, chunked input, nulls at the
+    slice edge, and an all-empty batch all agree with the per-doc
+    tokenizer (raw tokens = tokenize with stemming/stop-wording off, which
+    shares no code with the numpy scan)."""
+    import pyarrow as pa
+
+    from fulltextsearch_spark.functions.tokenizer import _TOKEN_RE, _split_tokens_np
+
+    def raw_tokens(t):
+        return _TOKEN_RE.findall(t.lower()) if isinstance(t, str) else []
+
+    base = [
+        "Edge START token",
+        None,
+        "",
+        "middle DOC two  spaces",
+        "café $5 end+",
+        "tail TOKEN!",
+        "",
+    ]
+
+    def check(arr, texts):
+        flat, doc_of = _split_tokens_np(arr)
+        got: list[list[str]] = [[] for _ in range(len(texts))]
+        for tok, d in zip(flat.to_pylist(), doc_of.tolist()):
+            got[d].append(tok)
+        assert got == [raw_tokens(t) for t in texts]
+
+    plain = pa.array(base, type=pa.string())
+    check(plain, base)
+    # sliced: nonzero offset into both the offsets and values buffers
+    check(plain.slice(2, 4), base[2:6])
+    check(plain.slice(1, 2), base[1:3])  # null at slice start
+    check(pa.array(base, type=pa.large_string()).slice(3), base[3:])
+    check(pa.array([], type=pa.string()), [])
+    check(pa.array(["", "", None], type=pa.string()), ["", "", None])
