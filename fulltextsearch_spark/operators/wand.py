@@ -294,4 +294,16 @@ def topk_from_joined(
             }
         )
 
-    return joined.groupBy("query_id").applyInPandas(_score_group, schema=RESULT_SCHEMA)
+    # inherit the caller's query_id type (string ids from the contract
+    # entries, but numeric ids must not crash the Arrow serializer)
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", joined.schema["query_id"].dataType),
+            T.StructField("rank", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    return joined.groupBy("query_id").applyInPandas(_score_group, schema=schema)

@@ -189,3 +189,17 @@ def test_maxscore_kernel_prunes_blocks():
 def test_maxscore_empty_terms():
     docs, scores = maxscore_topk([], 100, 10.0, 5)
     assert docs.size == 0 and scores.size == 0
+
+
+def test_query_id_type_inherited(spark, cindex):
+    """The top-k output's query_id column follows the caller's type — a
+    numeric id must survive the Arrow pandas-group serializer, not crash
+    against a hardcoded string schema."""
+    qs = spark.createDataFrame([(7, "cat salmon")], "query_id long, content string")
+    res = search_wand(cindex, qs, CFG)
+    assert res.schema["query_id"].dataType.simpleString() == "bigint"
+    rows = res.collect()
+    assert rows and all(r.query_id == 7 for r in rows)
+    qstr = spark.createDataFrame([("q7", "cat salmon")], "query_id string, content string")
+    srows = search_wand(cindex, qstr, CFG).collect()
+    assert [(r.rank, r.doc_id) for r in srows] == [(r.rank, r.doc_id) for r in rows]
