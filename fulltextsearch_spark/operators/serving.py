@@ -77,6 +77,7 @@ class QueryServer:
     block_size: int
     k1: float
     b: float
+    codec: str = "varint"
     # lazy fast-path state: per-row-group (path, rg, term_min, term_max)
     # manifest from the parquet footers + open file handles
     _rg_manifest: list | None = field(default=None, repr=False)
@@ -84,7 +85,8 @@ class QueryServer:
 
     @classmethod
     def load(cls, spark: SparkSession, root: str) -> "QueryServer":
-        stats = spark.read.parquet(f"{root}/corpus_stats").collect()[0]
+        stats_df = spark.read.parquet(f"{root}/corpus_stats")
+        stats = stats_df.collect()[0]
         return cls(
             spark=spark,
             root=root,
@@ -93,6 +95,7 @@ class QueryServer:
             block_size=int(stats["block_size"]),
             k1=float(stats["k1"]),
             b=float(stats["b"]),
+            codec=str(stats["codec"]) if "codec" in stats_df.columns else "varint",
         )
 
     def search(
@@ -136,6 +139,7 @@ class QueryServer:
             cfg.k1,
             cfg.b,
             self.block_size,
+            codec=self.codec,
         )
 
     # ------------------------------------------------------------------ #
@@ -245,6 +249,7 @@ class QueryServer:
                         {
                             "qtf": int(qtf),
                             "df": df_t,
+                            "codec": self.codec,
                             "count": int(r["count"]),
                             "doc_ids_enc": bytes(r["doc_ids_enc"]),
                             "tfs_enc": bytes(r["tfs_enc"]),

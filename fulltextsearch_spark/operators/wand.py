@@ -42,7 +42,11 @@ from pyspark.sql import functions as F
 
 from fulltextsearch_spark.config import DEFAULT_CONFIG, EngineConfig
 from fulltextsearch_spark.operators.compressed_index import CompressedIndex
-from fulltextsearch_spark.operators.compression import varint_decode
+from fulltextsearch_spark.operators.compression import (
+    _pfor_decode_block,
+    pfor_decode,
+    varint_decode,
+)
 from fulltextsearch_spark.operators.query import query_terms
 
 __all__ = ["maxscore_topk", "search_wand", "topk_from_joined"]
@@ -50,7 +54,11 @@ __all__ = ["maxscore_topk", "search_wand", "topk_from_joined"]
 RESULT_SCHEMA = "query_id STRING, rank LONG, doc_id LONG, score DOUBLE"
 
 
-def _decode_all(enc: bytes, n: int) -> np.ndarray:
+def _decode_all(
+    enc: bytes, n: int, codec: str = "varint", offsets: np.ndarray | None = None
+) -> np.ndarray:
+    if codec == "pfor":
+        return pfor_decode(bytes(enc), n, offsets=offsets).astype(np.int64)
     return varint_decode(bytes(enc), n).astype(np.int64)
 
 
@@ -75,10 +83,23 @@ def _decode_blocks(
     """Decode only the given block indices (skip-pointer path)."""
     n = term["count"]
     off_d, off_t, off_l = term["block_off_doc"], term["block_off_tf"], term["block_off_dl"]
+    docs_parts, tf_parts, dl_parts = [], [], []
+    if term.get("codec", "varint") == "pfor":
+        arr_d = np.frombuffer(term["doc_ids_enc"], dtype=np.uint8)
+        arr_t = np.frombuffer(term["tfs_enc"], dtype=np.uint8)
+        arr_l = np.frombuffer(term["dls_enc"], dtype=np.uint8)
+        for j in blocks:
+            deltas = _pfor_decode_block(arr_d, int(off_d[j]))[0].astype(np.int64)
+            docs_parts.append(np.cumsum(deltas))
+            tf_parts.append(_pfor_decode_block(arr_t, int(off_t[j]))[0].astype(np.int64))
+            dl_parts.append(_pfor_decode_block(arr_l, int(off_l[j]))[0].astype(np.int64))
+        if not docs_parts:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.copy(), z.copy()
+        return np.concatenate(docs_parts), np.concatenate(tf_parts), np.concatenate(dl_parts)
     end_d = np.append(off_d[1:], len(term["doc_ids_enc"]))
     end_t = np.append(off_t[1:], len(term["tfs_enc"]))
     end_l = np.append(off_l[1:], len(term["dls_enc"]))
-    docs_parts, tf_parts, dl_parts = [], [], []
     for j in blocks:
         s = j * block_size
         cnt = min(block_size, n - s)
@@ -188,10 +209,11 @@ def maxscore_topk(
             # full decode of this term; union-merge into the accumulator
             nblocks = (t["count"] + block_size - 1) // block_size
             stats["blocks_decoded"] += nblocks
-            deltas = _decode_all(t["doc_ids_enc"], t["count"])
+            cdc = t.get("codec", "varint")
+            deltas = _decode_all(t["doc_ids_enc"], t["count"], cdc, t["block_off_doc"])
             t_docs = _docids_from_deltas(deltas, block_size)
-            t_tfs = _decode_all(t["tfs_enc"], t["count"])
-            t_dls = _decode_all(t["dls_enc"], t["count"])
+            t_tfs = _decode_all(t["tfs_enc"], t["count"], cdc, t["block_off_tf"])
+            t_dls = _decode_all(t["dls_enc"], t["count"], cdc, t["block_off_dl"])
             comp = _tf_component(t_tfs, t_dls, scoring, k1, b, avgdl) * t["w"]
             all_docs = np.union1d(cand_docs, t_docs)
             scores = np.zeros(all_docs.size, dtype=np.float64)
@@ -235,7 +257,7 @@ def search_wand(
     joined = index.postings.join(F.broadcast(q_terms), "term", "inner")
     return topk_from_joined(
         joined, index.n_docs, index.avgdl, kk, scoring, cfg.k1, cfg.b, index.block_size,
-        prune=prune,
+        prune=prune, codec=index.codec,
     )
 
 
@@ -249,6 +271,7 @@ def topk_from_joined(
     b: float,
     block_size: int,
     prune: bool = True,
+    codec: str = "varint",
 ) -> DataFrame:
     """Shared kernel application: (query_id, qtf, <compressed posting row>)
     rows -> per-query top-k via :func:`maxscore_topk` (one pandas group per
@@ -268,6 +291,7 @@ def topk_from_joined(
             terms.append(
                 {
                     "qtf": int(row["qtf"]),
+                    "codec": codec,
                     "df": int(df_t),
                     "count": int(row["count"]),
                     "doc_ids_enc": bytes(row["doc_ids_enc"]),

@@ -60,7 +60,7 @@ def main() -> None:
         results = search_wand(cidx, queries, cfg, scoring=args.scoring)
     else:
         logical = IndexTables(
-            postings=decompress_postings(cidx.postings, cidx.block_size),
+            postings=decompress_postings(cidx.postings, cidx.block_size, cidx.codec),
             doc_stats=cidx.doc_stats,
             n_docs=cidx.n_docs,
             avgdl=cidx.avgdl,

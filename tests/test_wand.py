@@ -203,3 +203,42 @@ def test_query_id_type_inherited(spark, cindex):
     qstr = spark.createDataFrame([("q7", "cat salmon")], "query_id string, content string")
     srows = search_wand(cindex, qstr, CFG).collect()
     assert [(r.rank, r.doc_id) for r in srows] == [(r.rank, r.doc_id) for r in rows]
+
+
+def test_pfor_saved_index_queries_identically(spark, cindex, tmp_path):
+    """save_compressed_index(codec="pfor") re-encodes the posting streams
+    bit-packed; the loaded index must query rank- AND score-identically on
+    every path (WAND, exhaustive, serving Spark path, serving in-process
+    fast path), and the codec must round-trip through corpus_stats."""
+    from fulltextsearch_spark.operators.serving import QueryServer
+
+    roots = {}
+    for codec in ("varint", "pfor"):
+        root = str(tmp_path / f"idx_{codec}")
+        save_compressed_index(cindex, root, codec=codec)
+        roots[codec] = root
+    iv = load_compressed_index(spark, roots["varint"])
+    ip = load_compressed_index(spark, roots["pfor"])
+    assert (iv.codec, ip.codec) == ("varint", "pfor")
+
+    qdf = spark.createDataFrame(
+        [(qid, q) for qid, q in QUERY_SET], ["query_id", "content"]
+    )
+    base = sorted(tuple(r) for r in search_wand(iv, qdf, CFG).collect())
+    assert sorted(tuple(r) for r in search_wand(ip, qdf, CFG).collect()) == base
+    assert (
+        sorted(tuple(r) for r in search_wand(ip, qdf, CFG, prune=False).collect())
+        == base
+    )
+
+    sv = QueryServer.load(spark, roots["varint"])
+    sp = QueryServer.load(spark, roots["pfor"])
+    assert sp.codec == "pfor"
+    qs = list(QUERY_SET)[:4]
+    assert sorted(tuple(r) for r in sp.search(qs, CFG).collect()) == sorted(
+        tuple(r) for r in sv.search(qs, CFG).collect()
+    )
+    for qid, content in qs:
+        assert sp.search_local([(qid, content)], CFG) == sv.search_local(
+            [(qid, content)], CFG
+        )
