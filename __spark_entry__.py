@@ -494,6 +494,54 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_docs(spark, sf_dir))
 
 
+def _lineful_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The testdata text is single-line with no punctuation, so the
+    line-level filter rules would be degenerate on it. Deterministically
+    inject line and sentence structure — replace literal ' the ' with a
+    newline, then literal ' value ' with '. ' — with the exact same two
+    replaces in the DuckDB oracle, so the rules run over real multi-line,
+    multi-sentence shapes on both engines."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit(" the "), F.lit("\n")),
+            F.lit(" value "),
+            F.lit(". "),
+        ).alias("text"),
+    )
+
+
+_LINEFUL_SQL = (
+    "SELECT doc_id, replace(replace(text, ' the ', chr(10)), ' value ', '. ') AS text "
+    "FROM documents"
+)
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op: the Gopher quality heuristics (Rae et al. 2021,
+    A1.1) as per-doc stats + pass gate, pure Column math."""
+    from fulltextsearch_spark.operators.webfilters import gopher_quality
+
+    return gopher_quality(_lineful_docs(spark, sf_dir))
+
+
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op: the C4 page/line cleaning heuristics (Raffel
+    et al. 2020 §2.2) as per-doc stats + pass gate."""
+    from fulltextsearch_spark.operators.webfilters import c4_line_filters
+
+    return c4_line_filters(_lineful_docs(spark, sf_dir))
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op: paragraph-granularity exact dedup stats
+    (keep-first policy of Lee et al. 2022) — one bounded shuffle on the
+    normalized-paragraph key."""
+    from fulltextsearch_spark.operators.webfilters import paragraph_dedup_stats
+
+    return paragraph_dedup_stats(_lineful_docs(spark, sf_dir))
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup: exact character-8-shingle Jaccard pairs over a doc subset (the
     testdata vocabulary is tiny, so an unrestricted shingle join is a
@@ -784,6 +832,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_score": q_quality_score,
+        "gopher_rules": q_gopher_rules,
+        "c4_filters": q_c4_filters,
+        "paragraph_dedup": q_paragraph_dedup,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         "neardup_clusters": q_neardup_clusters,
@@ -1426,6 +1477,101 @@ FROM words
 """,
         "lang_id": _lang_id_sql(),
         "curate_corpus": _curate_sql(),
+        "gopher_rules": r"""
+WITH t AS (
+  SELECT doc_id, replace(replace(text, ' the ', chr(10)), ' value ', '. ') AS text
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS ls
+  FROM t
+),
+m AS (
+  SELECT doc_id,
+    len(ws) AS n_words,
+    coalesce(list_sum(list_transform(ws, w -> length(w))), 0)::DOUBLE
+      / greatest(len(ws), 1) AS mwl,
+    len(regexp_extract_all(text, '#|\.\.\.|…'))::DOUBLE / greatest(len(ws), 1) AS sym,
+    len(list_filter(ls, l -> regexp_matches(l, '^[-*•]')))::DOUBLE
+      / greatest(len(ls), 1) AS bul,
+    len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$')))::DOUBLE
+      / greatest(len(ls), 1) AS ell,
+    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+      / greatest(len(ws), 1) AS alpha,
+    (list_contains(ws, 'the')::INT + list_contains(ws, 'be')::INT
+     + list_contains(ws, 'to')::INT + list_contains(ws, 'of')::INT
+     + list_contains(ws, 'and')::INT + list_contains(ws, 'that')::INT
+     + list_contains(ws, 'have')::INT + list_contains(ws, 'with')::INT) AS nreq
+  FROM feat
+)
+SELECT doc_id::BIGINT AS doc_id,
+  n_words::BIGINT AS n_words,
+  round(mwl, 4) AS mean_word_len,
+  round(sym, 4) AS symbol_ratio,
+  round(bul, 4) AS bullet_line_ratio,
+  round(ell, 4) AS ellipsis_line_ratio,
+  round(alpha, 4) AS alpha_word_ratio,
+  nreq::BIGINT AS n_required_stops,
+  (CASE WHEN n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3 AND 10
+        AND sym <= 0.1 AND bul <= 0.9 AND ell <= 0.3 AND alpha >= 0.8
+        AND nreq >= 2 THEN 1 ELSE 0 END)::BIGINT AS passes
+FROM m
+""",
+        "c4_filters": r"""
+WITH t AS (
+  SELECT doc_id, replace(replace(text, ' the ', chr(10)), ' value ', '. ') AS text
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, text,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS ls
+  FROM t
+),
+m AS (
+  SELECT doc_id,
+    len(ls) AS n_lines,
+    len(list_filter(ls, l -> regexp_matches(l, '[.!?"'']$')
+        AND len(list_filter(regexp_split_to_array(l, '\s+'), x -> x <> '')) >= 3)) AS n_kept,
+    len(regexp_extract_all(text, '[.!?]')) AS n_sent,
+    (lower(text) LIKE '%lorem ipsum%')::INT AS lorem,
+    contains(text, '{')::INT AS brace
+  FROM feat
+)
+SELECT doc_id::BIGINT AS doc_id, n_lines::BIGINT AS n_lines,
+  n_kept::BIGINT AS n_kept_lines, n_sent::BIGINT AS n_sentences,
+  lorem::BIGINT AS has_lorem, brace::BIGINT AS has_brace,
+  (CASE WHEN n_kept >= 1 AND n_sent >= 5 AND lorem = 0 AND brace = 0
+        THEN 1 ELSE 0 END)::BIGINT AS passes
+FROM m
+""",
+        "paragraph_dedup": r"""
+WITH t AS (
+  SELECT doc_id, replace(replace(text, ' the ', chr(10)), ' value ', '. ') AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS paras
+  FROM t
+),
+p AS (
+  SELECT doc_id, unnest(range(1, len(paras) + 1)) AS para_idx, unnest(paras) AS para
+  FROM l
+),
+r AS (
+  SELECT doc_id,
+    (row_number() OVER (PARTITION BY lower(para) ORDER BY doc_id, para_idx) > 1)::INT AS is_dup
+  FROM p
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+  count(r.is_dup)::BIGINT AS n_paras,
+  coalesce(sum(r.is_dup), 0)::BIGINT AS n_dup_paras,
+  round(coalesce(sum(r.is_dup), 0)::DOUBLE / greatest(count(r.is_dup), 1), 4) AS dup_ratio
+FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+GROUP BY d.doc_id
+""",
         "token_count_bpe": r"""
 SELECT doc_id::BIGINT AS doc_id,
        len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::BIGINT AS n_ws_tokens,

@@ -1,0 +1,111 @@
+"""Rule-level semantics of the published web-corpus filters.
+
+Each case pins one clause of the Gopher (Rae et al. 2021, A1.1) or C4
+(Raffel et al. 2020 §2.2) rule sets, or the keep-first paragraph-dedup
+policy, against hand-computed expectations. The sf0.01 hash gate
+(check_contract.py entries gopher_rules / c4_filters / paragraph_dedup)
+covers the same code paths at corpus scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fulltextsearch_spark.operators.webfilters import (
+    c4_line_filters,
+    gopher_quality,
+    paragraph_dedup_stats,
+)
+
+
+def _rows(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+GOOD_TEXT = (
+    "the quick brown fox jumps over that lazy dog and keeps running with "
+    "steady pace to be sure of a good outcome " * 3
+)  # 66 words, has the/that/and/with/to/be/of >= 2 required stops
+
+
+def test_gopher_passes_and_word_stats(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, GOOD_TEXT.strip()),
+            (1, "tiny doc"),  # fails min_words
+            (2, ("ab " * 60).strip()),  # mean word len 2 < 3, no stops
+        ],
+        ["doc_id", "text"],
+    )
+    out = _rows(gopher_quality(docs))
+    assert out[0]["passes"] == 1
+    assert out[0]["n_words"] == 66
+    assert out[0]["n_required_stops"] >= 2
+    assert out[1]["passes"] == 0 and out[1]["n_words"] == 2
+    assert out[2]["passes"] == 0
+    assert out[2]["mean_word_len"] == pytest.approx(2.0)
+
+
+def test_gopher_symbol_bullet_ellipsis_rules(spark):
+    bullet_text = "\n".join(["- item one here"] * 9 + ["a plain closing line"])
+    ellipsis_text = "\n".join(["trailing thought..."] * 2 + ["plain line"])
+    hashy = ("word " * 50).strip() + " " + ("# " * 10).strip()
+    docs = spark.createDataFrame(
+        [(0, bullet_text), (1, ellipsis_text), (2, hashy)], ["doc_id", "text"]
+    )
+    out = _rows(gopher_quality(docs))
+    assert out[0]["bullet_line_ratio"] == pytest.approx(0.9)
+    assert out[1]["ellipsis_line_ratio"] == pytest.approx(2 / 3, abs=1e-4)
+    # 10 '#' over 60 words > 0.1 -> fails the symbol rule
+    assert out[2]["symbol_ratio"] == pytest.approx(10 / 60, abs=1e-4)
+    assert out[2]["passes"] == 0
+    # non-alpha words drag the alphabetic ratio below 0.8 for doc 2
+    assert out[2]["alpha_word_ratio"] == pytest.approx(50 / 60, abs=1e-4)
+
+
+def test_c4_line_and_page_rules(spark):
+    good = "\n".join(
+        ["This line ends properly."] * 3 + ["short."] + ["And one more sentence here!"]
+    )  # 4 kept lines (>=3 words each except 'short.'), 5 sentence marks
+    docs = spark.createDataFrame(
+        [
+            (0, good),
+            (1, good + " lorem ipsum filler"),
+            (2, good + " { code"),
+            (3, "no terminal punctuation on this line at all"),
+            (4, "Too few sentences end here."),
+        ],
+        ["doc_id", "text"],
+    )
+    out = _rows(c4_line_filters(docs))
+    assert out[0]["passes"] == 1
+    assert out[0]["n_kept_lines"] == 4  # 'short.' has < 3 words
+    assert out[0]["n_sentences"] == 5
+    assert out[1]["has_lorem"] == 1 and out[1]["passes"] == 0
+    assert out[2]["has_brace"] == 1 and out[2]["passes"] == 0
+    assert out[3]["n_kept_lines"] == 0 and out[3]["passes"] == 0
+    assert out[4]["n_sentences"] == 1 and out[4]["passes"] == 0
+
+
+def test_paragraph_dedup_keep_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta\ngamma delta"),
+            (1, "ALPHA BETA\nunique one"),  # first para dups doc 0 (case-folded)
+            (2, "gamma delta\ngamma delta"),  # both dup doc 0's second para
+            (3, "   \n  "),  # no non-empty paragraphs
+        ],
+        ["doc_id", "text"],
+    )
+    out = _rows(paragraph_dedup_stats(docs))
+    assert out[0] == {"doc_id": 0, "n_paras": 2, "n_dup_paras": 0, "dup_ratio": 0.0}
+    assert out[1]["n_dup_paras"] == 1 and out[1]["dup_ratio"] == pytest.approx(0.5)
+    assert out[2]["n_dup_paras"] == 2 and out[2]["dup_ratio"] == pytest.approx(1.0)
+    assert out[3] == {"doc_id": 3, "n_paras": 0, "n_dup_paras": 0, "dup_ratio": 0.0}
+
+
+def test_paragraph_dedup_within_doc_order(spark):
+    # duplicate inside ONE doc: first instance kept, second flagged
+    docs = spark.createDataFrame([(7, "same para\nsame para")], ["doc_id", "text"])
+    out = _rows(paragraph_dedup_stats(docs))
+    assert out[7]["n_paras"] == 2 and out[7]["n_dup_paras"] == 1
