@@ -91,19 +91,39 @@ def stop(p: subprocess.Popen) -> None:
             p.kill()
 
 
-def run_level(n_exec: int, corpus: str, docs: int, ecores: int = 2) -> dict:
+def run_level(n_exec: int, corpus: str, docs: int, ecores: int = 2,
+              max_cores: int | None = None) -> dict:
     """One spark-submit against a worker hosting `n_exec` executors of
     `ecores` cores each (worker pinned to n_exec*ecores OS cores)."""
     cores = n_exec * ecores
+    max_cores = max_cores or cores
     worker = start_worker(cores, mem_gb=max(3 * n_exec + 2, 6))
+    evlog = []
+    if os.environ.get("FTS_EVENTLOG"):
+        # stage-level profiling for scaling diagnosis (scripts/stage_profile.py)
+        evdir = "/tmp/fts-events"
+        os.makedirs(evdir, exist_ok=True)
+        evlog = ["--conf", "spark.eventLog.enabled=true",
+                 "--conf", f"spark.eventLog.dir=file://{evdir}"]
     try:
         out = subprocess.run(
             [SPARK_SUBMIT, "--master", MASTER_URL,
+             *evlog,
              "--conf", f"spark.executor.cores={ecores}",
              "--conf", "spark.executor.memory=3g",
              "--conf", "spark.driver.memory=6g",
              "--conf", "spark.driver.host=127.0.0.1",
-             "--conf", f"spark.sql.shuffle.partitions={cores}",
+             # identical task geometry at BOTH levels (sized for the larger
+             # one), as a real N-vs-4N comparison would run the same job:
+             # otherwise AQE's parallelism-first coalescing gives the two
+             # levels different plans (4 vs 8 map tasks, 1 vs 4 reduce
+             # partitions measured at 1-vs-4 executors) and the small level
+             # pays fewer per-task Python-worker/Arrow fixed costs, which
+             # understates scaling.
+             "--conf", f"spark.sql.shuffle.partitions={max_cores}",
+             "--conf", f"spark.sql.files.minPartitionNum={max_cores}",
+             "--conf", f"spark.default.parallelism={max_cores}",
+             "--conf", "spark.sql.adaptive.coalescePartitions.parallelismFirst=false",
              "--conf", "spark.sql.adaptive.enabled=true",
              "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
              "--conf", "spark.ui.enabled=false",
@@ -146,7 +166,8 @@ def main() -> None:
     try:
         for rep in range(args.repeat):
             for cores in levels:
-                r = run_level(cores, corpus, args.docs, args.executor_cores)
+                r = run_level(cores, corpus, args.docs, args.executor_cores,
+                              max_cores=max(levels) * args.executor_cores)
                 r["rep"] = rep
                 all_runs.append(r)
                 print(json.dumps({k: v for k, v in r.items() if k != "results"}), flush=True)
