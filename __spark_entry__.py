@@ -525,6 +525,15 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality(_lineful_docs(spark, sf_dir))
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op: the Gopher repetition-removal rules (Rae et
+    al. 2021, Table A1) — within-doc duplicate line fractions plus top/
+    duplicated word n-gram character fractions, zero-shuffle Column math."""
+    from fulltextsearch_spark.operators.webfilters import gopher_repetition
+
+    return gopher_repetition(_lineful_docs(spark, sf_dir))
+
+
 def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-pipeline op: the C4 page/line cleaning heuristics (Raffel
     et al. 2020 §2.2) as per-doc stats + pass gate."""
@@ -833,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "quality_score": q_quality_score,
         "gopher_rules": q_gopher_rules,
+        "gopher_repetition": q_gopher_repetition,
         "c4_filters": q_c4_filters,
         "paragraph_dedup": q_paragraph_dedup,
         "lang_id": q_lang_id,
@@ -1517,6 +1527,103 @@ SELECT doc_id::BIGINT AS doc_id,
   (CASE WHEN n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3 AND 10
         AND sym <= 0.1 AND bul <= 0.9 AND ell <= 0.3 AND alpha >= 0.8
         AND nreq >= 2 THEN 1 ELSE 0 END)::BIGINT AS passes
+FROM m
+""",
+        "gopher_repetition": r"""
+WITH t AS (
+  SELECT doc_id, replace(replace(text, ' the ', chr(10)), ' value ', '. ') AS text
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS ls
+  FROM t
+),
+bstats AS (
+  SELECT doc_id,
+    len(ls) AS n_lines,
+    len(ls) - len(list_distinct(ls)) AS n_dup_lines,
+    coalesce(list_sum(list_transform(ls, l -> length(l))), 0) AS line_chars,
+    length(array_to_string(ws, ' ')) AS total_chars
+  FROM base
+),
+lc AS (
+  SELECT doc_id, l, count(*) AS c
+  FROM (SELECT doc_id, unnest(ls) AS l FROM base)
+  GROUP BY doc_id, l
+),
+ldc AS (
+  SELECT doc_id, sum((c - 1) * length(l)) AS dup_line_chars
+  FROM lc WHERE c > 1 GROUP BY doc_id
+),
+ng AS (
+  SELECT doc_id, ns.n AS n,
+    unnest(list_transform(range(1, greatest(len(ws) - ns.n + 2, 1)),
+           i -> array_to_string(ws[i:i+ns.n-1], ' '))) AS g
+  FROM base, (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) AS ns(n)
+),
+cnt AS (SELECT doc_id, n, g, count(*) AS c FROM ng GROUP BY doc_id, n, g),
+st AS (
+  SELECT doc_id, n, max(c) AS top_c,
+    coalesce(sum(CASE WHEN c > 1 THEN (c - 1) * length(g) END), 0) AS dupch
+  FROM cnt GROUP BY doc_id, n
+),
+tg AS (
+  SELECT c.doc_id, c.n, min(c.g) AS top_g
+  FROM cnt c JOIN st ON c.doc_id = st.doc_id AND c.n = st.n AND c.c = st.top_c
+  GROUP BY c.doc_id, c.n
+),
+pern AS (
+  SELECT st.doc_id, st.n,
+    CASE WHEN st.top_c > 1 THEN st.top_c * length(tg.top_g) ELSE 0 END AS topch,
+    st.dupch
+  FROM st JOIN tg ON st.doc_id = tg.doc_id AND st.n = tg.n
+),
+piv AS (
+  SELECT doc_id,
+    max(CASE WHEN n = 2 THEN topch END) AS top2,
+    max(CASE WHEN n = 3 THEN topch END) AS top3,
+    max(CASE WHEN n = 4 THEN topch END) AS top4,
+    max(CASE WHEN n = 5 THEN dupch END) AS dup5,
+    max(CASE WHEN n = 6 THEN dupch END) AS dup6,
+    max(CASE WHEN n = 7 THEN dupch END) AS dup7,
+    max(CASE WHEN n = 8 THEN dupch END) AS dup8,
+    max(CASE WHEN n = 9 THEN dupch END) AS dup9,
+    max(CASE WHEN n = 10 THEN dupch END) AS dup10
+  FROM pern GROUP BY doc_id
+),
+m AS (
+  SELECT b.doc_id, b.n_lines,
+    b.n_dup_lines::DOUBLE / greatest(b.n_lines, 1) AS dlf,
+    coalesce(ldc.dup_line_chars, 0)::DOUBLE / greatest(b.line_chars, 1) AS dlcf,
+    coalesce(piv.top2, 0)::DOUBLE / greatest(b.total_chars, 1) AS t2,
+    coalesce(piv.top3, 0)::DOUBLE / greatest(b.total_chars, 1) AS t3,
+    coalesce(piv.top4, 0)::DOUBLE / greatest(b.total_chars, 1) AS t4,
+    coalesce(piv.dup5, 0)::DOUBLE / greatest(b.total_chars, 1) AS d5,
+    coalesce(piv.dup6, 0)::DOUBLE / greatest(b.total_chars, 1) AS d6,
+    coalesce(piv.dup7, 0)::DOUBLE / greatest(b.total_chars, 1) AS d7,
+    coalesce(piv.dup8, 0)::DOUBLE / greatest(b.total_chars, 1) AS d8,
+    coalesce(piv.dup9, 0)::DOUBLE / greatest(b.total_chars, 1) AS d9,
+    coalesce(piv.dup10, 0)::DOUBLE / greatest(b.total_chars, 1) AS d10
+  FROM bstats b LEFT JOIN ldc USING (doc_id) LEFT JOIN piv USING (doc_id)
+)
+SELECT doc_id::BIGINT AS doc_id, n_lines::BIGINT AS n_lines,
+  round(dlf, 4) AS dup_line_frac,
+  round(dlcf, 4) AS dup_line_char_frac,
+  round(t2, 4) AS top_2gram_char_frac,
+  round(t3, 4) AS top_3gram_char_frac,
+  round(t4, 4) AS top_4gram_char_frac,
+  round(d5, 4) AS dup_5gram_char_frac,
+  round(d6, 4) AS dup_6gram_char_frac,
+  round(d7, 4) AS dup_7gram_char_frac,
+  round(d8, 4) AS dup_8gram_char_frac,
+  round(d9, 4) AS dup_9gram_char_frac,
+  round(d10, 4) AS dup_10gram_char_frac,
+  (CASE WHEN dlf <= 0.30 AND dlcf <= 0.20 AND t2 <= 0.20 AND t3 <= 0.18
+        AND t4 <= 0.16 AND d5 <= 0.15 AND d6 <= 0.14 AND d7 <= 0.13
+        AND d8 <= 0.12 AND d9 <= 0.11 AND d10 <= 0.10
+        THEN 1 ELSE 0 END)::BIGINT AS passes
 FROM m
 """,
         "c4_filters": r"""

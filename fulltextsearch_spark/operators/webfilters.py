@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "GOPHER_REQUIRED_STOPS",
     "gopher_quality",
+    "gopher_repetition",
     "c4_line_filters",
     "paragraph_dedup_stats",
 ]
@@ -121,6 +122,161 @@ def gopher_quality(
         F.round(ellipsis_ratio, 4).alias("ellipsis_line_ratio"),
         F.round(alpha_ratio, 4).alias("alpha_word_ratio"),
         n_req.cast("long").alias("n_required_stops"),
+        passes.cast("long").alias("passes"),
+    )
+
+
+def _sorted_adjacent_dup_chars(arr):
+    """Chars in every non-first occurrence of a repeated element of ``arr``.
+
+    Fold over the sorted array comparing neighbours — per-row Column math,
+    no explode, no shuffle. Equivalent to SUM((cnt-1) * length(elem)) over
+    the element multiset.
+    """
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("dupch"),
+    )
+    return F.aggregate(
+        F.array_sort(arr),
+        zero,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            (
+                acc["dupch"]
+                + F.when(acc["prev"].eqNullSafe(x), F.length(x)).otherwise(F.lit(0))
+            ).alias("dupch"),
+        ),
+        lambda acc: acc["dupch"],
+    )
+
+
+def _ngram_rep_stats(ws, n: int):
+    """(top_chars, dup_chars) for word ``n``-grams of the word array ``ws``.
+
+    ``top_chars``  = count x char-length of the most frequent n-gram (the
+    space-joined string), 0 when nothing repeats; count x length does NOT
+    collapse overlapping occurrences, matching the standard public
+    reimplementations of the rule. Ties on count pick the lexicographically
+    smallest n-gram (the fold keeps the first run of the sorted array on a
+    strict ``>``), which an oracle mirrors as MIN(gram) among max-count
+    groups. ``dup_chars`` = chars in every occurrence beyond the first of
+    each repeated n-gram.
+
+    One fold over the sorted per-row array: embarrassingly parallel, whole
+    row pipeline stays a projection.
+    """
+    ngrams = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top_c"),
+        F.lit(None).cast("string").alias("top_g"),
+        F.lit(0).cast("long").alias("dupch"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"].eqNullSafe(x)
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        better = run > acc["top_c"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["top_c"]).alias("top_c"),
+            F.when(better, x).otherwise(acc["top_g"]).alias("top_g"),
+            (acc["dupch"] + F.when(same, F.length(x)).otherwise(F.lit(0))).alias("dupch"),
+        )
+
+    acc = F.aggregate(F.array_sort(ngrams), zero, step)
+    top_chars = (
+        F.when(acc["top_c"] > 1, acc["top_c"] * F.length(acc["top_g"]))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return top_chars, acc["dupch"].cast("long")
+
+
+# Rae et al. 2021 Table A1 thresholds, keyed by output column.
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def gopher_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher repetition-removal rules (Rae et al. 2021, appendix A1.1,
+    Table A1) as per-doc stats + pass gate — the within-document complement
+    of :func:`gopher_quality`.
+
+    Per document: fraction of duplicate lines and of characters inside
+    duplicate lines; fraction of characters inside the most frequent word
+    {2,3,4}-gram; fraction of characters inside duplicated word
+    {5..10}-grams (all occurrences beyond the first of each repeated
+    n-gram). Denominators: line fractions use the summed length of trimmed
+    non-empty lines; n-gram fractions use the length of the space-joined
+    word string (content chars, single spaces). Character fractions count
+    ``count x length`` without collapsing overlapping occurrences, as in
+    the standard public reimplementations.
+
+    Scale notes (100 TB): every column is a fold/projection over per-row
+    arrays — zero shuffles, no Python, filters and ``text`` pushed to the
+    scan. All nine n-gram folds run in the one projection.
+
+    ``passes`` conjoins Table A1's thresholds
+    (:data:`GOPHER_REPETITION_THRESHOLDS`).
+    """
+    ws = _words(text_col)
+    lines = _lines(text_col)
+    n_lines = F.size(lines)
+    line_chars = F.aggregate(
+        F.transform(lines, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    n_dup_lines = n_lines - F.size(F.array_distinct(lines))
+    dup_line_chars = _sorted_adjacent_dup_chars(lines)
+    total_chars = F.length(F.concat_ws(" ", ws))
+
+    dup_line_frac = n_dup_lines.cast("double") / F.greatest(n_lines, F.lit(1))
+    dup_line_char_frac = dup_line_chars.cast("double") / F.greatest(line_chars, F.lit(1))
+
+    fracs: dict[str, object] = {
+        "dup_line_frac": dup_line_frac,
+        "dup_line_char_frac": dup_line_char_frac,
+    }
+    for n in (2, 3, 4):
+        top_chars, _ = _ngram_rep_stats(ws, n)
+        fracs[f"top_{n}gram_char_frac"] = top_chars.cast("double") / F.greatest(
+            total_chars, F.lit(1)
+        )
+    for n in range(5, 11):
+        _, dup_chars = _ngram_rep_stats(ws, n)
+        fracs[f"dup_{n}gram_char_frac"] = dup_chars.cast("double") / F.greatest(
+            total_chars, F.lit(1)
+        )
+
+    passes = None
+    for name, thr in GOPHER_REPETITION_THRESHOLDS.items():
+        cond = fracs[name] <= thr
+        passes = cond if passes is None else (passes & cond)
+
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_lines.cast("long").alias("n_lines"),
+        *[F.round(expr, 4).alias(name) for name, expr in fracs.items()],
         passes.cast("long").alias("passes"),
     )
 

@@ -14,6 +14,7 @@ import pytest
 from fulltextsearch_spark.operators.webfilters import (
     c4_line_filters,
     gopher_quality,
+    gopher_repetition,
     paragraph_dedup_stats,
 )
 
@@ -102,6 +103,60 @@ def test_paragraph_dedup_keep_first(spark):
     assert out[1]["n_dup_paras"] == 1 and out[1]["dup_ratio"] == pytest.approx(0.5)
     assert out[2]["n_dup_paras"] == 2 and out[2]["dup_ratio"] == pytest.approx(1.0)
     assert out[3] == {"doc_id": 3, "n_paras": 0, "n_dup_paras": 0, "dup_ratio": 0.0}
+
+
+def test_gopher_repetition_clean_doc_passes(spark):
+    docs = spark.createDataFrame(
+        [(0, "one two three four five six seven eight nine ten")],
+        ["doc_id", "text"],
+    )
+    out = _rows(gopher_repetition(docs))
+    r = out[0]
+    assert r["passes"] == 1
+    assert r["n_lines"] == 1
+    for col, v in r.items():
+        if col.endswith("_frac"):
+            assert v == 0.0, col
+
+
+def test_gopher_repetition_top_ngram(spark):
+    # "spam ham " * 10 -> 20 words; 2-grams: "spam ham" x10, "ham spam" x9.
+    # top = 10 * len("spam ham")=8 over 89 joined content chars.
+    docs = spark.createDataFrame([(0, ("spam ham " * 10).strip())], ["doc_id", "text"])
+    r = _rows(gopher_repetition(docs))[0]
+    assert r["top_2gram_char_frac"] == pytest.approx(80 / 89, abs=1e-4)
+    assert r["passes"] == 0
+
+
+def test_gopher_repetition_duplicate_lines(spark):
+    text = "line one text\nline one text\nother content here"
+    r = _rows(gopher_repetition(spark.createDataFrame([(0, text)], ["doc_id", "text"])))[0]
+    assert r["n_lines"] == 3
+    assert r["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-4)
+    # 13 chars of the second "line one text" over 13+13+18 line chars
+    assert r["dup_line_char_frac"] == pytest.approx(13 / 44, abs=1e-4)
+    assert r["passes"] == 0
+
+
+def test_gopher_repetition_dup_5gram_and_tiebreak(spark):
+    words = "alpha beta gamma delta epsilon x1 x2 alpha beta gamma delta epsilon"
+    r = _rows(gopher_repetition(spark.createDataFrame([(0, words)], ["doc_id", "text"])))[0]
+    total = len(words)  # joined = input (single spaces): 67 chars
+    # the 5-gram "alpha beta gamma delta epsilon" repeats once -> its 30
+    # chars counted for the occurrence beyond the first
+    assert r["dup_5gram_char_frac"] == pytest.approx(30 / total, abs=1e-4)
+    # four 2-grams tie at count 2; lexicographic min "alpha beta" (10 chars)
+    assert r["top_2gram_char_frac"] == pytest.approx(2 * 10 / total, abs=1e-4)
+    # no 6-gram repeats
+    assert r["dup_6gram_char_frac"] == 0.0
+    assert r["passes"] == 0
+
+
+def test_gopher_repetition_short_doc_edge(spark):
+    # fewer words than n: every n-gram array is empty, fracs all 0
+    r = _rows(gopher_repetition(spark.createDataFrame([(0, "solo")], ["doc_id", "text"])))[0]
+    assert r["passes"] == 1
+    assert r["top_2gram_char_frac"] == 0.0 and r["dup_10gram_char_frac"] == 0.0
 
 
 def test_paragraph_dedup_within_doc_order(spark):
