@@ -551,6 +551,60 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup_stats(_lineful_docs(spark, sf_dir))
 
 
+def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic messy URLs from doc_id (the testdata has no url
+    column). Pair (2g, 2g+1) spells the SAME page two ways: variant 1
+    uppercases scheme+host and adds the default port, a trailing slash,
+    tracking params, swapped param order, and a fragment; groups with
+    g%3==0 also give variant 1 a real extra param (page=2) so it stays a
+    distinct page. Mirrored literally in the oracle SQL."""
+    g = F.expr("doc_id DIV 2")
+    v = F.col("doc_id") % 2
+    kind = g % 2
+    scheme = F.when(kind == 0, F.lit("http")).otherwise(F.lit("https"))
+    port = F.when(kind == 0, F.lit(":80")).otherwise(F.lit(":443"))
+    tld = (
+        F.when(g % 4 == 0, F.lit(".com"))
+        .when(g % 4 == 1, F.lit(".org"))
+        .when(g % 4 == 2, F.lit(".co.uk"))
+        .otherwise(F.lit(".net"))
+    )
+    host = F.concat(F.lit("www.site"), (g % 37).cast("string"), tld)
+    path = F.concat(F.lit("/docs/item"), (g % 41).cast("string"))
+    extra = F.when(g % 3 == 0, F.lit("&page=2")).otherwise(F.lit(""))
+    url0 = F.concat(scheme, F.lit("://"), host, path, F.lit("?a=1&b=2"))
+    url1 = F.concat(
+        F.upper(scheme),
+        F.lit("://"),
+        F.upper(host),
+        port,
+        path,
+        F.lit("/?b=2&a=1&utm_source=feed&fbclid=x9"),
+        extra,
+        F.lit("#sec"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.when(v == 0, url0).otherwise(url1).alias("url")
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op: URL normalization (case/port/fragment/tracking-
+    param/param-order/trailing-slash canonicalization) + keep-first dedup
+    per normalized URL — one shuffle on the normalized-URL hash."""
+    from fulltextsearch_spark.operators.urltools import url_dedup
+
+    return url_dedup(_url_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op: registered-domain extraction (public-suffix
+    approximation) + per-domain document cap, keeping the lowest doc_ids."""
+    from fulltextsearch_spark.operators.urltools import domain_caps
+
+    return domain_caps(_url_docs(spark, sf_dir), max_per_domain=3).orderBy("doc_id")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup: exact character-8-shingle Jaccard pairs over a doc subset (the
     testdata vocabulary is tiny, so an unrestricted shingle join is a
@@ -845,6 +899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "c4_filters": q_c4_filters,
         "paragraph_dedup": q_paragraph_dedup,
+        "url_dedup": q_url_dedup,
+        "domain_caps": q_domain_caps,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         "neardup_clusters": q_neardup_clusters,
@@ -1678,6 +1734,104 @@ SELECT d.doc_id::BIGINT AS doc_id,
   round(coalesce(sum(r.is_dup), 0)::DOUBLE / greatest(count(r.is_dup), 1), 4) AS dup_ratio
 FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
 GROUP BY d.doc_id
+""",
+        "url_dedup": r"""
+WITH p AS (
+  SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS v FROM documents
+),
+parts AS (
+  SELECT doc_id, v,
+    CASE WHEN g % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
+    CASE WHEN g % 2 = 0 THEN ':80' ELSE ':443' END AS port,
+    'www.site' || (g % 37) || (CASE g % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                               WHEN 2 THEN '.co.uk' ELSE '.net' END) AS host,
+    '/docs/item' || (g % 41) AS path,
+    CASE WHEN g % 3 = 0 THEN '&page=2' ELSE '' END AS extra
+  FROM p
+),
+urls AS (
+  SELECT doc_id,
+    CASE WHEN v = 0
+      THEN scheme || '://' || host || path || '?a=1&b=2'
+      ELSE upper(scheme) || '://' || upper(host) || port || path ||
+           '/?b=2&a=1&utm_source=feed&fbclid=x9' || extra || '#sec'
+    END AS url
+  FROM parts
+),
+ext AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS auth0,
+    regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path0,
+    regexp_extract(url, '\?([^#]*)', 1) AS q
+  FROM urls
+),
+n2 AS (
+  SELECT doc_id, scheme,
+    CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+         ELSE auth0 END AS auth,
+    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+    array_to_string(list_sort(list_filter(string_split(q, '&'),
+        x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*=|gclid=|fbclid=|ref=)'))), '&') AS qs
+  FROM ext
+),
+normed AS (
+  SELECT doc_id,
+    scheme || '://' || auth || path || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS url_norm
+  FROM n2
+)
+SELECT doc_id::BIGINT AS doc_id, url_norm,
+  (count(*) OVER (PARTITION BY url_norm))::BIGINT AS group_size,
+  (CASE WHEN row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) = 1
+        THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM normed ORDER BY doc_id
+""",
+        "domain_caps": r"""
+WITH p AS (
+  SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS v FROM documents
+),
+parts AS (
+  SELECT doc_id, v,
+    CASE WHEN g % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
+    CASE WHEN g % 2 = 0 THEN ':80' ELSE ':443' END AS port,
+    'www.site' || (g % 37) || (CASE g % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                               WHEN 2 THEN '.co.uk' ELSE '.net' END) AS host,
+    '/docs/item' || (g % 41) AS path,
+    CASE WHEN g % 3 = 0 THEN '&page=2' ELSE '' END AS extra
+  FROM p
+),
+urls AS (
+  SELECT doc_id,
+    CASE WHEN v = 0
+      THEN scheme || '://' || host || path || '?a=1&b=2'
+      ELSE upper(scheme) || '://' || upper(host) || port || path ||
+           '/?b=2&a=1&utm_source=feed&fbclid=x9' || extra || '#sec'
+    END AS url
+  FROM parts
+),
+hosts AS (
+  SELECT doc_id,
+    regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+                   ':[0-9]+$', '') AS host
+  FROM urls
+),
+doms AS (
+  SELECT doc_id,
+    CASE WHEN regexp_matches(host, '[^.]+\.(co|com|org|net|ac|gov|edu)\.(uk|au|jp|in|br|nz|za|mx|ar|cn|id|tr)$')
+              AND regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) <> ''
+         THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+         WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
+         THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+         ELSE host END AS domain
+  FROM hosts
+)
+SELECT doc_id::BIGINT AS doc_id, domain,
+  (count(*) OVER (PARTITION BY domain))::BIGINT AS domain_docs,
+  (row_number() OVER (PARTITION BY domain ORDER BY doc_id))::BIGINT AS rank_in_domain,
+  (CASE WHEN row_number() OVER (PARTITION BY domain ORDER BY doc_id) <= 3
+        THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM doms ORDER BY doc_id
 """,
         "token_count_bpe": r"""
 SELECT doc_id::BIGINT AS doc_id,

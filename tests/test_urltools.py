@@ -1,0 +1,110 @@
+"""URL normalization / dedup / domain-cap semantics, case by case.
+
+The sf0.01 hash gate (check_contract.py entries url_dedup / domain_caps)
+covers the same code paths against the DuckDB replay at corpus scale;
+these pin the individual normalization rules on hand-built URLs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fulltextsearch_spark.operators.urltools import (
+    domain_caps,
+    normalize_url,
+    registered_domain,
+    url_dedup,
+)
+
+
+def _norm(spark, urls):
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], ["doc_id", "url"])
+    rows = df.select("doc_id", normalize_url("url").alias("n")).collect()
+    return [r["n"] for r in sorted(rows, key=lambda r: r["doc_id"])]
+
+
+def test_normalize_case_port_fragment_tracking(spark):
+    out = _norm(
+        spark,
+        [
+            "HTTP://WWW.Site.COM:80/a/b/?b=2&a=1&utm_source=x&fbclid=zz#frag",
+            "https://h.example.org:443/p",
+            "http://h.example.org:8080/p",  # non-default port survives
+        ],
+    )
+    assert out[0] == "http://www.site.com/a/b?a=1&b=2"
+    assert out[1] == "https://h.example.org/p"
+    assert out[2] == "http://h.example.org:8080/p"
+
+
+def test_normalize_root_path_and_tracking_only_query(spark):
+    out = _norm(
+        spark,
+        [
+            "http://h.com",  # empty path -> '/'
+            "http://h.com/?utm_campaign=a&gclid=b&ref=c",  # query vanishes
+            "http://h.com/x//",  # collapse trailing slashes only
+        ],
+    )
+    assert out[0] == "http://h.com/"
+    assert out[1] == "http://h.com/"
+    assert out[2] == "http://h.com/x"
+
+
+def test_registered_domain(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "http://www.site5.co.uk/x"),
+            (1, "https://a.b.deep.site.com/"),
+            (2, "http://localhost/"),
+            (3, "http://example.org:8080/y"),
+        ],
+        ["doc_id", "url"],
+    )
+    rows = df.select("doc_id", registered_domain("url").alias("d")).collect()
+    got = {r["doc_id"]: r["d"] for r in rows}
+    assert got == {0: "site5.co.uk", 1: "site.com", 2: "localhost", 3: "example.org"}
+
+
+def test_url_dedup_keep_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "http://A.com/x?b=2&a=1"),
+            (1, "HTTP://a.COM:80/x/?a=1&b=2&utm_source=t"),  # same page as 0
+            (2, "http://a.com/x?a=1&b=2&page=2"),  # distinct (real param)
+        ],
+        ["doc_id", "url"],
+    )
+    rows = {r["doc_id"]: r.asDict() for r in url_dedup(docs).collect()}
+    assert rows[0]["keep"] == 1 and rows[0]["group_size"] == 2
+    assert rows[1]["keep"] == 0 and rows[1]["url_norm"] == rows[0]["url_norm"]
+    assert rows[2]["keep"] == 1 and rows[2]["group_size"] == 1
+
+
+def test_domain_caps(spark):
+    docs = spark.createDataFrame(
+        [(i, f"http://www.big.com/p{i}") for i in range(5)]
+        + [(9, "http://small.org/only")],
+        ["doc_id", "url"],
+    )
+    rows = {r["doc_id"]: r.asDict() for r in domain_caps(docs, max_per_domain=3).collect()}
+    assert [rows[i]["keep"] for i in range(5)] == [1, 1, 1, 0, 0]
+    assert rows[0]["domain"] == "big.com" and rows[0]["domain_docs"] == 5
+    assert rows[9] == {
+        "doc_id": 9,
+        "domain": "small.org",
+        "domain_docs": 1,
+        "rank_in_domain": 1,
+        "keep": 1,
+    }
+
+
+def test_normalize_is_idempotent(spark):
+    urls = [
+        "HTTP://WWW.Site.COM:80/a/b/?b=2&a=1&utm_source=x#frag",
+        "https://h.example.org:443/p?z=1",
+        "http://h.com",
+    ]
+    once = _norm(spark, urls)
+    twice = _norm(spark, once)
+    assert once == twice
