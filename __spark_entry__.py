@@ -551,8 +551,8 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup_stats(_lineful_docs(spark, sf_dir))
 
 
-def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic messy URLs from doc_id (the testdata has no url
+def _url_expr():
+    """Deterministic messy-URL Column from doc_id (the testdata has no url
     column). Pair (2g, 2g+1) spells the SAME page two ways: variant 1
     uppercases scheme+host and adds the default port, a trailing slash,
     tracking params, swapped param order, and a fragment; groups with
@@ -583,9 +583,11 @@ def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra,
         F.lit("#sec"),
     )
-    return _docs(spark, sf_dir).select(
-        "doc_id", F.when(v == 0, url0).otherwise(url1).alias("url")
-    )
+    return F.when(v == 0, url0).otherwise(url1)
+
+
+def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", _url_expr().alias("url"))
 
 
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -603,6 +605,38 @@ def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fulltextsearch_spark.operators.urltools import domain_caps
 
     return domain_caps(_url_docs(spark, sf_dir), max_per_domain=3).orderBy("doc_id")
+
+
+def q_curate_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op: the composed web-page curation pipeline — URL
+    dedup → per-domain cap → Gopher quality → Gopher repetition → C4 gate
+    as ONE plan whose only wide ops are two short-key windows (text never
+    crosses an exchange). Verdict row per document.
+
+    Entry-specific knobs so every gate DISCRIMINATES on the synthetic
+    testdata (a constant flag would make the hash gate vacuous): the
+    injection also turns ' table ' into a sentence+line break (giving C4
+    its '.'-terminated lines), the required-stop rule is waived (the
+    synthetic vocabulary contains no English stop words — every other
+    Gopher clause still applies), and the domain cap is 2 so it binds."""
+    from fulltextsearch_spark.operators.curation import curate_web
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        _url_expr().alias("url"),
+        F.replace(
+            F.replace(
+                F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")),
+                F.lit(" the "),
+                F.lit("\n"),
+            ),
+            F.lit(" value "),
+            F.lit(". "),
+        ).alias("text"),
+    )
+    return curate_web(
+        docs, max_per_domain=2, gopher_kwargs={"min_required_stops": 0}
+    ).orderBy("doc_id")
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -901,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "url_dedup": q_url_dedup,
         "domain_caps": q_domain_caps,
+        "curate_web": q_curate_web,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         "neardup_clusters": q_neardup_clusters,
@@ -1832,6 +1867,190 @@ SELECT doc_id::BIGINT AS doc_id, domain,
   (CASE WHEN row_number() OVER (PARTITION BY domain ORDER BY doc_id) <= 3
         THEN 1 ELSE 0 END)::BIGINT AS keep
 FROM doms ORDER BY doc_id
+""",
+        "curate_web": r"""
+WITH t AS (
+  SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS v,
+         replace(replace(replace(text, ' table ', '.' || chr(10)),
+                 ' the ', chr(10)), ' value ', '. ') AS text
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, v,
+    CASE WHEN g % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
+    CASE WHEN g % 2 = 0 THEN ':80' ELSE ':443' END AS port,
+    'www.site' || (g % 37) || (CASE g % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                               WHEN 2 THEN '.co.uk' ELSE '.net' END) AS host,
+    '/docs/item' || (g % 41) AS path,
+    CASE WHEN g % 3 = 0 THEN '&page=2' ELSE '' END AS extra
+  FROM t
+),
+urls AS (
+  SELECT doc_id,
+    CASE WHEN v = 0
+      THEN scheme || '://' || host || path || '?a=1&b=2'
+      ELSE upper(scheme) || '://' || upper(host) || port || path ||
+           '/?b=2&a=1&utm_source=feed&fbclid=x9' || extra || '#sec'
+    END AS url
+  FROM parts
+),
+ext AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS auth0,
+    regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path0,
+    regexp_extract(url, '\?([^#]*)', 1) AS q
+  FROM urls
+),
+normed AS (
+  SELECT doc_id,
+    scheme || '://' ||
+    (CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+          WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+          ELSE auth0 END) ||
+    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+    (CASE WHEN array_to_string(list_sort(list_filter(string_split(q, '&'),
+        x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*=|gclid=|fbclid=|ref=)'))), '&') = ''
+      THEN '' ELSE '?' || array_to_string(list_sort(list_filter(string_split(q, '&'),
+        x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*=|gclid=|fbclid=|ref=)'))), '&') END)
+      AS url_norm,
+    regexp_replace(auth0, ':[0-9]+$', '') AS host
+  FROM ext
+),
+doms AS (
+  SELECT doc_id, url_norm,
+    CASE WHEN regexp_matches(host, '[^.]+\.(co|com|org|net|ac|gov|edu)\.(uk|au|jp|in|br|nz|za|mx|ar|cn|id|tr)$')
+              AND regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) <> ''
+         THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+         WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
+         THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+         ELSE host END AS domain
+  FROM normed
+),
+uflag AS (
+  SELECT doc_id, domain,
+    (CASE WHEN row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) = 1
+          THEN 1 ELSE 0 END) AS url_keep
+  FROM doms
+),
+ranked AS (
+  SELECT doc_id, url_keep,
+    (sum(url_keep) OVER (PARTITION BY domain ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING)) * url_keep AS domain_rank
+  FROM uflag
+),
+feat AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS ls
+  FROM t
+),
+gq AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) BETWEEN 50 AND 100000
+      AND (coalesce(list_sum(list_transform(ws, w -> length(w))), 0)::DOUBLE
+           / greatest(len(ws), 1)) BETWEEN 3 AND 10
+      AND len(regexp_extract_all(text, '#|\.\.\.|…'))::DOUBLE / greatest(len(ws), 1) <= 0.1
+      AND len(list_filter(ls, l -> regexp_matches(l, '^[-*•]')))::DOUBLE
+          / greatest(len(ls), 1) <= 0.9
+      AND len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$')))::DOUBLE
+          / greatest(len(ls), 1) <= 0.3
+      AND len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+          / greatest(len(ws), 1) >= 0.8
+    THEN 1 ELSE 0 END AS gopher_pass
+  FROM feat
+),
+c4 AS (
+  SELECT doc_id,
+    CASE WHEN len(list_filter(ls, l -> regexp_matches(l, '[.!?"'']$')
+           AND len(list_filter(regexp_split_to_array(l, '\s+'), x -> x <> '')) >= 3)) >= 1
+      AND len(regexp_extract_all(text, '[.!?]')) >= 5
+      AND NOT (lower(text) LIKE '%lorem ipsum%')
+      AND NOT contains(text, '{')
+    THEN 1 ELSE 0 END AS c4_pass
+  FROM feat
+),
+bstats AS (
+  SELECT doc_id,
+    len(ls) AS n_lines,
+    len(ls) - len(list_distinct(ls)) AS n_dup_lines,
+    coalesce(list_sum(list_transform(ls, l -> length(l))), 0) AS line_chars,
+    length(array_to_string(ws, ' ')) AS total_chars
+  FROM feat
+),
+lc AS (
+  SELECT doc_id, l, count(*) AS c
+  FROM (SELECT doc_id, unnest(ls) AS l FROM feat)
+  GROUP BY doc_id, l
+),
+ldc AS (
+  SELECT doc_id, sum((c - 1) * length(l)) AS dup_line_chars
+  FROM lc WHERE c > 1 GROUP BY doc_id
+),
+ng AS (
+  SELECT doc_id, ns.n AS n,
+    unnest(list_transform(range(1, greatest(len(ws) - ns.n + 2, 1)),
+           i -> array_to_string(ws[i:i+ns.n-1], ' '))) AS gr
+  FROM feat, (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) AS ns(n)
+),
+cnt AS (SELECT doc_id, n, gr, count(*) AS c FROM ng GROUP BY doc_id, n, gr),
+st AS (
+  SELECT doc_id, n, max(c) AS top_c,
+    coalesce(sum(CASE WHEN c > 1 THEN (c - 1) * length(gr) END), 0) AS dupch
+  FROM cnt GROUP BY doc_id, n
+),
+tg AS (
+  SELECT c.doc_id, c.n, min(c.gr) AS top_g
+  FROM cnt c JOIN st ON c.doc_id = st.doc_id AND c.n = st.n AND c.c = st.top_c
+  GROUP BY c.doc_id, c.n
+),
+pern AS (
+  SELECT st.doc_id, st.n,
+    CASE WHEN st.top_c > 1 THEN st.top_c * length(tg.top_g) ELSE 0 END AS topch,
+    st.dupch
+  FROM st JOIN tg ON st.doc_id = tg.doc_id AND st.n = tg.n
+),
+piv AS (
+  SELECT doc_id,
+    max(CASE WHEN n = 2 THEN topch END) AS top2,
+    max(CASE WHEN n = 3 THEN topch END) AS top3,
+    max(CASE WHEN n = 4 THEN topch END) AS top4,
+    max(CASE WHEN n = 5 THEN dupch END) AS dup5,
+    max(CASE WHEN n = 6 THEN dupch END) AS dup6,
+    max(CASE WHEN n = 7 THEN dupch END) AS dup7,
+    max(CASE WHEN n = 8 THEN dupch END) AS dup8,
+    max(CASE WHEN n = 9 THEN dupch END) AS dup9,
+    max(CASE WHEN n = 10 THEN dupch END) AS dup10
+  FROM pern GROUP BY doc_id
+),
+rep AS (
+  SELECT b.doc_id,
+    CASE WHEN b.n_dup_lines::DOUBLE / greatest(b.n_lines, 1) <= 0.30
+      AND coalesce(ldc.dup_line_chars, 0)::DOUBLE / greatest(b.line_chars, 1) <= 0.20
+      AND coalesce(piv.top2, 0)::DOUBLE / greatest(b.total_chars, 1) <= 0.20
+      AND coalesce(piv.top3, 0)::DOUBLE / greatest(b.total_chars, 1) <= 0.18
+      AND coalesce(piv.top4, 0)::DOUBLE / greatest(b.total_chars, 1) <= 0.16
+      AND coalesce(piv.dup5, 0)::DOUBLE / greatest(b.total_chars, 1) <= 0.15
+      AND coalesce(piv.dup6, 0)::DOUBLE / greatest(b.total_chars, 1) <= 0.14
+      AND coalesce(piv.dup7, 0)::DOUBLE / greatest(b.total_chars, 1) <= 0.13
+      AND coalesce(piv.dup8, 0)::DOUBLE / greatest(b.total_chars, 1) <= 0.12
+      AND coalesce(piv.dup9, 0)::DOUBLE / greatest(b.total_chars, 1) <= 0.11
+      AND coalesce(piv.dup10, 0)::DOUBLE / greatest(b.total_chars, 1) <= 0.10
+    THEN 1 ELSE 0 END AS repetition_pass
+  FROM bstats b LEFT JOIN ldc USING (doc_id) LEFT JOIN piv USING (doc_id)
+)
+SELECT r.doc_id::BIGINT AS doc_id,
+  r.url_keep::BIGINT AS url_keep,
+  r.domain_rank::BIGINT AS domain_rank,
+  (CASE WHEN r.url_keep = 1 AND r.domain_rank <= 2 THEN 1 ELSE 0 END)::BIGINT AS domain_keep,
+  gq.gopher_pass::BIGINT AS gopher_pass,
+  rep.repetition_pass::BIGINT AS repetition_pass,
+  c4.c4_pass::BIGINT AS c4_pass,
+  (CASE WHEN r.url_keep = 1 AND r.domain_rank <= 2 AND gq.gopher_pass = 1
+        AND rep.repetition_pass = 1 AND c4.c4_pass = 1
+        THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM ranked r JOIN gq USING (doc_id) JOIN rep USING (doc_id) JOIN c4 USING (doc_id)
+ORDER BY doc_id
 """,
         "token_count_bpe": r"""
 SELECT doc_id::BIGINT AS doc_id,

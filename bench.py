@@ -176,6 +176,10 @@ def main() -> None:
     timed("exact_dedup", lambda: entrymod.q_exact_dedup(spark, sf_dir).count())
     timed("curate_corpus", lambda: entrymod.q_curate_corpus(spark, sf_dir).count())
     timed("quality_score", lambda: entrymod.q_quality_score(spark, sf_dir).count())
+    # heaviest published-filter op: nine word-n-gram folds in one projection
+    timed("gopher_repetition", lambda: entrymod.q_gopher_repetition(spark, sf_dir).count())
+    # URL stage: normalize + keep-first dedup (one hash-key shuffle)
+    timed("url_dedup", lambda: entrymod.q_url_dedup(spark, sf_dir).count())
     timed("lang_id", lambda: entrymod.q_lang_id(spark, sf_dir).count())
     timed("minhash_pairs", lambda: entrymod.q_minhash_pairs(spark, sf_dir).count())
     timed("simhash_pairs", lambda: entrymod.q_simhash_pairs(spark, sf_dir).count())

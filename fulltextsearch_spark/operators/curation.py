@@ -36,7 +36,7 @@ from fulltextsearch_spark.operators.textstats import (
     language_votes,
 )
 
-__all__ = ["curate_corpus"]
+__all__ = ["curate_corpus", "curate_web"]
 
 
 def curate_corpus(
@@ -100,4 +100,85 @@ def curate_corpus(
             F.round("_stop_ratio", 4).alias("stop_ratio"),
             F.round("_cpw", 4).alias("chars_per_word"),
         )
+    )
+
+
+def curate_web(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    max_per_domain: int = 3,
+    gopher_kwargs: dict | None = None,
+    c4_kwargs: dict | None = None,
+) -> DataFrame:
+    """The full web-page curation pipeline as ONE plan: URL dedup →
+    per-domain cap → Gopher quality → Gopher repetition → C4 page gate.
+
+    Returns a verdict row per input document — (doc_id, url_keep,
+    domain_rank, domain_keep, gopher_pass, repetition_pass, c4_pass,
+    keep) — rather than the filtered subset, so every stage's decision is
+    observable (and hash-comparable) downstream; ``keep`` is the
+    conjunction. Stage semantics match the standalone operators exactly
+    (the pass gates ARE the standalone operators' Column trees, via the
+    shared ``_*_cols`` factories in ``webfilters``/``urltools``).
+
+    Pipeline-order details: the domain cap ranks only URL-canonical rows
+    (a running sum of ``url_keep`` per domain in doc_id order — real
+    pipelines cap domains AFTER collapsing refetches, and a duplicate URL
+    must not consume cap budget); the text gates are order-independent
+    projections.
+
+    Plan shape (100 TB): ALL text-derived gates and both curation keys
+    (normalized-URL md5, registered domain) materialize in one map-side
+    projection — the text column never crosses an exchange. The only wide
+    operations are the two short-key windows (url-hash, then domain), each
+    moving (doc_id, two 0/1 flags, key)-scale rows.
+    """
+    from fulltextsearch_spark.operators.urltools import (  # noqa: PLC0415
+        normalize_url,
+        registered_domain,
+    )
+    from fulltextsearch_spark.operators.webfilters import (  # noqa: PLC0415
+        _c4_cols,
+        _gopher_quality_cols,
+        _gopher_repetition_cols,
+    )
+
+    feats = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(normalize_url(url_col)).alias("_uh"),
+        registered_domain(url_col).alias("_domain"),
+        _gopher_quality_cols(text_col, **(gopher_kwargs or {}))["passes"].alias(
+            "gopher_pass"
+        ),
+        _gopher_repetition_cols(text_col)["passes"].alias("repetition_pass"),
+        _c4_cols(text_col, **(c4_kwargs or {}))["passes"].alias("c4_pass"),
+    )
+    wu = Window.partitionBy("_uh").orderBy("doc_id")
+    feats = feats.withColumn("url_keep", (F.row_number().over(wu) == 1).cast("long"))
+    wd = (
+        Window.partitionBy("_domain")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    feats = feats.withColumn(
+        "domain_rank", (F.sum("url_keep").over(wd) * F.col("url_keep")).cast("long")
+    )
+    domain_keep = (F.col("url_keep") == 1) & (F.col("domain_rank") <= max_per_domain)
+    return feats.select(
+        "doc_id",
+        "url_keep",
+        "domain_rank",
+        domain_keep.cast("long").alias("domain_keep"),
+        "gopher_pass",
+        "repetition_pass",
+        "c4_pass",
+        (
+            domain_keep
+            & (F.col("gopher_pass") == 1)
+            & (F.col("repetition_pass") == 1)
+            & (F.col("c4_pass") == 1)
+        )
+        .cast("long")
+        .alias("keep"),
     )

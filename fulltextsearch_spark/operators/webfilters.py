@@ -62,8 +62,7 @@ def _lines(text_col: str):
     )
 
 
-def gopher_quality(
-    docs: DataFrame,
+def _gopher_quality_cols(
     text_col: str = "text",
     min_words: int = 50,
     max_words: int = 100_000,
@@ -74,14 +73,10 @@ def gopher_quality(
     max_ellipsis_ratio: float = 0.3,
     min_alpha_ratio: float = 0.8,
     min_required_stops: int = 2,
-) -> DataFrame:
-    """(doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_ratio,
-    ellipsis_line_ratio, alpha_word_ratio, n_required_stops, passes).
-
-    Threshold defaults are the paper's published values; ``passes`` is the
-    conjunction of all rules as a 0/1 long so the gate is hash-stable
-    across engines.
-    """
+) -> dict:
+    """Named output Columns of :func:`gopher_quality` (shared with
+    :func:`~fulltextsearch_spark.operators.curation.curate_web`, which
+    composes only the ``passes`` gate into a wider projection)."""
     words = _words(text_col)
     lines = _lines(text_col)
     n_words = F.size(words)
@@ -113,16 +108,30 @@ def gopher_quality(
         & (alpha_ratio >= min_alpha_ratio)
         & (n_req >= min_required_stops)
     )
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": F.round(mean_word_len, 4),
+        "symbol_ratio": F.round(symbol_ratio, 4),
+        "bullet_line_ratio": F.round(bullet_ratio, 4),
+        "ellipsis_line_ratio": F.round(ellipsis_ratio, 4),
+        "alpha_word_ratio": F.round(alpha_ratio, 4),
+        "n_required_stops": n_req.cast("long"),
+        "passes": passes.cast("long"),
+    }
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text", **thresholds) -> DataFrame:
+    """(doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_ratio,
+    ellipsis_line_ratio, alpha_word_ratio, n_required_stops, passes).
+
+    Threshold defaults are the paper's published values; ``passes`` is the
+    conjunction of all rules as a 0/1 long so the gate is hash-stable
+    across engines.
+    """
+    cols = _gopher_quality_cols(text_col, **thresholds)
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        n_words.cast("long").alias("n_words"),
-        F.round(mean_word_len, 4).alias("mean_word_len"),
-        F.round(symbol_ratio, 4).alias("symbol_ratio"),
-        F.round(bullet_ratio, 4).alias("bullet_line_ratio"),
-        F.round(ellipsis_ratio, 4).alias("ellipsis_line_ratio"),
-        F.round(alpha_ratio, 4).alias("alpha_word_ratio"),
-        n_req.cast("long").alias("n_required_stops"),
-        passes.cast("long").alias("passes"),
+        *[c.alias(name) for name, c in cols.items()],
     )
 
 
@@ -218,28 +227,9 @@ GOPHER_REPETITION_THRESHOLDS = {
 }
 
 
-def gopher_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """The Gopher repetition-removal rules (Rae et al. 2021, appendix A1.1,
-    Table A1) as per-doc stats + pass gate — the within-document complement
-    of :func:`gopher_quality`.
-
-    Per document: fraction of duplicate lines and of characters inside
-    duplicate lines; fraction of characters inside the most frequent word
-    {2,3,4}-gram; fraction of characters inside duplicated word
-    {5..10}-grams (all occurrences beyond the first of each repeated
-    n-gram). Denominators: line fractions use the summed length of trimmed
-    non-empty lines; n-gram fractions use the length of the space-joined
-    word string (content chars, single spaces). Character fractions count
-    ``count x length`` without collapsing overlapping occurrences, as in
-    the standard public reimplementations.
-
-    Scale notes (100 TB): every column is a fold/projection over per-row
-    arrays — zero shuffles, no Python, filters and ``text`` pushed to the
-    scan. All nine n-gram folds run in the one projection.
-
-    ``passes`` conjoins Table A1's thresholds
-    (:data:`GOPHER_REPETITION_THRESHOLDS`).
-    """
+def _gopher_repetition_cols(text_col: str = "text") -> dict:
+    """Named output Columns of :func:`gopher_repetition` (shared with
+    ``curate_web``)."""
     ws = _words(text_col)
     lines = _lines(text_col)
     n_lines = F.size(lines)
@@ -273,12 +263,69 @@ def gopher_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
         cond = fracs[name] <= thr
         passes = cond if passes is None else (passes & cond)
 
+    cols: dict = {"n_lines": n_lines.cast("long")}
+    for name, expr in fracs.items():
+        cols[name] = F.round(expr, 4)
+    cols["passes"] = passes.cast("long")
+    return cols
+
+
+def gopher_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher repetition-removal rules (Rae et al. 2021, appendix A1.1,
+    Table A1) as per-doc stats + pass gate — the within-document complement
+    of :func:`gopher_quality`.
+
+    Per document: fraction of duplicate lines and of characters inside
+    duplicate lines; fraction of characters inside the most frequent word
+    {2,3,4}-gram; fraction of characters inside duplicated word
+    {5..10}-grams (all occurrences beyond the first of each repeated
+    n-gram). Denominators: line fractions use the summed length of trimmed
+    non-empty lines; n-gram fractions use the length of the space-joined
+    word string (content chars, single spaces). Character fractions count
+    ``count x length`` without collapsing overlapping occurrences, as in
+    the standard public reimplementations.
+
+    Scale notes (100 TB): every column is a fold/projection over per-row
+    arrays — zero shuffles, no Python, filters and ``text`` pushed to the
+    scan. All nine n-gram folds run in the one projection.
+
+    ``passes`` conjoins Table A1's thresholds
+    (:data:`GOPHER_REPETITION_THRESHOLDS`).
+    """
+    cols = _gopher_repetition_cols(text_col)
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        n_lines.cast("long").alias("n_lines"),
-        *[F.round(expr, 4).alias(name) for name, expr in fracs.items()],
-        passes.cast("long").alias("passes"),
+        *[c.alias(name) for name, c in cols.items()],
     )
+
+
+def _c4_cols(
+    text_col: str = "text",
+    min_line_words: int = 3,
+    min_sentences: int = 5,
+) -> dict:
+    """Named output Columns of :func:`c4_line_filters` (shared with
+    ``curate_web``)."""
+    lines = _lines(text_col)
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike(r"""[.!?"']$""")
+        & (F.size(F.filter(F.split(ln, r"\s+"), lambda x: x != F.lit(""))) >= min_line_words),
+    )
+    n_sentences = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]"), F.lit(0)))
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    passes = (
+        (F.size(kept) >= 1) & (n_sentences >= min_sentences) & ~has_lorem & ~has_brace
+    )
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_kept_lines": F.size(kept).cast("long"),
+        "n_sentences": n_sentences.cast("long"),
+        "has_lorem": has_lorem.cast("long"),
+        "has_brace": has_brace.cast("long"),
+        "passes": passes.cast("long"),
+    }
 
 
 def c4_line_filters(
@@ -295,26 +342,10 @@ def c4_line_filters(
     least one line survives, it has >= ``min_sentences`` sentence-final
     marks, and contains neither "lorem ipsum" nor ``{``.
     """
-    lines = _lines(text_col)
-    kept = F.filter(
-        lines,
-        lambda ln: ln.rlike(r"""[.!?"']$""")
-        & (F.size(F.filter(F.split(ln, r"\s+"), lambda x: x != F.lit(""))) >= min_line_words),
-    )
-    n_sentences = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]"), F.lit(0)))
-    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
-    has_brace = F.col(text_col).contains("{")
-    passes = (
-        (F.size(kept) >= 1) & (n_sentences >= min_sentences) & ~has_lorem & ~has_brace
-    )
+    cols = _c4_cols(text_col, min_line_words, min_sentences)
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(kept).cast("long").alias("n_kept_lines"),
-        n_sentences.cast("long").alias("n_sentences"),
-        has_lorem.cast("long").alias("has_lorem"),
-        has_brace.cast("long").alias("has_brace"),
-        passes.cast("long").alias("passes"),
+        *[c.alias(name) for name, c in cols.items()],
     )
 
 

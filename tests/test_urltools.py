@@ -108,3 +108,40 @@ def test_normalize_is_idempotent(spark):
     once = _norm(spark, urls)
     twice = _norm(spark, once)
     assert once == twice
+
+
+GOOD_PAGE = (
+    "the quick brown fox jumps over that lazy dog and keeps running with "
+    "steady pace. every sentence here ends with clear marks and offers "
+    "enough variety to pass. writing long natural text with many different "
+    "words takes a little effort. the final section closes with one more "
+    "complete thought for good measure. short lines still count when they "
+    "end properly."
+)  # 60 words, 5 sentences: passes gopher quality, repetition, and C4
+
+
+def test_curate_web_pipeline(spark):
+    from fulltextsearch_spark.operators.curation import curate_web
+
+    rep_page = ("spam ham " * 30).strip() + "."
+    rows = [
+        (0, "http://big.com/p0", GOOD_PAGE),
+        (1, "HTTP://BIG.com:80/p0?utm_source=x", GOOD_PAGE),  # refetch of 0
+        (2, "http://big.com/p2", GOOD_PAGE),
+        (3, "http://big.com/p3", GOOD_PAGE),
+        (4, "http://big.com/p4", GOOD_PAGE),  # 4th unique page on big.com
+        (5, "http://other.org/p5", rep_page),  # repetition fail
+        (6, "http://other.org/p6", "tiny doc."),  # gopher fail
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "text"])
+    out = {r["doc_id"]: r.asDict() for r in curate_web(df, max_per_domain=3).collect()}
+
+    assert out[0]["url_keep"] == 1 and out[0]["domain_rank"] == 1 and out[0]["keep"] == 1
+    # the refetch is dropped AND consumes no domain budget
+    assert out[1]["url_keep"] == 0 and out[1]["domain_rank"] == 0 and out[1]["keep"] == 0
+    assert out[2]["domain_rank"] == 2 and out[2]["keep"] == 1
+    assert out[3]["domain_rank"] == 3 and out[3]["keep"] == 1
+    assert out[4]["domain_rank"] == 4 and out[4]["domain_keep"] == 0 and out[4]["keep"] == 0
+    assert out[4]["gopher_pass"] == 1  # only the cap failed it
+    assert out[5]["url_keep"] == 1 and out[5]["repetition_pass"] == 0 and out[5]["keep"] == 0
+    assert out[6]["gopher_pass"] == 0 and out[6]["keep"] == 0
