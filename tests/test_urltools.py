@@ -145,3 +145,29 @@ def test_curate_web_pipeline(spark):
     assert out[4]["gopher_pass"] == 1  # only the cap failed it
     assert out[5]["url_keep"] == 1 and out[5]["repetition_pass"] == 0 and out[5]["keep"] == 0
     assert out[6]["gopher_pass"] == 0 and out[6]["keep"] == 0
+
+
+def test_curate_web_text_never_crosses_exchange(spark):
+    """Pin the scale claim: the only wide ops are the two short-key windows
+    (plus any caller-side sort), and neither text nor url columns survive
+    into an exchange input."""
+    from fulltextsearch_spark.operators.curation import curate_web
+
+    df = curate_web(
+        spark.createDataFrame(
+            [(0, "http://a.com/x", "some text here")], ["doc_id", "url", "text"]
+        )
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # every Exchange node's output row: partitioning key must be _uh/_domain
+    exchanges = re.findall(r"Exchange (\w+)partitioning\(([^,)]+)", plan)
+    assert len(exchanges) == 2, plan[:2000]
+    keys = sorted(arg for _, arg in exchanges)
+    assert keys[0].startswith("_domain") and keys[1].startswith("_uh"), keys
+    # the projected attribute sets flowing through the exchanges carry flags,
+    # never the text/url payload columns
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line and "url#" not in line, line
