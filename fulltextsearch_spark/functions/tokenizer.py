@@ -274,9 +274,20 @@ def _split_tokens_np(arr):
         nxt[de[(de >= 0) & (de < m)]] = False
     s = np.flatnonzero(mask & ~prev)
     lens = (np.flatnonzero(mask & ~nxt) + 1) - s
-    doc_of = np.searchsorted(doc_off[1:], s, side="right").astype(np.int64)
-    # compact values buffer: token bytes in order, lowercased
-    tokbytes = lower_tbl[buf[mask]]
+    # doc of each token, INVERTED: n doc-boundary searches into the sorted
+    # start array + one repeat, instead of one search per token (measured
+    # 8.8 -> 1.2 ms on a 778k-token batch; token starts are non-decreasing
+    # and runs never span documents, so the two are identical)
+    cum = np.searchsorted(s, doc_off[1:], side="left")
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(cum, prepend=0))
+    # compact values buffer: token bytes in order, lowercased (compress
+    # beats boolean fancy-indexing ~15% on this host; the masked in-place
+    # add beats a 256-entry table gather ~1.6x — the gather is random-access
+    # over the compacted megabytes, the add is two sequential passes)
+    tokbytes = np.compress(mask, buf)
+    np.add(
+        tokbytes, 32, out=tokbytes, where=(tokbytes >= 65) & (tokbytes <= 90)
+    )
     toff = np.zeros(lens.size + 1, dtype=np.int64)
     np.cumsum(lens, out=toff[1:])
     flat = pa.Array.from_buffers(
@@ -353,15 +364,23 @@ def term_counts_flat(texts, do_stem: bool = True, memo: dict | None = None):
     mapped_rank = np.where(mapped >= 0, rank[np.maximum(mapped, 0)], -1)
     fr = mapped_rank[codes]
     keep = fr >= 0
-    d = doc_idx[keep]
-    c = fr[keep]
-    dl = np.bincount(d, minlength=n).astype(np.int64)
+    d = np.compress(keep, doc_idx)
+    c = np.compress(keep, fr)
+    # d is sorted (doc_idx is non-decreasing), so per-doc token counts are
+    # boundary differences — ~2x cheaper than bincount on this host
+    dl = np.diff(np.searchsorted(d, np.arange(n + 1, dtype=np.int64)))
 
-    # doc-major pack built in place over d's buffer (d is a fresh gather
-    # output, not needed past this point); safe: n * nt << 2^63 per batch
-    d *= nt
-    d += c
-    key = d
+    # doc-major pack; int32 when the key domain allows it (sort is memory-
+    # bandwidth-bound: 32-bit keys sort ~1.6x faster) — n and nt are batch-
+    # local so the narrow path covers every realistic Arrow batch
+    if n * nt < 2**31:
+        key = d.astype(np.int32)
+        key *= np.int32(nt)
+        key += c.astype(np.int32)
+    else:
+        key = d
+        key *= nt
+        key += c
     # in-place: key is a fresh temporary, and it is already doc-major
     # (doc_idx is non-decreasing) so the sort itself is near-linear; the
     # copy np.sort() would make costs more than the sort on this host
@@ -371,10 +390,10 @@ def term_counts_flat(texts, do_stem: bool = True, memo: dict | None = None):
         bnd = np.flatnonzero(sk[1:] != sk[:-1]) + 1
         starts = np.concatenate(([0], bnd))
         cnts = np.diff(np.concatenate((starts, [sk.size])))
-        ukey = sk[starts]
+        ukey = sk[starts].astype(np.int64)
     else:
-        ukey = sk
-        cnts = sk
+        ukey = sk.astype(np.int64)
+        cnts = sk.astype(np.int64)
     ud = ukey // nt
     uc = ukey % nt
     return dl, sorted_terms, ud, uc, cnts
