@@ -171,3 +171,29 @@ def test_split_tokens_np_buffer_layouts():
     check(pa.array(base, type=pa.large_string()).slice(3), base[3:])
     check(pa.array([], type=pa.string()), [])
     check(pa.array(["", "", None], type=pa.string()), ["", "", None])
+
+
+def test_term_counts_flat_int64_key_path():
+    """The doc-major (doc, term) pack sorts as int32 only when n * nt fits
+    in 31 bits; the int64 fallback is otherwise exercised only by enormous
+    Arrow batches. Synthesize a batch whose key domain genuinely exceeds
+    2^31 (33k rows x 66k distinct terms) and check the output against the
+    construction: every doc contributes exactly its own two unique terms."""
+    import pyarrow as pa
+
+    from fulltextsearch_spark.functions.tokenizer import term_counts_flat
+
+    n_docs = 33_000
+    big = pa.array(
+        [f"u{i}a u{i}b" for i in range(n_docs)], type=pa.string()
+    )  # nt = 66k distinct terms -> n * nt ~ 2.2e9 > 2^31
+    dl, terms, ud, uc, cnt = term_counts_flat(big, do_stem=False)
+    assert dl.sum() == 2 * n_docs
+    assert len(terms) == 2 * n_docs  # all distinct
+    assert ud.size == 2 * n_docs and (cnt == 1).all()
+    for d in (ud, uc, cnt):
+        assert str(d.dtype) == "int64"
+    # spot-check a doc round-trips through the lex re-rank
+    terms_py = terms.to_pylist()
+    i = 12_345
+    assert sorted(terms_py[j] for j in uc[ud == i]) == [f"u{i}a", f"u{i}b"]
