@@ -557,7 +557,10 @@ def _url_expr():
     uppercases scheme+host and adds the default port, a trailing slash,
     tracking params, swapped param order, and a fragment; groups with
     g%3==0 also give variant 1 a real extra param (page=2) so it stays a
-    distinct page. Mirrored literally in the oracle SQL."""
+    distinct page; http groups with g%10==0 spell variant 0 SCHEME-LESS
+    ("www.siteN.com/...", common in messy crawl data) to pin the
+    implicit-http normalization rule. Mirrored literally in the oracle
+    SQL."""
     g = F.expr("doc_id DIV 2")
     v = F.col("doc_id") % 2
     kind = g % 2
@@ -572,7 +575,9 @@ def _url_expr():
     host = F.concat(F.lit("www.site"), (g % 37).cast("string"), tld)
     path = F.concat(F.lit("/docs/item"), (g % 41).cast("string"))
     extra = F.when(g % 3 == 0, F.lit("&page=2")).otherwise(F.lit(""))
-    url0 = F.concat(scheme, F.lit("://"), host, path, F.lit("?a=1&b=2"))
+    url0 = F.when(
+        g % 10 == 0, F.concat(host, path, F.lit("?a=1&b=2"))
+    ).otherwise(F.concat(scheme, F.lit("://"), host, path, F.lit("?a=1&b=2")))
     url1 = F.concat(
         F.upper(scheme),
         F.lit("://"),
@@ -1407,9 +1412,8 @@ def _ann_ivf_sql() -> str:
 
     if not os.path.exists(_EMB_SF001):  # pragma: no cover - driver env always has it
         return "SELECT 1 WHERE false"
-    emb = np.array(
-        pq.read_table(_EMB_SF001).column("embedding").to_pylist(), dtype=np.float64
-    )
+    tbl = pq.read_table(_EMB_SF001).sort_by("vec_id")  # canonical sample order
+    emb = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
     cent = _kmeans(emb, 10, 10, 7)
     cent_rows = ", ".join(
         "(%d, [%s])" % (i, ", ".join(repr(float(v)) for v in cent[i]))
@@ -1775,7 +1779,7 @@ WITH p AS (
   SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS v FROM documents
 ),
 parts AS (
-  SELECT doc_id, v,
+  SELECT doc_id, v, g,
     CASE WHEN g % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
     CASE WHEN g % 2 = 0 THEN ':80' ELSE ':443' END AS port,
     'www.site' || (g % 37) || (CASE g % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
@@ -1784,14 +1788,23 @@ parts AS (
     CASE WHEN g % 3 = 0 THEN '&page=2' ELSE '' END AS extra
   FROM p
 ),
-urls AS (
+urls0 AS (
   SELECT doc_id,
-    CASE WHEN v = 0
+    CASE WHEN v = 0 AND g % 10 = 0
+      THEN host || path || '?a=1&b=2'
+      WHEN v = 0
       THEN scheme || '://' || host || path || '?a=1&b=2'
       ELSE upper(scheme) || '://' || upper(host) || port || path ||
            '/?b=2&a=1&utm_source=feed&fbclid=x9' || extra || '#sec'
     END AS url
   FROM parts
+),
+urls AS (
+  -- scheme-less URLs parse as http (implicit-scheme rule of normalize_url)
+  SELECT doc_id,
+    CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.\-]*://')
+         THEN url ELSE 'http://' || url END AS url
+  FROM urls0
 ),
 ext AS (
   SELECT doc_id,
@@ -1827,7 +1840,7 @@ WITH p AS (
   SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS v FROM documents
 ),
 parts AS (
-  SELECT doc_id, v,
+  SELECT doc_id, v, g,
     CASE WHEN g % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
     CASE WHEN g % 2 = 0 THEN ':80' ELSE ':443' END AS port,
     'www.site' || (g % 37) || (CASE g % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
@@ -1836,14 +1849,23 @@ parts AS (
     CASE WHEN g % 3 = 0 THEN '&page=2' ELSE '' END AS extra
   FROM p
 ),
-urls AS (
+urls0 AS (
   SELECT doc_id,
-    CASE WHEN v = 0
+    CASE WHEN v = 0 AND g % 10 = 0
+      THEN host || path || '?a=1&b=2'
+      WHEN v = 0
       THEN scheme || '://' || host || path || '?a=1&b=2'
       ELSE upper(scheme) || '://' || upper(host) || port || path ||
            '/?b=2&a=1&utm_source=feed&fbclid=x9' || extra || '#sec'
     END AS url
   FROM parts
+),
+urls AS (
+  -- scheme-less URLs parse as http (implicit-scheme rule of normalize_url)
+  SELECT doc_id,
+    CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.\-]*://')
+         THEN url ELSE 'http://' || url END AS url
+  FROM urls0
 ),
 hosts AS (
   SELECT doc_id,
@@ -1876,7 +1898,7 @@ WITH t AS (
   FROM documents
 ),
 parts AS (
-  SELECT doc_id, v,
+  SELECT doc_id, v, g,
     CASE WHEN g % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
     CASE WHEN g % 2 = 0 THEN ':80' ELSE ':443' END AS port,
     'www.site' || (g % 37) || (CASE g % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
@@ -1885,14 +1907,23 @@ parts AS (
     CASE WHEN g % 3 = 0 THEN '&page=2' ELSE '' END AS extra
   FROM t
 ),
-urls AS (
+urls0 AS (
   SELECT doc_id,
-    CASE WHEN v = 0
+    CASE WHEN v = 0 AND g % 10 = 0
+      THEN host || path || '?a=1&b=2'
+      WHEN v = 0
       THEN scheme || '://' || host || path || '?a=1&b=2'
       ELSE upper(scheme) || '://' || upper(host) || port || path ||
            '/?b=2&a=1&utm_source=feed&fbclid=x9' || extra || '#sec'
     END AS url
   FROM parts
+),
+urls AS (
+  -- scheme-less URLs parse as http (implicit-scheme rule of normalize_url)
+  SELECT doc_id,
+    CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.\-]*://')
+         THEN url ELSE 'http://' || url END AS url
+  FROM urls0
 ),
 ext AS (
   SELECT doc_id, url,

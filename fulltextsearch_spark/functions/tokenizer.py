@@ -76,9 +76,10 @@ def _byte_tables():
         cls = np.zeros(256, dtype=bool)
         cls[list(b"0123456789abcdefghijklmnopqrstuvwxyz"
                  b"ABCDEFGHIJKLMNOPQRSTUVWXYZ$%&+@")] = True
-        lower = np.arange(256, dtype=np.uint8)
-        lower[65:91] += 32
-        _BYTE_TABLES = (cls, lower)
+        # lowercasing happens via the masked in-place add in
+        # _split_tokens_np, not a 256-entry gather table (see the comment
+        # there) — keep exactly one lowercase path
+        _BYTE_TABLES = cls
     return _BYTE_TABLES
 
 # ASCII-only lowercase map (A-Z -> a-z, everything else untouched).
@@ -239,7 +240,7 @@ def _split_tokens_np(arr):
     import numpy as np  # noqa: PLC0415
     import pyarrow as pa  # noqa: PLC0415
 
-    cls_tbl, lower_tbl = _byte_tables()
+    cls_tbl = _byte_tables()
     if arr.null_count:
         arr = arr.fill_null("")
     bufs = arr.buffers()

@@ -216,6 +216,10 @@ def pfor_encode(values: np.ndarray, block_size: int = 128) -> tuple[bytes, np.nd
     bit-pack per distinct width, one varint pass over every exception);
     only the short tail block goes through the scalar path.
     """
+    if block_size > 0xFFFF:
+        # the 2-byte count header caps the block; without this the batched
+        # path below would silently write n & 0xFFFF (the scalar path raises)
+        raise ValueError("PFor block larger than 65535 values")
     v = np.asarray(values).astype(np.uint64, copy=False)
     n_blocks = (v.size + block_size - 1) // block_size
     n_full = v.size // block_size

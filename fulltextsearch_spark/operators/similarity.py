@@ -255,23 +255,40 @@ def _kmeans(sample: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.n
 
 
 def _bounded_sample(
-    embeddings: DataFrame, vec_col: str, max_rows: int, seed: int
+    embeddings: DataFrame, vec_col: str, max_rows: int, seed: int, id_col: str = "vec_id"
 ) -> np.ndarray:
     """Driver-side training sample, HARD-bounded to ``max_rows`` rows, in ONE
-    incremental job (no ``count()`` pre-pass).
+    job (no ``count()`` pre-pass), UNBIASED by physical row order.
 
-    ``limit(max_rows + 1)`` short-circuits: CollectLimit scans partitions
-    incrementally and stops once it has enough rows. If the probe came back
-    short, it IS the whole table (the common small-corpus / oracle case,
-    byte-identical to a full collect). Otherwise the table is larger than the
-    cap and the first ``max_rows`` rows train k-means — for a coarse
-    quantizer the front-of-scan bias is irrelevant and the driver never holds
-    more than ~max_rows vectors no matter how big the table is.
+    The ``max_rows`` smallest values of ``xxhash64(id, seed)`` are a uniform
+    deterministic sample of the whole table no matter how the files are laid
+    out — a plain ``limit()`` would collect the FRONT of the scan, and a
+    table physically ordered by a content-correlated key (sorted by
+    domain/source/cluster, the common case after a partitioned write) would
+    train the quantizer on one region of the distribution. Spark executes
+    the ``orderBy + limit`` as TakeOrderedAndProject: each partition keeps a
+    local top-``max_rows`` heap and the driver merges — bounded memory
+    everywhere, one pass. The build's assignment pass scans the full table
+    right after this anyway, so the sample scan does not change the build's
+    asymptotic IO.
+
+    The returned rows are CANONICALLY ordered by ``id_col`` so the k-means
+    initialization (which draws indices into this array) is a pure function
+    of the sampled id set — independent of scan order, partitioning, and
+    merge order.
     """
-    rows = embeddings.select(vec_col).limit(max_rows + 1).collect()
-    if len(rows) > max_rows:
-        rows = rows[:max_rows]
-    return np.array([r[0] for r in rows], dtype=np.float64)
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("i"),
+            F.col(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(max_rows)
+        .collect()
+    )
+    rows.sort(key=lambda r: r["i"])
+    return np.array([r["v"] for r in rows], dtype=np.float64)
 
 
 def ivf_assign(
@@ -293,7 +310,7 @@ def ivf_assign(
     """
     if max_sample_rows is None:
         max_sample_rows = max(n_centroids * 1000, 10_000)
-    sample = _bounded_sample(embeddings, vec_col, max_sample_rows, seed)
+    sample = _bounded_sample(embeddings, vec_col, max_sample_rows, seed, id_col=id_col)
     n_centroids = min(n_centroids, sample.shape[0])
     cent = _kmeans(sample, n_centroids, iters, seed)
 

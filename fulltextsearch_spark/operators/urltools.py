@@ -65,6 +65,14 @@ _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
 _QUERY_RE = r"\?([^#]*)"
 
 
+def _with_scheme(url):
+    # Messy crawl data carries scheme-less URLs ("example.com/a"); without
+    # this every such URL would parse to empty scheme/host/path and the
+    # whole class would collapse into ONE ":///" dedup group (dropping all
+    # but one document). Treat them as http, the crawler convention.
+    return F.when(url.rlike(_SCHEME_RE), url).otherwise(F.concat(F.lit("http://"), url))
+
+
 def _scheme(url):
     return F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
 
@@ -85,6 +93,7 @@ def normalize_url(url_col) -> "F.Column":
     parameters. Returns one string column; never touches Python.
     """
     url = F.col(url_col) if isinstance(url_col, str) else url_col
+    url = _with_scheme(url)
     scheme = _scheme(url)
     auth = _authority(url)
     auth = F.when(scheme == "http", F.regexp_replace(auth, r":80$", "")).otherwise(
@@ -110,7 +119,7 @@ def registered_domain(url_col) -> "F.Column":
     """Registrable domain of a URL column (last two host labels, or three
     over a second-level public suffix; the bare host when it has no dot)."""
     url = F.col(url_col) if isinstance(url_col, str) else url_col
-    host = _host(url)
+    host = _host(_with_scheme(url))
     last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
     on_two_level = host.rlike(r"[^.]+\." + TWO_LEVEL_SUFFIX_PATTERN + "$")

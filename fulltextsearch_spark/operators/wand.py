@@ -51,8 +51,6 @@ from fulltextsearch_spark.operators.query import query_terms
 
 __all__ = ["maxscore_topk", "search_wand", "topk_from_joined"]
 
-RESULT_SCHEMA = "query_id STRING, rank LONG, doc_id LONG, score DOUBLE"
-
 
 def _decode_all(
     enc: bytes, n: int, codec: str = "varint", offsets: np.ndarray | None = None

@@ -363,19 +363,27 @@ def paragraph_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.posexplode_outer(_lines(text_col)).alias("para_idx", "para"),
     )
-    w = Window.partitionBy(F.lower(F.col("para"))).orderBy("doc_id", "para_idx")
-    flagged = paras.withColumn(
+    # materialize the hash of the normalized paragraph BEFORE the window so
+    # only (doc_id, para_idx, 16-byte hash) cross the exchange, never the
+    # paragraph text (md5(NULL) is NULL, preserving the no-paragraph rows);
+    # partitioning on the lower(para) expression directly would force the
+    # full text through the shuffle
+    hashed = paras.select(
+        "doc_id", "para_idx", F.md5(F.lower(F.col("para"))).alias("_ph")
+    )
+    w = Window.partitionBy("_ph").orderBy("doc_id", "para_idx")
+    flagged = hashed.withColumn(
         "is_dup",
         F.when(
-            F.col("para").isNull(), F.lit(None).cast("int")
+            F.col("_ph").isNull(), F.lit(None).cast("int")
         ).otherwise((F.row_number().over(w) > 1).cast("int")),
     )
     return flagged.groupBy("doc_id").agg(
-        F.count("para").cast("long").alias("n_paras"),
+        F.count("_ph").cast("long").alias("n_paras"),
         F.coalesce(F.sum("is_dup"), F.lit(0)).cast("long").alias("n_dup_paras"),
         F.round(
             F.coalesce(F.sum("is_dup"), F.lit(0)).cast("double")
-            / F.greatest(F.count("para"), F.lit(1)),
+            / F.greatest(F.count("_ph"), F.lit(1)),
             4,
         ).alias("dup_ratio"),
     )

@@ -279,8 +279,10 @@ def refresh_index(
     O(new delta + previous index), not O(corpus).
 
     Falls back to a full rebuild (reading all tokenized data) on the first
-    materialization, when the watermark manifest is missing, or when
-    (k1, b, block_size) changed (carried block metadata would be unsafe).
+    materialization, when the watermark manifest is missing, when
+    (k1, b, block_size) changed (carried block metadata would be unsafe),
+    or when the previous version's streams are not varint-coded (the carry
+    reinterprets enc bytes as varint partials).
     """
     t0 = time.perf_counter()
     delta_path = os.path.join(root, "delta_tokenized")
@@ -297,10 +299,14 @@ def refresh_index(
         # (k1, b) and the block layout of the previous block_size; with
         # different parameters the bounds can under-estimate (WAND unsafe)
         # or the block reinterpretation is wrong. A change forces a rebuild.
+        # The carry path also REINTERPRETS enc streams as varint partials
+        # (_compressed_rows_as_partials) — a pfor-saved previous version
+        # would decode as garbage, so any non-varint codec forces a rebuild.
         carry_safe = (
             prev.k1 == cfg.k1
             and prev.b == cfg.b
             and prev.block_size == cfg.block_size
+            and prev.codec == "varint"
             and wm is not None
         )
 

@@ -166,3 +166,17 @@ def test_pfor_smaller_on_posting_deltas():
     ep = encode_postings(doc_ids, tfs, dls, avgdl=500.0, codec="pfor")
     size = lambda e: len(e.doc_ids_enc) + len(e.tfs_enc) + len(e.dls_enc)  # noqa: E731
     assert size(ep) < size(ev)
+
+
+def test_pfor_oversize_block_raises_on_both_paths():
+    # the 2-byte count header caps blocks at 65535 values; both the scalar
+    # path (<2 full blocks) and the batched path must refuse, not truncate
+    import pytest as _pytest
+
+    from fulltextsearch_spark.operators.compression import pfor_encode
+
+    big = 70000
+    with _pytest.raises(ValueError, match="65535"):
+        pfor_encode(np.arange(big, dtype=np.uint64) % 50, block_size=big)  # scalar
+    with _pytest.raises(ValueError, match="65535"):
+        pfor_encode(np.arange(3 * big, dtype=np.uint64) % 50, block_size=big)  # batched

@@ -337,6 +337,13 @@ def test_ivf_sample_is_bounded(spark, emb_df):
     cap = 20
     sample = _bounded_sample(emb_df, "embedding", cap, seed=7)
     assert sample.shape[0] <= cap < total
+    # unbiased by physical order: a re-sorted copy of the table yields the
+    # SAME sample (hash-ordered top-k, not front-of-scan)
+    from pyspark.sql import functions as F
+
+    resorted = emb_df.orderBy(F.col("vec_id").desc()).repartition(7)
+    sample2 = _bounded_sample(resorted, "embedding", cap, seed=7)
+    assert {tuple(v) for v in sample} == {tuple(v) for v in sample2}
     assigned, cent = ivf_assign(emb_df, n_centroids=4, max_sample_rows=cap)
     assert cent.shape[0] <= 4
     assert assigned.count() == total  # every vector assigned to some list

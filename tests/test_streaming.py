@@ -271,3 +271,56 @@ def test_refresh_with_changed_k1_forces_full_rebuild(spark, tmp_path):
         for r in search_wand(idx, qdf, cfg2).collect()
     )
     assert got == exhaustive
+
+
+def test_refresh_over_pfor_version_forces_full_rebuild(spark, tmp_path):
+    """The carry path reinterprets enc streams as varint partials; a
+    previous version re-saved with codec='pfor' must force a full rebuild
+    (affected_terms == -1), never a byte-level carry of pfor streams."""
+    from fulltextsearch_spark.operators.compressed_index import (
+        load_compressed_index,
+        save_compressed_index,
+    )
+    from fulltextsearch_spark.streaming.incremental import _set_current
+
+    land = str(tmp_path / "land")
+    root = str(tmp_path / "root")
+    _distinct_urls(generate_webpages(spark, 40, seed=61), "g1").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(land, "g1"))
+    indexer = IncrementalIndexer(spark, root, CFG)
+    indexer.start(f"{land}/g*/", WEBPAGES_SCHEMA).awaitTermination(120)
+    assert refresh_index(spark, root, CFG)["affected_terms"] == -1  # first build
+
+    # re-encode the current version as pfor and flip CURRENT to it, the
+    # way an offline compaction job would
+    v0 = load_compressed_index(spark, os.path.join(root, "index_v00000"))
+    save_compressed_index(v0, os.path.join(root, "index_v00001"), codec="pfor")
+    _set_current(root, 1)
+
+    _distinct_urls(generate_webpages(spark, 30, seed=62), "g2").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(land, "g2"))
+    indexer.start(f"{land}/g*/", WEBPAGES_SCHEMA).awaitTermination(120)
+
+    s = refresh_index(spark, root, CFG)
+    assert s["affected_terms"] == -1  # pfor prev -> no carry-over
+    idx = load_current_index(spark, root)
+    assert idx.codec == "varint" and idx.n_docs == 70
+    # rank-identical vs exhaustive scoring over the decompressed index
+    logical = IndexTables(
+        postings=decompress_postings(idx.postings, idx.block_size),
+        doc_stats=idx.doc_stats,
+        n_docs=idx.n_docs,
+        avgdl=idx.avgdl,
+    )
+    qdf = spark.createDataFrame(QUERY_SET[:4], ["query_id", "content"])
+    exhaustive = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in search(logical, qdf, CFG).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in search_wand(idx, qdf, CFG).collect()
+    )
+    assert got == exhaustive

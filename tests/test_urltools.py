@@ -171,3 +171,35 @@ def test_curate_web_text_never_crosses_exchange(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text" not in line and "url#" not in line, line
+
+
+def test_schemeless_urls_parse_as_http_and_stay_distinct(spark):
+    # Messy crawl data: no scheme. Each must normalize to its own canonical
+    # form (implicit http), NOT collapse into one ':///' group.
+    out = _norm(
+        spark,
+        [
+            "example.com/a",
+            "other.org/b?utm_source=x",
+            "EXAMPLE.COM:80/a/",
+        ],
+    )
+    assert out[0] == "http://example.com/a"
+    assert out[1] == "http://other.org/b"
+    assert out[2] == "http://example.com/a"  # same page as row 0
+
+    df = spark.createDataFrame(
+        [(0, "example.com/a"), (1, "other.org/b"), (2, "http://example.com/a")],
+        ["doc_id", "url"],
+    )
+    dd = {r["doc_id"]: r for r in url_dedup(df).collect()}
+    assert dd[1]["keep"] == 1 and dd[1]["group_size"] == 1
+    assert {dd[0]["keep"], dd[2]["keep"]} == {0, 1} and dd[0]["group_size"] == 2
+
+    doms = {
+        r["doc_id"]: r["domain"]
+        for r in df.select(
+            "doc_id", registered_domain("url").alias("domain")
+        ).collect()
+    }
+    assert doms == {0: "example.com", 1: "other.org", 2: "example.com"}

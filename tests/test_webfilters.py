@@ -164,3 +164,16 @@ def test_paragraph_dedup_within_doc_order(spark):
     docs = spark.createDataFrame([(7, "same para\nsame para")], ["doc_id", "text"])
     out = _rows(paragraph_dedup_stats(docs))
     assert out[7]["n_paras"] == 2 and out[7]["n_dup_paras"] == 1
+
+
+def test_paragraph_dedup_plan_prunes_text_before_exchange(spark):
+    # the window partitions on a MATERIALIZED md5 of the normalized
+    # paragraph; neither the paragraph nor the source text may cross an
+    # exchange (at 100 TB that would shuffle the whole corpus text)
+    df = spark.createDataFrame(
+        [(0, "a b c\nd e f"), (1, "a b c\nx y z")], ["doc_id", "text"]
+    )
+    plan = paragraph_dedup_stats(df)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "para#" not in line and "text#" not in line, line
