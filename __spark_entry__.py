@@ -559,8 +559,12 @@ def _url_expr():
     g%3==0 also give variant 1 a real extra param (page=2) so it stays a
     distinct page; http groups with g%10==0 spell variant 0 SCHEME-LESS
     ("www.siteN.com/...", common in messy crawl data) to pin the
-    implicit-http normalization rule. Mirrored literally in the oracle
-    SQL."""
+    implicit-http normalization rule. g%9 families pin one URL-parse rule
+    each: g%9==0 gives variant 1 NO query but a '?' inside the fragment
+    ("#sec?x=1" — must not resurrect as parameters), g%9==1 a VALUELESS
+    tracking param ("&fbclid" — must still strip), g%9==2 an IPv4-literal
+    host (its own domain, never the last-two-octets), g%9==3 a trailing
+    root-dot host ("….com."). Mirrored literally in the oracle SQL."""
     g = F.expr("doc_id DIV 2")
     v = F.col("doc_id") % 2
     kind = g % 2
@@ -572,22 +576,28 @@ def _url_expr():
         .when(g % 4 == 2, F.lit(".co.uk"))
         .otherwise(F.lit(".net"))
     )
-    host = F.concat(F.lit("www.site"), (g % 37).cast("string"), tld)
+    named = F.concat(F.lit("www.site"), (g % 37).cast("string"), tld)
+    host = (
+        F.when(g % 9 == 2, F.concat(F.lit("10."), (g % 5).cast("string"), F.lit(".0.1")))
+        .when(g % 9 == 3, F.concat(named, F.lit(".")))
+        .otherwise(named)
+    )
     path = F.concat(F.lit("/docs/item"), (g % 41).cast("string"))
     extra = F.when(g % 3 == 0, F.lit("&page=2")).otherwise(F.lit(""))
     url0 = F.when(
         g % 10 == 0, F.concat(host, path, F.lit("?a=1&b=2"))
     ).otherwise(F.concat(scheme, F.lit("://"), host, path, F.lit("?a=1&b=2")))
-    url1 = F.concat(
-        F.upper(scheme),
-        F.lit("://"),
-        F.upper(host),
-        port,
-        path,
-        F.lit("/?b=2&a=1&utm_source=feed&fbclid=x9"),
-        extra,
-        F.lit("#sec"),
+    suffix = (
+        F.when(g % 9 == 0, F.lit("/#sec?x=1"))
+        .when(
+            g % 9 == 1,
+            F.concat(F.lit("/?b=2&a=1&utm_source=feed&fbclid"), extra, F.lit("#sec")),
+        )
+        .otherwise(
+            F.concat(F.lit("/?b=2&a=1&utm_source=feed&fbclid=x9"), extra, F.lit("#sec"))
+        )
     )
+    url1 = F.concat(F.upper(scheme), F.lit("://"), F.upper(host), port, path, suffix)
     return F.when(v == 0, url0).otherwise(url1)
 
 
@@ -1782,8 +1792,11 @@ parts AS (
   SELECT doc_id, v, g,
     CASE WHEN g % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
     CASE WHEN g % 2 = 0 THEN ':80' ELSE ':443' END AS port,
-    'www.site' || (g % 37) || (CASE g % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
-                               WHEN 2 THEN '.co.uk' ELSE '.net' END) AS host,
+    CASE WHEN g % 9 = 2 THEN '10.' || (g % 5) || '.0.1'
+         WHEN g % 9 = 3 THEN 'www.site' || (g % 37) || (CASE g % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                               WHEN 2 THEN '.co.uk' ELSE '.net' END) || '.'
+         ELSE 'www.site' || (g % 37) || (CASE g % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                               WHEN 2 THEN '.co.uk' ELSE '.net' END) END AS host,
     '/docs/item' || (g % 41) AS path,
     CASE WHEN g % 3 = 0 THEN '&page=2' ELSE '' END AS extra
   FROM p
@@ -1795,7 +1808,9 @@ urls0 AS (
       WHEN v = 0
       THEN scheme || '://' || host || path || '?a=1&b=2'
       ELSE upper(scheme) || '://' || upper(host) || port || path ||
-           '/?b=2&a=1&utm_source=feed&fbclid=x9' || extra || '#sec'
+           (CASE WHEN g % 9 = 0 THEN '/#sec?x=1'
+                 WHEN g % 9 = 1 THEN '/?b=2&a=1&utm_source=feed&fbclid' || extra || '#sec'
+                 ELSE '/?b=2&a=1&utm_source=feed&fbclid=x9' || extra || '#sec' END)
     END AS url
   FROM parts
 ),
@@ -1811,7 +1826,7 @@ ext AS (
     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
     lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS auth0,
     regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path0,
-    regexp_extract(url, '\?([^#]*)', 1) AS q
+    coalesce(regexp_extract(url, '^[^#?]*\?([^#]*)', 1), '') AS q
   FROM urls
 ),
 n2 AS (
@@ -1820,8 +1835,8 @@ n2 AS (
          WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
          ELSE auth0 END AS auth,
     CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
-    array_to_string(list_sort(list_filter(string_split(q, '&'),
-        x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*=|gclid=|fbclid=|ref=)'))), '&') AS qs
+    coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+        x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|ref)(=|$)'))), '&'), '') AS qs
   FROM ext
 ),
 normed AS (
@@ -1843,8 +1858,11 @@ parts AS (
   SELECT doc_id, v, g,
     CASE WHEN g % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
     CASE WHEN g % 2 = 0 THEN ':80' ELSE ':443' END AS port,
-    'www.site' || (g % 37) || (CASE g % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
-                               WHEN 2 THEN '.co.uk' ELSE '.net' END) AS host,
+    CASE WHEN g % 9 = 2 THEN '10.' || (g % 5) || '.0.1'
+         WHEN g % 9 = 3 THEN 'www.site' || (g % 37) || (CASE g % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                               WHEN 2 THEN '.co.uk' ELSE '.net' END) || '.'
+         ELSE 'www.site' || (g % 37) || (CASE g % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                               WHEN 2 THEN '.co.uk' ELSE '.net' END) END AS host,
     '/docs/item' || (g % 41) AS path,
     CASE WHEN g % 3 = 0 THEN '&page=2' ELSE '' END AS extra
   FROM p
@@ -1856,7 +1874,9 @@ urls0 AS (
       WHEN v = 0
       THEN scheme || '://' || host || path || '?a=1&b=2'
       ELSE upper(scheme) || '://' || upper(host) || port || path ||
-           '/?b=2&a=1&utm_source=feed&fbclid=x9' || extra || '#sec'
+           (CASE WHEN g % 9 = 0 THEN '/#sec?x=1'
+                 WHEN g % 9 = 1 THEN '/?b=2&a=1&utm_source=feed&fbclid' || extra || '#sec'
+                 ELSE '/?b=2&a=1&utm_source=feed&fbclid=x9' || extra || '#sec' END)
     END AS url
   FROM parts
 ),
@@ -1868,14 +1888,17 @@ urls AS (
   FROM urls0
 ),
 hosts AS (
+  -- port stripped, then the trailing root-dot (registered_domain rule)
   SELECT doc_id,
-    regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
-                   ':[0-9]+$', '') AS host
+    regexp_replace(regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+                   ':[0-9]+$', ''), '\.$', '') AS host
   FROM urls
 ),
 doms AS (
   SELECT doc_id,
-    CASE WHEN regexp_matches(host, '[^.]+\.(co|com|org|net|ac|gov|edu)\.(uk|au|jp|in|br|nz|za|mx|ar|cn|id|tr)$')
+    CASE WHEN regexp_matches(host, '^[0-9]{1,3}(\.[0-9]{1,3}){3}$')
+         THEN host
+         WHEN regexp_matches(host, '[^.]+\.(co|com|org|net|ac|gov|edu)\.(uk|au|jp|in|br|nz|za|mx|ar|cn|id|tr)$')
               AND regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) <> ''
          THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
          WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
@@ -1901,8 +1924,11 @@ parts AS (
   SELECT doc_id, v, g,
     CASE WHEN g % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
     CASE WHEN g % 2 = 0 THEN ':80' ELSE ':443' END AS port,
-    'www.site' || (g % 37) || (CASE g % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
-                               WHEN 2 THEN '.co.uk' ELSE '.net' END) AS host,
+    CASE WHEN g % 9 = 2 THEN '10.' || (g % 5) || '.0.1'
+         WHEN g % 9 = 3 THEN 'www.site' || (g % 37) || (CASE g % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                               WHEN 2 THEN '.co.uk' ELSE '.net' END) || '.'
+         ELSE 'www.site' || (g % 37) || (CASE g % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                               WHEN 2 THEN '.co.uk' ELSE '.net' END) END AS host,
     '/docs/item' || (g % 41) AS path,
     CASE WHEN g % 3 = 0 THEN '&page=2' ELSE '' END AS extra
   FROM t
@@ -1914,7 +1940,9 @@ urls0 AS (
       WHEN v = 0
       THEN scheme || '://' || host || path || '?a=1&b=2'
       ELSE upper(scheme) || '://' || upper(host) || port || path ||
-           '/?b=2&a=1&utm_source=feed&fbclid=x9' || extra || '#sec'
+           (CASE WHEN g % 9 = 0 THEN '/#sec?x=1'
+                 WHEN g % 9 = 1 THEN '/?b=2&a=1&utm_source=feed&fbclid' || extra || '#sec'
+                 ELSE '/?b=2&a=1&utm_source=feed&fbclid=x9' || extra || '#sec' END)
     END AS url
   FROM parts
 ),
@@ -1930,7 +1958,7 @@ ext AS (
     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
     lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS auth0,
     regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path0,
-    regexp_extract(url, '\?([^#]*)', 1) AS q
+    coalesce(regexp_extract(url, '^[^#?]*\?([^#]*)', 1), '') AS q
   FROM urls
 ),
 normed AS (
@@ -1940,17 +1968,19 @@ normed AS (
           WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
           ELSE auth0 END) ||
     (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
-    (CASE WHEN array_to_string(list_sort(list_filter(string_split(q, '&'),
-        x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*=|gclid=|fbclid=|ref=)'))), '&') = ''
-      THEN '' ELSE '?' || array_to_string(list_sort(list_filter(string_split(q, '&'),
-        x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*=|gclid=|fbclid=|ref=)'))), '&') END)
+    (CASE WHEN coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+        x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|ref)(=|$)'))), '&'), '') = ''
+      THEN '' ELSE '?' || coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+        x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|ref)(=|$)'))), '&'), '') END)
       AS url_norm,
-    regexp_replace(auth0, ':[0-9]+$', '') AS host
+    regexp_replace(regexp_replace(auth0, ':[0-9]+$', ''), '\.$', '') AS host
   FROM ext
 ),
 doms AS (
   SELECT doc_id, url_norm,
-    CASE WHEN regexp_matches(host, '[^.]+\.(co|com|org|net|ac|gov|edu)\.(uk|au|jp|in|br|nz|za|mx|ar|cn|id|tr)$')
+    CASE WHEN regexp_matches(host, '^[0-9]{1,3}(\.[0-9]{1,3}){3}$')
+         THEN host
+         WHEN regexp_matches(host, '[^.]+\.(co|com|org|net|ac|gov|edu)\.(uk|au|jp|in|br|nz|za|mx|ar|cn|id|tr)$')
               AND regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) <> ''
          THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
          WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''

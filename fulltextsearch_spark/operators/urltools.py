@@ -51,8 +51,9 @@ __all__ = [
 ]
 
 # A query parameter is tracking noise when its KEY is utm_* or one of the
-# click identifiers. Matched against the full `key=value` token.
-TRACKING_PARAM_PATTERN = r"^(utm_[^=]*=|gclid=|fbclid=|ref=)"
+# click identifiers. Matched against the full token: `key=value`, or a
+# bare valueless `key` (crawls carry both spellings of the same tracker).
+TRACKING_PARAM_PATTERN = r"^(utm_[^=]*|gclid|fbclid|ref)(=|$)"
 
 # Common second-level public suffixes, as an (SLD grid x ccTLD grid)
 # regex — an approximation of the public-suffix list that both engines
@@ -62,7 +63,10 @@ TWO_LEVEL_SUFFIX_PATTERN = r"(co|com|org|net|ac|gov|edu)\.(uk|au|jp|in|br|nz|za|
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 _AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# query = after the first '?' only when that '?' precedes any '#': a '?'
+# inside the fragment ("/a#sec?x=1") is fragment content, not a query —
+# an unanchored '\?([^#]*)' would resurrect it as canonical parameters.
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
 
 
 def _with_scheme(url):
@@ -117,14 +121,22 @@ def normalize_url(url_col) -> "F.Column":
 
 def registered_domain(url_col) -> "F.Column":
     """Registrable domain of a URL column (last two host labels, or three
-    over a second-level public suffix; the bare host when it has no dot)."""
+    over a second-level public suffix; the bare host when it has no dot).
+
+    A trailing root-dot (``example.com.``) is stripped before the label
+    logic, and an IPv4-literal host is its OWN domain — label suffixes of
+    an address ("0.1") would lump every IP-hosted site into one cap group.
+    """
     url = F.col(url_col) if isinstance(url_col, str) else url_col
-    host = _host(_with_scheme(url))
+    host = F.regexp_replace(_host(_with_scheme(url)), r"\.$", "")
     last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
     on_two_level = host.rlike(r"[^.]+\." + TWO_LEVEL_SUFFIX_PATTERN + "$")
-    return F.when(on_two_level & (last3 != ""), last3).otherwise(
-        F.when(last2 != "", last2).otherwise(host)
+    is_ipv4 = host.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$")
+    return F.when(is_ipv4, host).otherwise(
+        F.when(on_two_level & (last3 != ""), last3).otherwise(
+            F.when(last2 != "", last2).otherwise(host)
+        )
     )
 
 

@@ -35,7 +35,7 @@ def value_hash(rows: list[tuple], cols: list[str]) -> str:
     return hashlib.md5("\n".join(norm).encode()).hexdigest()
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
     spark = get_spark(app_name="contract-check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -45,6 +45,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         sdf = fn(spark, sf_dir)
         srows = [tuple(r) for r in sdf.collect()]
         scols = sdf.columns

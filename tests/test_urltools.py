@@ -203,3 +203,58 @@ def test_schemeless_urls_parse_as_http_and_stay_distinct(spark):
         ).collect()
     }
     assert doms == {0: "example.com", 1: "other.org", 2: "example.com"}
+
+
+def test_fragment_question_mark_is_not_a_query(spark):
+    # a '?' that first appears inside the fragment is fragment content;
+    # resurrecting it as query params would split/merge dedup groups
+    out = _norm(
+        spark,
+        [
+            "http://ex.com/a#sec?x=1",
+            "http://ex.com/a",
+            "http://ex.com/a?x=1",
+        ],
+    )
+    assert out[0] == "http://ex.com/a"
+    assert out[0] == out[1]
+    assert out[2] == "http://ex.com/a?x=1"  # real query still survives
+
+
+def test_valueless_tracking_params_are_stripped(spark):
+    out = _norm(
+        spark,
+        [
+            "http://ex.com/a?fbclid",
+            "http://ex.com/a?utm_source",
+            "http://ex.com/a?ref&c=3",
+            "http://ex.com/a?reference=x",  # NOT a tracker (key != ref)
+        ],
+    )
+    assert out[0] == "http://ex.com/a"
+    assert out[1] == "http://ex.com/a"
+    assert out[2] == "http://ex.com/a?c=3"
+    assert out[3] == "http://ex.com/a?reference=x"
+
+
+def test_registered_domain_ip_literal_and_trailing_dot(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "http://10.2.0.1/x"),
+            (1, "http://7.7.0.1:8080/y"),
+            (2, "http://example.com./z"),  # trailing root-dot
+            (3, "http://sub.example.com/z"),
+        ],
+        ["doc_id", "url"],
+    )
+    doms = {
+        r["doc_id"]: r["domain"]
+        for r in df.select("doc_id", registered_domain("url").alias("domain")).collect()
+    }
+    assert doms[0] == "10.2.0.1"  # an IP is its own domain
+    assert doms[1] == "7.7.0.1"
+    assert doms[2] == "example.com"
+    assert doms[3] == "example.com"
+    caps = {r["doc_id"]: r for r in domain_caps(df, max_per_domain=1).collect()}
+    assert caps[0]["keep"] == 1 and caps[1]["keep"] == 1  # distinct IP domains
+    assert caps[2]["keep"] == 1 and caps[3]["keep"] == 0  # same domain, capped
