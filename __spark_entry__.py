@@ -494,6 +494,22 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_docs(spark, sf_dir))
 
 
+def q_decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline: benchmark decontamination (published exact
+    n-gram-overlap rule, GPT-3 App. C style; n=8 over the engine's
+    unstemmed token stream here so the small corpus has cross-doc hits).
+    The "benchmark" is a deterministic subset of the corpus itself
+    (doc_id % 17 == 3) — the leaked-eval-set scenario the rule exists
+    for. The DuckDB oracle replays tokenization, the sliding n-grams,
+    and the distinct-gram overlap count independently (string-join on
+    grams; Spark joins on xxhash64 of the same grams)."""
+    from fulltextsearch_spark.operators.decontam import contamination_flags
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 17 == 3).select("text")
+    return contamination_flags(docs, bench, n=8, min_hits=1).orderBy("doc_id")
+
+
 def _lineful_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The testdata text is single-line with no punctuation, so the
     line-level filter rules would be degenerate on it. Deterministically
@@ -952,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_caps": q_domain_caps,
         "curate_web": q_curate_web,
         "lang_id": q_lang_id,
+        "decontam_flags": q_decontam_flags,
         "ngram_jaccard": q_ngram_jaccard,
         "neardup_clusters": q_neardup_clusters,
         "dedup_canonical": q_dedup_canonical,
@@ -1591,6 +1608,21 @@ SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,
 FROM words
 """,
         "lang_id": _lang_id_sql(),
+        "decontam_flags": f"""
+WITH {_tok_cte()},
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(tokens)-8+1),
+                i -> array_to_string(tokens[i:i+7], ' ')))) AS gram
+  FROM toks
+),
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 3),
+hits AS (SELECT g.doc_id, count(*) AS n_hits FROM g JOIN bg USING (gram) GROUP BY 1)
+SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+ORDER BY doc_id
+""",
         "curate_corpus": _curate_sql(),
         "gopher_rules": r"""
 WITH t AS (
