@@ -510,6 +510,41 @@ def q_decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(docs, bench, n=8, min_hits=1).orderBy("doc_id")
 
 
+# Phrase-search query set: frequent / rare / stop-word-laden (same surviving
+# stream as p1) / no-match phrases over the testdata vocabulary.
+PHRASES = [
+    ("p1", "value table"),
+    ("p2", "slow hash batch"),
+    ("p3", "value of the table"),
+    ("p4", "salmon zebra"),
+]
+
+
+def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional index + exact phrase top-k (beyond the reference, which
+    indexes (term, doc, tf) only — inverted_index_engine.cpp:15-35). Pure
+    relational adjacency: postings carry surviving-token positions, each
+    posting row explodes to start = pos - slot, a start with all slots
+    present is one occurrence; the phrase scores as a single virtual term
+    (tf = occurrences, df = matching docs) through the reference BM25
+    formula. The DuckDB oracle replays positions (zipped unnest), the
+    slot-shifted adjacency join, and the scoring independently."""
+    from fulltextsearch_spark.operators.positional import (
+        build_positional_index,
+        phrase_topk,
+    )
+
+    idx = build_positional_index(_docs(spark, sf_dir))
+    qs = spark.createDataFrame(PHRASES, ["query_id", "content"])
+    res = phrase_topk(idx, qs, k=TOPK, k1=K1, b=B)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _lineful_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The testdata text is single-line with no punctuation, so the
     line-level filter rules would be degenerate on it. Deterministically
@@ -969,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_web": q_curate_web,
         "lang_id": q_lang_id,
         "decontam_flags": q_decontam_flags,
+        "phrase_topk": q_phrase_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "neardup_clusters": q_neardup_clusters,
         "dedup_canonical": q_dedup_canonical,
@@ -1072,6 +1108,54 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
   FROM scored
 )
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _phrase_slots_values() -> str:
+    """PHRASES through the engine tokenizer (unstemmed), as VALUES rows —
+    the oracle consumes the same (query_id, slot, term) table the Spark
+    path derives, then replays the adjacency + scoring independently."""
+    from fulltextsearch_spark.functions.tokenizer import tokenize
+
+    vals = []
+    for qid, content in PHRASES:
+        for slot, term in enumerate(tokenize(content, do_stem=False)):
+            vals.append(f"('{qid}', {slot}, '{term}')")
+    return ", ".join(vals)
+
+
+def _phrase_sql() -> str:
+    return f"""
+WITH {_tok_cte()},
+pos AS (SELECT doc_id, unnest(tokens) AS term,
+               unnest(generate_series(0, len(tokens)-1)) AS pos
+        FROM toks),
+slots AS (SELECT * FROM (VALUES {_phrase_slots_values()}) v(query_id, slot, term)),
+ns AS (SELECT query_id, max(slot)+1 AS n_slots FROM slots GROUP BY 1),
+starts AS (SELECT s.query_id, p.doc_id, p.pos - s.slot AS start
+           FROM pos p JOIN slots s USING (term) WHERE p.pos >= s.slot),
+m AS (SELECT query_id, doc_id, start, count(*) AS n_matched
+      FROM starts GROUP BY 1, 2, 3),
+occ AS (SELECT m.query_id, m.doc_id, count(*)::BIGINT AS n_occ
+        FROM m JOIN ns USING (query_id)
+        WHERE m.n_matched = ns.n_slots GROUP BY 1, 2),
+stats AS (SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+                 sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl FROM dls),
+dfp AS (SELECT query_id, count(*)::BIGINT AS df FROM occ GROUP BY 1),
+scored AS (
+  SELECT o.query_id, o.doc_id,
+         ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1.0) *
+         (o.n_occ::DOUBLE * ({K1} + 1.0) /
+          (o.n_occ::DOUBLE + {K1} * (1.0 - {B} + {B} * (dls.dl::DOUBLE / s.avgdl)))) AS score
+  FROM occ o JOIN dfp d USING (query_id) JOIN dls USING (doc_id) CROSS JOIN stats s
+),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scored)
 SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
        round(score, 4) AS score
 FROM ranked WHERE rank <= {TOPK}
@@ -1623,6 +1707,7 @@ SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
 FROM documents d LEFT JOIN hits h USING (doc_id)
 ORDER BY doc_id
 """,
+        "phrase_topk": _phrase_sql(),
         "curate_corpus": _curate_sql(),
         "gopher_rules": r"""
 WITH t AS (

@@ -1,0 +1,112 @@
+"""Positional index + exact phrase search."""
+
+from __future__ import annotations
+
+import pytest
+
+from fulltextsearch_spark.operators.positional import (
+    build_positional_index,
+    load_positional_index,
+    phrase_occurrences,
+    phrase_topk,
+    save_positional_index,
+)
+from fulltextsearch_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(app_name="test-positional", master="local[2]", shuffle_partitions=2)
+    yield s
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "cat salmon fresh cat salmon stale"),
+            (1, "salmon cat fresh"),
+            (2, "cat alone swims fresh water"),
+            # stop words vanish from the position stream: "cat of the
+            # salmon" indexes as consecutive (cat, salmon)
+            (3, "cat of the salmon fresh"),
+            (4, "cat salmon cat salmon cat salmon"),
+        ],
+        ["doc_id", "text"],
+    )
+    return build_positional_index(docs)
+
+
+def _occ(index, spark, phrase):
+    q = spark.createDataFrame([("q", phrase)], ["query_id", "content"])
+    return {r["doc_id"]: r["n_occ"] for r in phrase_occurrences(index, q).collect()}
+
+
+def test_postings_positions(index):
+    rows = {
+        (r["term"], r["doc_id"]): list(r["positions"])
+        for r in index.postings.collect()
+    }
+    assert rows[("cat", 0)] == [0, 3]
+    assert rows[("salmon", 4)] == [1, 3, 5]
+    assert ("of", 3) not in rows and ("the", 3) not in rows  # stop words
+    assert rows[("salmon", 3)] == [1]  # position counts surviving tokens
+    assert index.n_docs == 5 and index.doc_stats.count() == 5
+
+
+def test_phrase_occurrences_exact_adjacency(index, spark):
+    occ = _occ(index, spark, "cat salmon")
+    # doc 1 has both terms but reversed; doc 2 lacks salmon
+    assert occ == {0: 2, 3: 1, 4: 3}
+
+
+def test_phrase_longer_and_single_term(index, spark):
+    # doc 3's surviving stream is (cat, salmon, fresh) — stop words gone
+    assert _occ(index, spark, "cat salmon fresh") == {0: 1, 3: 1}
+    assert _occ(index, spark, "salmon") == {0: 2, 1: 1, 3: 1, 4: 3}  # tf
+
+
+def test_phrase_with_stop_words_matches_surviving_stream(index, spark):
+    # query-side stop removal mirrors the index side
+    assert _occ(index, spark, "cat of the salmon") == _occ(index, spark, "cat salmon")
+
+
+def test_duplicate_token_phrase(index, spark):
+    occ = _occ(index, spark, "cat salmon cat")
+    # doc 0 breaks at pos 2 ("fresh"); doc 4's overlapping starts 0 and 2
+    # both count
+    assert occ == {4: 2}
+
+
+def test_unseen_term_and_all_stop_phrase(index, spark):
+    assert _occ(index, spark, "cat zebra") == {}
+    assert _occ(index, spark, "the of and") == {}
+
+
+def test_phrase_topk_scores_and_ranks(index, spark):
+    q = spark.createDataFrame(
+        [("q1", "cat salmon"), ("q2", "zebra")], ["query_id", "content"]
+    )
+    rows = phrase_topk(index, q, k=10).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert "q2" not in by_q
+    got = [(r["rank"], r["doc_id"]) for r in by_q["q1"]]
+    # doc 4 (3 occurrences, dl 6) outranks doc 0 (2 occ, dl 6) outranks
+    # doc 3 (1 occ, dl 3); ranks dense from 1
+    assert got == [(1, 4), (2, 0), (3, 3)]
+    scores = [r["score"] for r in by_q["q1"]]
+    assert scores == sorted(scores, reverse=True) and scores[0] > 0
+
+
+def test_save_load_round_trip(index, spark, tmp_path):
+    root = str(tmp_path / "pidx")
+    save_positional_index(index, root)
+    loaded = load_positional_index(spark, root)
+    assert (loaded.n_docs, loaded.stem) == (index.n_docs, index.stem)
+    assert abs(loaded.avgdl - index.avgdl) < 1e-12
+    q = spark.createDataFrame([("q", "cat salmon")], ["query_id", "content"])
+    a = sorted(map(tuple, phrase_topk(index, q, k=5).collect()))
+    b = sorted(map(tuple, phrase_topk(loaded, q, k=5).collect()))
+    assert a == b
