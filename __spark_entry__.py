@@ -545,6 +545,37 @@ def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Proximity query set (unordered within-window cover) + the window size.
+PROX_QUERIES = [
+    ("x1", "slow hash"),
+    ("x2", "value table part"),
+    ("x3", "salmon zebra"),
+]
+PROX_WINDOW = 5
+
+
+def q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional index, unordered proximity ranking: a window anchored at
+    any query-term occurrence counts when every distinct query term occurs
+    in [anchor, anchor+W); tf = window count, scored as a virtual term via
+    the reference BM25 formula. The DuckDB oracle replays the range
+    self-join cover test and the scoring independently."""
+    from fulltextsearch_spark.operators.positional import (
+        build_positional_index,
+        proximity_topk,
+    )
+
+    idx = build_positional_index(_docs(spark, sf_dir))
+    qs = spark.createDataFrame(PROX_QUERIES, ["query_id", "content"])
+    res = proximity_topk(idx, qs, window=PROX_WINDOW, k=TOPK, k1=K1, b=B)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _lineful_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The testdata text is single-line with no punctuation, so the
     line-level filter rules would be degenerate on it. Deterministically
@@ -1005,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "decontam_flags": q_decontam_flags,
         "phrase_topk": q_phrase_topk,
+        "proximity_topk": q_proximity_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "neardup_clusters": q_neardup_clusters,
         "dedup_canonical": q_dedup_canonical,
@@ -1142,6 +1174,57 @@ m AS (SELECT query_id, doc_id, start, count(*) AS n_matched
 occ AS (SELECT m.query_id, m.doc_id, count(*)::BIGINT AS n_occ
         FROM m JOIN ns USING (query_id)
         WHERE m.n_matched = ns.n_slots GROUP BY 1, 2),
+stats AS (SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+                 sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl FROM dls),
+dfp AS (SELECT query_id, count(*)::BIGINT AS df FROM occ GROUP BY 1),
+scored AS (
+  SELECT o.query_id, o.doc_id,
+         ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1.0) *
+         (o.n_occ::DOUBLE * ({K1} + 1.0) /
+          (o.n_occ::DOUBLE + {K1} * (1.0 - {B} + {B} * (dls.dl::DOUBLE / s.avgdl)))) AS score
+  FROM occ o JOIN dfp d USING (query_id) JOIN dls USING (doc_id) CROSS JOIN stats s
+),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scored)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _prox_qterms_values() -> str:
+    """PROX_QUERIES through the engine tokenizer, DISTINCT terms per query
+    (set semantics — multiplicity is irrelevant to window cover)."""
+    from fulltextsearch_spark.functions.tokenizer import tokenize
+
+    vals = []
+    for qid, content in PROX_QUERIES:
+        for term in dict.fromkeys(tokenize(content, do_stem=False)):
+            vals.append(f"('{qid}', '{term}')")
+    return ", ".join(vals)
+
+
+def _proximity_sql() -> str:
+    return f"""
+WITH {_tok_cte()},
+pos AS (SELECT doc_id, unnest(tokens) AS term,
+               unnest(generate_series(0, len(tokens)-1)) AS pos
+        FROM toks),
+qt AS (SELECT * FROM (VALUES {_prox_qterms_values()}) v(query_id, term)),
+nt AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY 1),
+p AS (SELECT qt.query_id, pos.doc_id, pos.term, pos.pos
+      FROM pos JOIN qt USING (term)),
+cov AS (SELECT a.query_id, a.doc_id, a.pos AS anchor,
+               count(DISTINCT b.term) AS n_covered
+        FROM p a JOIN p b
+          ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+         AND b.pos >= a.pos AND b.pos < a.pos + {PROX_WINDOW}
+        GROUP BY 1, 2, 3),
+occ AS (SELECT cov.query_id, cov.doc_id, count(*)::BIGINT AS n_occ
+        FROM cov JOIN nt USING (query_id)
+        WHERE cov.n_covered = nt.n_terms GROUP BY 1, 2),
 stats AS (SELECT (max(doc_id)+1)::BIGINT AS n_docs,
                  sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl FROM dls),
 dfp AS (SELECT query_id, count(*)::BIGINT AS df FROM occ GROUP BY 1),
@@ -1708,6 +1791,7 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 ORDER BY doc_id
 """,
         "phrase_topk": _phrase_sql(),
+        "proximity_topk": _proximity_sql(),
         "curate_corpus": _curate_sql(),
         "gopher_rules": r"""
 WITH t AS (

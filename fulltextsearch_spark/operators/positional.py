@@ -55,6 +55,8 @@ __all__ = [
     "phrase_slots",
     "phrase_occurrences",
     "phrase_topk",
+    "proximity_occurrences",
+    "proximity_topk",
 ]
 
 
@@ -196,6 +198,87 @@ def phrase_topk(
                 index.avgdl,
                 k1=k1,
                 b=b,
+            ).alias("score"),
+        )
+    )
+    return topk(scored, k)
+
+
+def proximity_occurrences(
+    index: PositionalIndex, queries: DataFrame, window: int
+) -> DataFrame:
+    """(query_id, content) -> (query_id, doc_id, n_windows): unordered
+    proximity match. A WINDOW is anchored at any occurrence of any query
+    term; it counts when every DISTINCT query term occurs somewhere in
+    [anchor, anchor + window). ``n_windows`` is the number of anchors that
+    satisfy it — 0-row docs are absent. Order within the window does not
+    matter (that is :func:`phrase_occurrences`'s job); term multiplicity
+    in the query does not matter either (the term SET must be covered).
+
+    Relational shape: postings prune to the query's terms via a broadcast
+    join (same map-side pruning as the phrase path), positions explode,
+    and the window test is a per-(query, doc) range self-join — bounded by
+    (query-term occurrences per doc)^2 in the worst case, but the join
+    keys are fine-grained (query_id, doc_id) pairs, so no task sees more
+    than one document's positions for one query.
+    """
+    toked = queries.select(
+        "query_id",
+        tokenize_udf(do_stem=index.stem)(F.col("content")).alias("_toks"),
+    )
+    qterms = toked.select(
+        "query_id", F.explode(F.array_distinct("_toks")).alias("term")
+    )
+    n_terms = qterms.groupBy("query_id").agg(F.count("*").alias("n_terms"))
+    pos = (
+        index.postings.join(F.broadcast(qterms), "term")
+        .select("query_id", "doc_id", "term", F.explode("positions").alias("pos"))
+    )
+    a = pos.select("query_id", "doc_id", F.col("pos").alias("anchor"))
+    b = pos.select(
+        "query_id", "doc_id", F.col("term").alias("_t"), F.col("pos").alias("_p")
+    )
+    covered = (
+        a.join(b, ["query_id", "doc_id"])
+        .filter(
+            (F.col("_p") >= F.col("anchor"))
+            & (F.col("_p") < F.col("anchor") + window)
+        )
+        .groupBy("query_id", "doc_id", "anchor")
+        .agg(F.countDistinct("_t").alias("_m"))
+    )
+    wins = covered.join(F.broadcast(n_terms), "query_id").filter(
+        F.col("_m") == F.col("n_terms")
+    )
+    return wins.groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("long").alias("n_windows")
+    )
+
+
+def proximity_topk(
+    index: PositionalIndex,
+    queries: DataFrame,
+    window: int,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Proximity-ranked top-k: the query scores as one virtual term with
+    tf = satisfying-window count and df = matching docs, through the
+    reference BM25 formula — deterministic tie-break on doc_id."""
+    occ = proximity_occurrences(index, queries, window).withColumnRenamed(
+        "n_windows", "n_occ"
+    )
+    df_q = occ.groupBy("query_id").agg(F.count("*").cast("long").alias("_df"))
+    scored = (
+        occ.join(F.broadcast(df_q), "query_id")
+        .join(index.doc_stats, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            bm25_col(
+                F.col("n_occ"), F.col("_df"), F.col("dl"),
+                index.n_docs, index.avgdl, k1=k1, b=b,
             ).alias("score"),
         )
     )

@@ -110,3 +110,41 @@ def test_save_load_round_trip(index, spark, tmp_path):
     a = sorted(map(tuple, phrase_topk(index, q, k=5).collect()))
     b = sorted(map(tuple, phrase_topk(loaded, q, k=5).collect()))
     assert a == b
+
+
+def _prox(index, spark, phrase, window):
+    from fulltextsearch_spark.operators.positional import proximity_occurrences
+
+    q = spark.createDataFrame([("q", phrase)], ["query_id", "content"])
+    return {
+        r["doc_id"]: r["n_windows"]
+        for r in proximity_occurrences(index, q, window).collect()
+    }
+
+
+def test_proximity_window_semantics(index, spark):
+    # doc 0 stream: cat0 salmon1 fresh2 cat3 salmon4 stale5
+    assert _prox(index, spark, "fresh stale", 4) == {0: 1}  # anchor 2 only
+    assert _prox(index, spark, "fresh stale", 3) == {}  # span is 4
+    # unordered: "stale fresh" behaves identically
+    assert _prox(index, spark, "stale fresh", 4) == {0: 1}
+
+
+def test_proximity_counts_anchors(index, spark):
+    got = _prox(index, spark, "cat fresh", 4)
+    # doc 0 anchors 0 and 2; docs 1-3 one anchor each; doc 4 lacks fresh
+    assert got == {0: 2, 1: 1, 2: 1, 3: 1}
+    # query-term multiplicity is set semantics
+    assert _prox(index, spark, "cat cat fresh", 4) == got
+
+
+def test_proximity_topk_ranks(index, spark):
+    from fulltextsearch_spark.operators.positional import proximity_topk
+
+    q = spark.createDataFrame([("q1", "cat fresh")], ["query_id", "content"])
+    rows = proximity_topk(index, q, window=4, k=10).collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4]
+    # doc 0: tf=2 windows beats the shorter tf=1 docs under BM25
+    assert rows[0]["doc_id"] == 0
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
