@@ -299,6 +299,51 @@ def q_bm25_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-merge (compaction) path under the hard gate: build TWO segment
+    indexes over disjoint doc-id halves (each saved/loaded independently),
+    merge_saved_indexes compacts them through the partial-combine reduce
+    (zero text re-read — merge IO is the segments' compressed bytes), then
+    block-max WAND over the merged index. The merge is value-identical to a
+    batch build over the union corpus (tests/test_segments.py), so it shares
+    bm25_topk's oracle. Beyond the reference, whose in-RAM index rebuilds
+    from scratch (inverted_index_engine.cpp:15-35)."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.compressed_index import (
+        build_compressed_index,
+        save_compressed_index,
+    )
+    from fulltextsearch_spark.operators.segments import merge_saved_indexes
+    from fulltextsearch_spark.operators.wand import search_wand
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    base = f"/tmp/fts_entry_seg_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    _sh.rmtree(base, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    roots = [f"{base}/seg0", f"{base}/seg1"]
+    for root, part in zip(
+        roots,
+        (docs.filter(F.col("doc_id") < n // 2), docs.filter(F.col("doc_id") >= n // 2)),
+    ):
+        save_compressed_index(build_compressed_index(spark, part, cfg), root)
+    merged = merge_saved_indexes(spark, roots, out_root=f"{base}/merged", cfg=cfg)
+    queries = spark.createDataFrame(
+        [(qid, " ".join(t for q, t in QUERY_TOKENS if q == qid)) for qid in
+         sorted({q for q, _ in QUERY_TOKENS})],
+        ["query_id", "content"],
+    )
+    return search_wand(merged, queries, cfg).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_vsm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-space-model tf-idf cosine top-k — the engine the reference
     declares but never implemented (vector_space_model_engine.cpp:8-33 all
@@ -1016,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_pfor": q_bm25_topk_pfor,
         "bm25_topk_incremental": q_bm25_topk_incremental,
         "bm25_topk_resumable": q_bm25_topk_resumable,
+        "bm25_topk_merged": q_bm25_topk_merged,
         "trigram_topk_loaded": q_trigram_topk_loaded,
         "tfidf_topk": q_tfidf_topk,
         "vsm_topk": q_vsm_topk,
@@ -1699,6 +1745,7 @@ FROM tf GROUP BY 1
         "bm25_topk_pfor": _scored_sql(bm25),
         "bm25_topk_incremental": _scored_sql(bm25),
         "bm25_topk_resumable": _scored_sql(bm25),
+        "bm25_topk_merged": _scored_sql(bm25),
         "trigram_topk_loaded": _trigram_sql(),
         "bm25_topk_stemmed": _scored_sql(bm25, stemmed=True),
         "tfidf_topk": _scored_sql(tfidf),

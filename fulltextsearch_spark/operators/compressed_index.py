@@ -801,6 +801,34 @@ def _encode_chunk_vec(
     return rows_out
 
 
+def compressed_rows_as_partials(postings: DataFrame, block_size: int) -> DataFrame:
+    """Reinterpret compressed index rows as partial-combine rows, METADATA-ONLY.
+
+    A compressed row's streams are already in the partial format
+    (:data:`_PARTIAL_FIELDS`): ``doc_ids_enc`` stores an absolute value at
+    every block start and deltas elsewhere — exactly a multi-segment partial
+    with one segment per block — and ``tfs_enc``/``dls_enc`` are plain varint
+    streams that concatenate as-is. No byte is decoded or copied here; the
+    reduce side (``_merge_partials``) re-blocks affected terms once, bounded
+    by those terms' compressed bytes. Shared by the streaming refresh
+    (carry-forward of affected terms) and the segment-merge compaction path
+    (:mod:`fulltextsearch_spark.operators.segments`).
+    """
+    nb = F.size("block_first_doc")
+    seg_lens = F.concat(
+        F.array_repeat(F.lit(block_size).cast("long"), nb - F.lit(1)),
+        F.array((F.col("count") - (nb - F.lit(1)) * F.lit(block_size)).cast("long")),
+    )
+    return postings.select(
+        "term",
+        F.element_at("block_first_doc", 1).cast("long").alias("first_doc"),
+        seg_lens.alias("seg_lens"),
+        F.col("doc_ids_enc").alias("doc_bytes"),
+        F.col("tfs_enc").alias("tf_bytes"),
+        F.col("dls_enc").alias("dl_bytes"),
+    )
+
+
 def compress_postings(index: IndexTables, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
     """Logical postings arrays -> compressed block format (Arrow-batched)."""
     block_size, k1, b, avgdl = cfg.block_size, cfg.k1, cfg.b, index.avgdl

@@ -51,6 +51,7 @@ from fulltextsearch_spark.operators.compressed_index import (
     _merge_partials,
     _partial_rows_tokenized,
     compress_tokenized,
+    compressed_rows_as_partials as _compressed_rows_as_partials,
     load_compressed_index,
     save_compressed_index,
 )
@@ -237,31 +238,8 @@ def _tokenized_union(spark: SparkSession, root: str) -> DataFrame:
     return out
 
 
-def _compressed_rows_as_partials(postings: DataFrame, block_size: int) -> DataFrame:
-    """Reinterpret compressed index rows as partial-combine rows, METADATA-ONLY.
-
-    A compressed row's streams are already in the partial format
-    (:data:`~fulltextsearch_spark.operators.compressed_index._PARTIAL_FIELDS`):
-    ``doc_ids_enc`` stores an absolute value at every block start and deltas
-    elsewhere — exactly a multi-segment partial with one segment per block —
-    and ``tfs_enc``/``dls_enc`` are plain varint streams that concatenate
-    as-is. No byte is decoded or copied here; the reduce side
-    (``_merge_partials``) re-blocks affected terms once, bounded by those
-    terms' compressed bytes.
-    """
-    nb = F.size("block_first_doc")
-    seg_lens = F.concat(
-        F.array_repeat(F.lit(block_size).cast("long"), nb - F.lit(1)),
-        F.array((F.col("count") - (nb - F.lit(1)) * F.lit(block_size)).cast("long")),
-    )
-    return postings.select(
-        "term",
-        F.element_at("block_first_doc", 1).cast("long").alias("first_doc"),
-        seg_lens.alias("seg_lens"),
-        F.col("doc_ids_enc").alias("doc_bytes"),
-        F.col("tfs_enc").alias("tf_bytes"),
-        F.col("dls_enc").alias("dl_bytes"),
-    )
+# _compressed_rows_as_partials moved to compressed_index (shared with the
+# segment-merge compaction path); re-exported via the top import block.
 
 
 def refresh_index(
