@@ -39,6 +39,22 @@ QUERY_TOKENS: list[tuple[str, str]] = [
     ("q5", "fast"),
 ]
 
+# conjunctive-entry query set: 'dup' is the one rare term in the testdata
+# vocabulary (df~5% vs ~78% for everything else), so its high idf pulls
+# dup-only docs into the OR top-10 that the AND intersection then drops —
+# at sf0.01, 19 of 30 result rows differ from the OR ranking (the HAVING
+# clause is exercised, not vacuous).
+CONJ_QUERY_TOKENS: list[tuple[str, str]] = [
+    ("qc1", "dup"),
+    ("qc1", "join"),
+    ("qc2", "dup"),
+    ("qc2", "window"),
+    ("qc2", "sort"),
+    ("qc3", "spark"),
+    ("qc3", "merge"),
+    ("qc3", "fast"),
+]
+
 _TOKEN_SPLIT_SQL = "[^0-9a-z$%&+@]+"
 
 
@@ -292,6 +308,60 @@ def q_bm25_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["query_id", "content"],
     )
     return search_wand(cidx, queries, cfg).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_bm25_topk_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-AND retrieval (Lucene `+term`/minshould=100%): the candidate
+    set is the INTERSECTION of the query terms' posting lists; scores stay
+    plain BM25 over the matched terms. Beyond the reference, whose search()
+    is OR-only (inverted_index_engine.cpp:109-162). The oracle adds a HAVING
+    matched-count = distinct-query-terms clause to the shared scored CTE."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.query import search_conjunctive
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    idx = build_index(spark, _docs(spark, sf_dir), cfg, persist=False)
+    queries = spark.createDataFrame(
+        [(qid, " ".join(t for q, t in CONJ_QUERY_TOKENS if q == qid)) for qid in
+         sorted({q for q, _ in CONJ_QUERY_TOKENS})],
+        ["query_id", "content"],
+    )
+    return search_conjunctive(idx, queries, cfg).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+FILTER_DL_MIN = 50  # filtered-search predicate: docs with at least 50 tokens
+
+
+def q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search: exact top-k among docs satisfying a metadata
+    predicate (here dl >= FILTER_DL_MIN over doc_stats) — a semi-join of the
+    candidate scores against the skinny allowed-doc projection, NOT a
+    post-filter of the unfiltered top-k (which under-fills k). idf/avgdl
+    keep corpus-wide values (standard filtered-search semantics)."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.query import search_filtered
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    idx = build_index(spark, _docs(spark, sf_dir), cfg, persist=False)
+    allowed = idx.doc_stats.filter(F.col("dl") >= FILTER_DL_MIN)
+    queries = spark.createDataFrame(
+        [(qid, " ".join(t for q, t in QUERY_TOKENS if q == qid)) for qid in
+         sorted({q for q, _ in QUERY_TOKENS})],
+        ["query_id", "content"],
+    )
+    return search_filtered(idx, queries, allowed, cfg).select(
         "query_id",
         F.col("rank").cast("long").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -1062,6 +1132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_incremental": q_bm25_topk_incremental,
         "bm25_topk_resumable": q_bm25_topk_resumable,
         "bm25_topk_merged": q_bm25_topk_merged,
+        "bm25_topk_conj": q_bm25_topk_conj,
+        "bm25_topk_filtered": q_bm25_topk_filtered,
         "trigram_topk_loaded": q_trigram_topk_loaded,
         "tfidf_topk": q_tfidf_topk,
         "vsm_topk": q_vsm_topk,
@@ -1102,8 +1174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _values_query_tokens() -> str:
-    return ", ".join(f"('{q}', '{t}')" for q, t in QUERY_TOKENS)
+def _values_query_tokens(tokens: list[tuple[str, str]] | None = None) -> str:
+    return ", ".join(f"('{q}', '{t}')" for q, t in (tokens or QUERY_TOKENS))
 
 
 def _stem_map_values() -> str:
@@ -1133,13 +1205,22 @@ def _stem_map_values() -> str:
     return ", ".join(f"('{w}', '{stem(w)}')" for w in sorted(words))
 
 
-def _scored_sql(score_expr: str, stemmed: bool = False) -> str:
+def _scored_sql(
+    score_expr: str,
+    stemmed: bool = False,
+    conjunctive: bool = False,
+    dl_min: int | None = None,
+    tokens: list[tuple[str, str]] | None = None,
+) -> str:
     """Shared CTE block computing per-(query, doc) accumulated scores.
 
     With ``stemmed=True``, tokens (document AND query side) map through the
     VALUES stem table after stop-filtering — the reference order
     (stemmingtokenizer.cpp:49-60: stop check precedes stemming); dl counts
-    tokens, which stemming does not change."""
+    tokens, which stemming does not change. ``conjunctive=True`` keeps only
+    docs matching every distinct query term (boolean AND); ``dl_min``
+    restricts candidates to docs with at least that many tokens (the
+    filtered-search entry's predicate)."""
     if stemmed:
         tok_block = f"""
 toks AS (
@@ -1159,7 +1240,9 @@ qt AS (SELECT query_id, coalesce(s.stem, q.term0) AS term
        FROM qt0 q LEFT JOIN smap s USING (term0))"""
     else:
         tok_block = _tok_cte()
-        q_block = f"qt AS (SELECT * FROM (VALUES {_values_query_tokens()}) AS v(query_id, term))"
+        q_block = (
+            f"qt AS (SELECT * FROM (VALUES {_values_query_tokens(tokens)}) AS v(query_id, term))"
+        )
     return f"""
 WITH {tok_block},
 stats AS (
@@ -1171,15 +1254,19 @@ tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
 dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
 {q_block},
 qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qt GROUP BY 1, 2),
+nq AS (SELECT query_id, count(DISTINCT term) AS n_q FROM qt GROUP BY 1),
 scored AS (
   SELECT q.query_id, tf.doc_id,
          sum(q.qtf * {score_expr}) AS score
   FROM qtf q
+  JOIN nq ON nq.query_id = q.query_id
   JOIN tf ON tf.term = q.term
   JOIN dft ON dft.term = q.term
   JOIN dls ON dls.doc_id = tf.doc_id
   CROSS JOIN stats s
+  {f'WHERE dls.dl >= {dl_min}' if dl_min is not None else ''}
   GROUP BY 1, 2
+  {'HAVING count(*) = max(nq.n_q)' if conjunctive else ''}
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
@@ -1746,6 +1833,8 @@ FROM tf GROUP BY 1
         "bm25_topk_incremental": _scored_sql(bm25),
         "bm25_topk_resumable": _scored_sql(bm25),
         "bm25_topk_merged": _scored_sql(bm25),
+        "bm25_topk_conj": _scored_sql(bm25, conjunctive=True, tokens=CONJ_QUERY_TOKENS),
+        "bm25_topk_filtered": _scored_sql(bm25, dl_min=FILTER_DL_MIN),
         "trigram_topk_loaded": _trigram_sql(),
         "bm25_topk_stemmed": _scored_sql(bm25, stemmed=True),
         "tfidf_topk": _scored_sql(tfidf),

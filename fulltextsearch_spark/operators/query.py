@@ -29,7 +29,7 @@ from fulltextsearch_spark.functions.scoring import bm25_col, tfidf_col
 from fulltextsearch_spark.functions.tokenizer import tokenize_udf
 from fulltextsearch_spark.operators.index_build import IndexTables
 
-__all__ = ["query_terms", "search", "topk"]
+__all__ = ["query_terms", "search", "search_conjunctive", "search_filtered", "topk"]
 
 
 def query_terms(queries: DataFrame, stem: bool = True) -> DataFrame:
@@ -43,7 +43,11 @@ def query_terms(queries: DataFrame, stem: bool = True) -> DataFrame:
 
 
 def _scored_candidates(
-    index: IndexTables, q_terms: DataFrame, cfg: EngineConfig, scoring: str
+    index: IndexTables,
+    q_terms: DataFrame,
+    cfg: EngineConfig,
+    scoring: str,
+    with_matches: bool = False,
 ) -> DataFrame:
     """(query_id, doc_id, score) — per-(query, doc) accumulated scores.
 
@@ -89,10 +93,17 @@ def _scored_candidates(
         per_term = tfidf_col(F.col("tf"), F.col("df"), F.col("dl"), index.n_docs)
     else:
         raise ValueError(f"unknown scoring {scoring!r} (use 'bm25' or 'tfidf')")
+    aggs = [F.sum("_s").alias("score")]
+    if with_matches:
+        # one flat row per matched (query term, doc) — postings carry each
+        # (term, doc) exactly once, and on a doc-range-sharded index a doc
+        # falls in exactly one shard of its term — so count(*) IS the number
+        # of distinct query terms the doc matched.
+        aggs.append(F.count(F.lit(1)).alias("n_matched"))
     return (
         flat.withColumn("_s", per_term * F.col("qtf").cast("double"))
         .groupBy("query_id", "doc_id")
-        .agg(F.sum("_s").alias("score"))
+        .agg(*aggs)
     )
 
 
@@ -123,3 +134,68 @@ def search(
     q_terms = query_terms(queries, stem=cfg.stem)
     scored = _scored_candidates(index, q_terms, cfg, scoring)
     return topk(scored, k if k is not None else cfg.k)
+
+
+def search_conjunctive(
+    index: IndexTables,
+    queries: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    scoring: str = "bm25",
+    k: int | None = None,
+    min_match: int | None = None,
+) -> DataFrame:
+    """Boolean-AND retrieval: rank only docs matching ALL query terms.
+
+    Classic conjunctive semantics (Lucene ``+term``/``AND``, minshould=100%):
+    the candidate set is the intersection of the query terms' posting lists;
+    scores stay plain BM25/TF-IDF over the matched terms. A query term absent
+    from the corpus makes the intersection empty (no doc can match all
+    terms). ``min_match=m`` relaxes to Lucene's *minimum_should_match*: keep
+    docs matching at least ``m`` DISTINCT query terms (``None`` -> all).
+
+    Plan shape: the only additions over :func:`search` are a count in the
+    existing per-(query, doc) aggregate and a broadcast join against the
+    per-query distinct-term counts — no new wide op. (Block-max AND
+    pruning exists in the literature; the exhaustive scorer stays the
+    semantic oracle here, matching how WAND is gated on the OR path.)
+    """
+    q_terms = query_terms(queries, stem=cfg.stem)  # distinct (query, term)
+    scored = _scored_candidates(index, q_terms, cfg, scoring, with_matches=True)
+    need = q_terms.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n_q"))
+    if min_match is not None:
+        need = need.select("query_id", F.least(F.lit(min_match), F.col("_n_q")).alias("_n_q"))
+    kept = (
+        scored.join(F.broadcast(need), "query_id")
+        .filter(F.col("n_matched") >= F.col("_n_q"))
+        .select("query_id", "doc_id", "score")
+    )
+    return topk(kept, k if k is not None else cfg.k)
+
+
+def search_filtered(
+    index: IndexTables,
+    queries: DataFrame,
+    allowed_docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    scoring: str = "bm25",
+    k: int | None = None,
+) -> DataFrame:
+    """Top-k restricted to a caller-supplied doc predicate (filtered search).
+
+    ``allowed_docs`` is any DataFrame with a ``doc_id`` column — typically
+    the corpus/doc_stats table with a metadata predicate applied (lang,
+    length, date-range, curation verdict). Exact semantics: the top-k among
+    allowed docs, NOT a post-filter of the unfiltered top-k (a post-filter
+    under-fills k whenever filtered-out docs rank high).
+
+    Plan shape: one LEFT SEMI join of the candidate (query, doc, score)
+    rows against the skinny allowed doc_id projection — Catalyst prunes the
+    predicate source to one column before the exchange, and AQE broadcasts
+    the smaller side when selective. Applied AFTER scoring so idf/df keep
+    their corpus-wide values (standard filtered-search semantics: the
+    filter narrows candidates, not the collection statistics).
+    """
+    q_terms = query_terms(queries, stem=cfg.stem)
+    scored = _scored_candidates(index, q_terms, cfg, scoring)
+    kept = scored.join(allowed_docs.select("doc_id"), "doc_id", "left_semi")
+    return topk(kept, k if k is not None else cfg.k)

@@ -1,0 +1,108 @@
+"""Boolean-AND (conjunctive / minimum-should-match) and metadata-filtered
+search semantics, pinned against brute-force recomputation on a small corpus.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fulltextsearch_spark.config import EngineConfig
+from fulltextsearch_spark.functions.tokenizer import tokenize
+from fulltextsearch_spark.operators.index_build import build_index
+from fulltextsearch_spark.operators.query import (
+    search,
+    search_conjunctive,
+    search_filtered,
+)
+from fulltextsearch_spark.sources.webpages import generate_webpages_pdf
+
+CFG = EngineConfig(k1=1.2, b=0.75, k=10, stem=False)
+# 'marker7' is unique to doc 7; head terms co-occur broadly.
+QUERIES = [
+    ("q_and", "http page marker7"),
+    ("q_two", "salmon river"),
+    ("q_oov", "salmon zzznotaterm"),
+    ("q_one", "fish"),
+]
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    pdf = generate_webpages_pdf(150, seed=91)[["text"]]
+    pdf.insert(0, "doc_id", range(len(pdf)))
+    docs = spark.createDataFrame(pdf)
+    idx = build_index(spark, docs, CFG, persist=False)
+    qdf = spark.createDataFrame(QUERIES, ["query_id", "content"])
+    token_sets = {
+        qid: set(tokenize(content, do_stem=False)) for qid, content in QUERIES
+    }
+    doc_tokens = {
+        int(r["doc_id"]): set(tokenize(r["text"], do_stem=False))
+        for r in docs.collect()
+    }
+    return idx, qdf, token_sets, doc_tokens
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_conjunctive_is_or_intersected(spark, setup):
+    idx, qdf, token_sets, doc_tokens = setup
+    base = {(r[0], r[2]): r[3] for r in _rows(search(idx, qdf, CFG, k=10**6))}
+    got = _rows(search_conjunctive(idx, qdf, CFG, k=10**6))
+    # every result doc contains ALL query terms, with the OR path's score
+    for qid, _rank, doc_id, score in got:
+        assert token_sets[qid] <= doc_tokens[doc_id]
+        assert score == pytest.approx(base[(qid, doc_id)])
+    # and every all-terms doc is present
+    want = {
+        (qid, d)
+        for qid in token_sets
+        for d, toks in doc_tokens.items()
+        if token_sets[qid] <= toks
+    }
+    assert {(q, d) for q, _, d, _ in got} == want
+
+
+def test_conjunctive_oov_term_empty(spark, setup):
+    idx, qdf, _, _ = setup
+    got = _rows(search_conjunctive(idx, qdf, CFG))
+    assert not [r for r in got if r[0] == "q_oov"]  # AND with OOV -> empty
+    assert [r for r in got if r[0] == "q_one"]  # single-term query unaffected
+
+
+def test_min_match_relaxation(spark, setup):
+    idx, qdf, token_sets, doc_tokens = setup
+    got = _rows(search_conjunctive(idx, qdf, CFG, k=10**6, min_match=2))
+    for qid, _rank, doc_id, _s in got:
+        assert len(token_sets[qid] & doc_tokens[doc_id]) >= min(2, len(token_sets[qid]))
+    # q_oov now returns docs matching the 2 real... only 1 real term exists,
+    # so min_match=2 still requires 2 distinct matched terms -> empty
+    assert not [r for r in got if r[0] == "q_oov"]
+    # min_match=1 == plain OR candidates
+    or_docs = {(r[0], r[2]) for r in _rows(search(idx, qdf, CFG, k=10**6))}
+    mm1 = {(r[0], r[2]) for r in _rows(search_conjunctive(idx, qdf, CFG, k=10**6, min_match=1))}
+    assert mm1 == or_docs
+
+
+def test_filtered_is_topk_among_allowed(spark, setup):
+    idx, qdf, _, _ = setup
+    allowed = idx.doc_stats.filter(F.col("dl") >= 60)
+    allowed_ids = {int(r["doc_id"]) for r in allowed.collect()}
+    got = _rows(search_filtered(idx, qdf, allowed, CFG))
+    assert got and all(d in allowed_ids for _, _, d, _ in got)
+    # equals brute force: filter ALL candidates, then rank
+    full = _rows(search(idx, qdf, CFG, k=10**6))
+    by_q: dict[str, list] = {}
+    for qid, _rank, d, s in full:
+        if d in allowed_ids:
+            by_q.setdefault(qid, []).append((-s, d))
+    want = []
+    for qid, lst in by_q.items():
+        for i, (negs, d) in enumerate(sorted(lst)[: CFG.k], start=1):
+            want.append((qid, i, d, -negs))
+    assert sorted(got) == sorted(want)
+    # and differs from a naive post-filter whenever high ranks were excluded
+    assert got != [r for r in full if r[2] in allowed_ids][: len(got)]
