@@ -667,6 +667,7 @@ PROX_QUERIES = [
     ("x3", "salmon zebra"),
 ]
 PROX_WINDOW = 5
+SNIP_WINDOW = 8  # snippet span length (surviving tokens)
 
 
 def q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,6 +690,120 @@ def q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.round("score", 4).alias("score"),
     )
+
+
+def q_snippet_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippet selection over the positional index: for each proximity
+    top-k result, the best SNIP_WINDOW-token span — max distinct query
+    terms covered, then max total hits, then earliest start (anchors are
+    query-term occurrences; sliding right to the next hit never gains
+    coverage). The oracle replays ranking, anchors, and the argmax."""
+    from fulltextsearch_spark.operators.positional import (
+        best_snippets,
+        build_positional_index,
+        proximity_topk,
+    )
+
+    idx = build_positional_index(_docs(spark, sf_dir))
+    qs = spark.createDataFrame(PROX_QUERIES, ["query_id", "content"])
+    pairs = proximity_topk(idx, qs, window=PROX_WINDOW, k=TOPK, k1=K1, b=B).select(
+        "query_id", "doc_id"
+    )
+    return best_snippets(idx, qs, pairs, window=SNIP_WINDOW).select(
+        "query_id",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("snip_start").cast("long").alias("snip_start"),
+        F.col("n_terms").cast("long").alias("n_terms"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+    )
+
+
+SPAN_L = 8  # min duplicated-span length (surviving tokens)
+
+
+def _span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic duplicate injection for the exact-substring entry (the
+    synthetic testdata has no exact long repeats): every doc_id%7==0 doc is
+    cloned wholesale at +100000, and every doc_id%11==0 doc contributes its
+    first-30-whitespace-word prefix at +200000 — both mirrored literally in
+    the oracle's src CTE."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    prefixes = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 30), " ").alias("text"),
+    )
+    return d.unionByName(clones).unionByName(prefixes)
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022 ExactSubstr re-expressed as
+    duplicated-L-gram coverage): maximal >=SPAN_L-token spans occurring >=2
+    times in the corpus, keep-first policy (the earliest copy stays). The
+    oracle replays grams, occurrence counts, the first-occurrence exemption,
+    and the gaps-and-islands interval merge in SQL."""
+    from fulltextsearch_spark.operators.spandedup import duplicate_spans
+
+    res = duplicate_spans(_span_docs(spark, sf_dir), min_len=SPAN_L, keep_first=True)
+    return res.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+    )
+
+
+def _span_sql() -> str:
+    return f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 30), ' ') AS text
+  FROM documents WHERE doc_id % 11 = 0
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_SPLIT_SQL}'),
+                     x -> x <> '' AND x NOT IN ({_stop_list_sql()})) AS tokens
+  FROM src
+),
+starts AS (
+  SELECT doc_id, unnest(generate_series(1, len(tokens) - {SPAN_L} + 1)) AS i, tokens
+  FROM toks WHERE len(tokens) >= {SPAN_L}
+),
+grams AS (
+  SELECT doc_id, (i - 1)::BIGINT AS start,
+         array_to_string(list_slice(tokens, i, i + {SPAN_L} - 1), ' ') AS gram
+  FROM starts
+),
+marked AS (
+  SELECT doc_id, start,
+         count(*) OVER (PARTITION BY gram) AS cnt,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, start) AS rn
+  FROM grams
+),
+hits AS (SELECT doc_id, start FROM marked WHERE cnt >= 2 AND rn > 1),
+fl AS (
+  SELECT doc_id, start,
+         CASE WHEN start > coalesce(lag(start) OVER (PARTITION BY doc_id ORDER BY start),
+                                    -1000000000) + {SPAN_L} THEN 1 ELSE 0 END AS newisl
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, start,
+         sum(newisl) OVER (PARTITION BY doc_id ORDER BY start
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM fl
+)
+SELECT doc_id::BIGINT AS doc_id, min(start)::BIGINT AS span_start,
+       (max(start) + {SPAN_L})::BIGINT AS span_end, count(*)::BIGINT AS n_grams
+FROM isl GROUP BY doc_id, island
+"""
 
 
 def _lineful_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1155,6 +1270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_flags": q_decontam_flags,
         "phrase_topk": q_phrase_topk,
         "proximity_topk": q_proximity_topk,
+        "snippet_spans": q_snippet_spans,
+        "duplicate_spans": q_duplicate_spans,
         "ngram_jaccard": q_ngram_jaccard,
         "neardup_clusters": q_neardup_clusters,
         "dedup_canonical": q_dedup_canonical,
@@ -1339,7 +1456,9 @@ def _prox_qterms_values() -> str:
     return ", ".join(vals)
 
 
-def _proximity_sql() -> str:
+def _proximity_cte() -> str:
+    """Shared CTE prefix: positions, query terms, cover test, proximity
+    scoring, per-query ranking — used by the proximity AND snippet oracles."""
     return f"""
 WITH {_tok_cte()},
 pos AS (SELECT doc_id, unnest(tokens) AS term,
@@ -1371,10 +1490,37 @@ scored AS (
 ranked AS (SELECT query_id, doc_id, score,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY score DESC, doc_id ASC) AS rank
-           FROM scored)
+           FROM scored)"""
+
+
+def _proximity_sql() -> str:
+    return f"""{_proximity_cte()}
 SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
        round(score, 4) AS score
 FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _snippet_sql() -> str:
+    """Replays best_snippets over the proximity top-k pairs: anchors are
+    query-term occurrences; the best SNIP_WINDOW-token span maximizes
+    (distinct terms covered, total hits, -start)."""
+    return f"""{_proximity_cte()},
+pairs AS (SELECT query_id, doc_id FROM ranked WHERE rank <= {TOPK}),
+pp AS (SELECT p.* FROM p JOIN pairs USING (query_id, doc_id)),
+cov2 AS (SELECT a.query_id, a.doc_id, a.pos AS anchor,
+                count(DISTINCT b.term) AS n_terms, count(*)::BIGINT AS n_hits
+         FROM pp a JOIN pp b
+           ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+          AND b.pos >= a.pos AND b.pos < a.pos + {SNIP_WINDOW}
+         GROUP BY 1, 2, 3),
+best AS (SELECT query_id, doc_id, anchor, n_terms, n_hits,
+                row_number() OVER (PARTITION BY query_id, doc_id
+                                   ORDER BY n_terms DESC, n_hits DESC, anchor ASC) AS rn
+         FROM cov2)
+SELECT query_id, doc_id::BIGINT AS doc_id, anchor::BIGINT AS snip_start,
+       n_terms::BIGINT AS n_terms, n_hits::BIGINT AS n_hits
+FROM best WHERE rn = 1
 """
 
 
@@ -1928,6 +2074,8 @@ ORDER BY doc_id
 """,
         "phrase_topk": _phrase_sql(),
         "proximity_topk": _proximity_sql(),
+        "snippet_spans": _snippet_sql(),
+        "duplicate_spans": _span_sql(),
         "curate_corpus": _curate_sql(),
         "gopher_rules": r"""
 WITH t AS (

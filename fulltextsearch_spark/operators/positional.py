@@ -40,7 +40,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fulltextsearch_spark.functions.scoring import bm25_col
@@ -55,6 +55,7 @@ __all__ = [
     "phrase_slots",
     "phrase_occurrences",
     "phrase_topk",
+    "best_snippets",
     "proximity_occurrences",
     "proximity_topk",
 ]
@@ -202,6 +203,72 @@ def phrase_topk(
         )
     )
     return topk(scored, k)
+
+
+def best_snippets(
+    index: PositionalIndex, queries: DataFrame, pairs: DataFrame, window: int
+) -> DataFrame:
+    """Snippet selection: the best ``window``-token span per (query, doc).
+
+    For each requested (query_id, doc_id) pair — typically a top-k result
+    page — pick the window of ``window`` consecutive surviving-token
+    positions that (1) covers the most DISTINCT query terms, then (2) the
+    most total query-term occurrences, then (3) starts earliest. The
+    optimal window always starts at a query-term occurrence, so anchors
+    are exactly the term positions (the classic snippet argument: sliding
+    the window right to the next hit never loses coverage). Returns
+    ``(query_id, doc_id, snip_start, n_terms, n_hits)`` — the caller slices
+    the display text by token positions (or re-tokenizes the one stored
+    doc) driver-side; the index never stores raw text.
+
+    Relational shape mirrors :func:`proximity_occurrences`: postings prune
+    to the query's terms via a broadcast join, then to the requested pairs
+    (broadcast — k docs per query), and the cover test is a per-(query,
+    doc) range self-join; the final argmax is a window over at most
+    (occurrences per doc) rows per pair. No text crosses an exchange.
+    """
+    toked = queries.select(
+        "query_id",
+        tokenize_udf(do_stem=index.stem)(F.col("content")).alias("_toks"),
+    )
+    qterms = toked.select(
+        "query_id", F.explode(F.array_distinct("_toks")).alias("term")
+    )
+    pos = (
+        index.postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(pairs.select("query_id", "doc_id")), ["query_id", "doc_id"])
+        .select("query_id", "doc_id", "term", F.explode("positions").alias("pos"))
+    )
+    a = pos.select("query_id", "doc_id", F.col("pos").alias("anchor"))
+    hits = pos.select(
+        "query_id", "doc_id", F.col("term").alias("_t"), F.col("pos").alias("_p")
+    )
+    covered = (
+        a.join(hits, ["query_id", "doc_id"])
+        .filter(
+            (F.col("_p") >= F.col("anchor"))
+            & (F.col("_p") < F.col("anchor") + window)
+        )
+        .groupBy("query_id", "doc_id", "anchor")
+        .agg(
+            F.countDistinct("_t").alias("n_terms"),
+            F.count("*").alias("n_hits"),
+        )
+    )
+    w = Window.partitionBy("query_id", "doc_id").orderBy(
+        F.desc("n_terms"), F.desc("n_hits"), F.asc("anchor")
+    )
+    return (
+        covered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("anchor").cast("long").alias("snip_start"),
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+        )
+    )
 
 
 def proximity_occurrences(

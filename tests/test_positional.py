@@ -148,3 +148,52 @@ def test_proximity_topk_ranks(index, spark):
     assert rows[0]["doc_id"] == 0
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_best_snippets_brute_force(index, spark):
+    from fulltextsearch_spark.functions.tokenizer import tokenize
+    from fulltextsearch_spark.operators.positional import best_snippets
+
+    texts = {
+        0: "cat salmon fresh cat salmon stale",
+        1: "salmon cat fresh",
+        2: "cat alone swims fresh water",
+        3: "cat of the salmon fresh",
+        4: "cat salmon cat salmon cat salmon",
+    }
+    streams = {d: tokenize(t, do_stem=False) for d, t in texts.items()}
+    queries = [("s1", "cat salmon"), ("s2", "fresh water")]
+    qdf = spark.createDataFrame(queries, ["query_id", "content"])
+    pairs = spark.createDataFrame(
+        [(q, d) for q, _ in queries for d in texts], ["query_id", "doc_id"]
+    )
+    W = 3
+    got = {
+        (r["query_id"], r["doc_id"]): (r["snip_start"], r["n_terms"], r["n_hits"])
+        for r in best_snippets(index, qdf, pairs, window=W).collect()
+    }
+
+    def brute(stream, terms):
+        best = None
+        for a in (i for i, t in enumerate(stream) if t in terms):
+            win = stream[a : a + W]
+            nt = len(set(win) & terms)
+            nh = sum(1 for t in win if t in terms)
+            key = (-nt, -nh, a)
+            if best is None or key < best[0]:
+                best = (key, (a, nt, nh))
+        return best[1] if best else None
+
+    want = {}
+    for qid, content in queries:
+        terms = set(tokenize(content, do_stem=False))
+        for d, stream in streams.items():
+            b = brute(stream, terms)
+            if b is not None:
+                want[(qid, d)] = b
+    assert got == want
+    # spot values: doc 4 "cat salmon cat salmon cat salmon", W=3 covers both
+    # terms with 3 hits from start 0
+    assert got[("s1", 4)] == (0, 2, 3)
+    # doc 2 has no salmon: single-term snippet at first cat
+    assert got[("s1", 2)] == (0, 1, 1)
