@@ -720,6 +720,99 @@ def q_snippet_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPAN_L = 8  # min duplicated-span length (surviving tokens)
 
+# BM25F (simple form, Robertson & Zaragoza 2009 §3.3): title weighted 2.5x
+# with its own length normalization; the title field derives as the first 6
+# whitespace words of the text (the testdata has no title column) —
+# mirrored literally in the oracle's src CTE.
+BM25F_WEIGHTS = {"title": 2.5, "body": 1.0}
+BM25F_B = {"title": 0.6, "body": 0.75}
+
+
+def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F multi-field top-k: per-field weighted, length-normalized tf
+    summed across fields, then ONE shared k1 saturation (NOT a weighted sum
+    of per-field BM25 — that would double-saturate); idf over any-field df;
+    duplicate query tokens keep the engine's multiplicity semantics."""
+    from fulltextsearch_spark.operators.fields import bm25f_topk, build_fielded_index
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 1, 6), " ").alias("title"),
+        F.col("text").alias("body"),
+    )
+    idx = build_fielded_index(docs, {"title": "title", "body": "body"}, stem=False)
+    queries = spark.createDataFrame(
+        [(qid, " ".join(t for q, t in QUERY_TOKENS if q == qid)) for qid in
+         sorted({q for q, _ in QUERY_TOKENS})],
+        ["query_id", "content"],
+    )
+    res = bm25f_topk(idx, queries, BM25F_WEIGHTS, BM25F_B, k1=K1, k=TOPK)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _bm25f_sql() -> str:
+    wt, wb = BM25F_WEIGHTS["title"], BM25F_WEIGHTS["body"]
+    bt, bb = BM25F_B["title"], BM25F_B["body"]
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ') AS title,
+         text AS body
+  FROM documents
+),
+ft AS (
+  SELECT doc_id, 'title' AS field,
+         list_filter(regexp_split_to_array(lower(title), '{_TOKEN_SPLIT_SQL}'),
+                     x -> x <> '' AND x NOT IN ({_stop_list_sql()})) AS tokens
+  FROM src
+  UNION ALL
+  SELECT doc_id, 'body',
+         list_filter(regexp_split_to_array(lower(body), '{_TOKEN_SPLIT_SQL}'),
+                     x -> x <> '' AND x NOT IN ({_stop_list_sql()}))
+  FROM src
+),
+flen AS (SELECT doc_id, field, len(tokens)::BIGINT AS flen FROM ft),
+ftok AS (SELECT doc_id, field, unnest(tokens) AS term FROM ft),
+stats AS (SELECT (max(doc_id)+1)::BIGINT AS n_docs FROM src),
+avgf AS (SELECT field, sum(flen)::DOUBLE / (SELECT n_docs FROM stats) AS avglen
+         FROM flen GROUP BY 1),
+tf AS (SELECT doc_id, field, term, count(*)::BIGINT AS tf FROM ftok GROUP BY 1,2,3),
+dft AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM ftok GROUP BY 1),
+qt AS (SELECT * FROM (VALUES {_values_query_tokens()}) AS v(query_id, term)),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qt GROUP BY 1, 2),
+wtf AS (
+  SELECT q.query_id, q.qtf, tf.term, tf.doc_id,
+         sum((CASE WHEN tf.field = 'title' THEN {wt} ELSE {wb} END) * tf.tf /
+             (1.0 - (CASE WHEN tf.field = 'title' THEN {bt} ELSE {bb} END)
+              + (CASE WHEN tf.field = 'title' THEN {bt} ELSE {bb} END)
+                * flen.flen::DOUBLE / avgf.avglen)) AS wtf
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN flen ON flen.doc_id = tf.doc_id AND flen.field = tf.field
+  JOIN avgf ON avgf.field = tf.field
+  GROUP BY 1, 2, 3, 4
+),
+scored AS (
+  SELECT w.query_id, w.doc_id,
+         sum(w.qtf * ln(((SELECT n_docs FROM stats) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * w.wtf / ({K1} + w.wtf)) AS score
+  FROM wtf w JOIN dft d USING (term)
+  GROUP BY 1, 2
+),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scored)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
 
 def _span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic duplicate injection for the exact-substring entry (the
@@ -1272,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_topk": q_proximity_topk,
         "snippet_spans": q_snippet_spans,
         "duplicate_spans": q_duplicate_spans,
+        "bm25f_topk": q_bm25f_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "neardup_clusters": q_neardup_clusters,
         "dedup_canonical": q_dedup_canonical,
@@ -2076,6 +2170,7 @@ ORDER BY doc_id
         "proximity_topk": _proximity_sql(),
         "snippet_spans": _snippet_sql(),
         "duplicate_spans": _span_sql(),
+        "bm25f_topk": _bm25f_sql(),
         "curate_corpus": _curate_sql(),
         "gopher_rules": r"""
 WITH t AS (

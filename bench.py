@@ -104,6 +104,8 @@ def main() -> None:
     )
     timed("bm25_topk", lambda: search(idx, qdf, cfg).collect())
     timed("tfidf_topk", lambda: search(idx, qdf, cfg, scoring="tfidf").collect())
+    from fulltextsearch_spark.operators.query import search_conjunctive
+    timed("bm25_topk_conj", lambda: search_conjunctive(idx, qdf, cfg).collect())
     from fulltextsearch_spark.operators.vsm import build_vsm, search_vsm
     vsm_idx = build_vsm(idx)  # norms are a build artifact, persisted once
     timed("vsm_topk", lambda: search_vsm(vsm_idx, qdf, cfg).collect())
@@ -185,6 +187,27 @@ def main() -> None:
     timed("simhash_pairs", lambda: entrymod.q_simhash_pairs(spark, sf_dir).count())
     timed("ann_cosine_topk", lambda: entrymod.q_ann_cosine_topk(spark, sf_dir).collect())
     timed("ann_ivf_topk", lambda: entrymod.q_ann_ivf_topk(spark, sf_dir).collect())
+    # exact-substring dedup: corpus-wide duplicated-8-gram coverage over the
+    # documents table with the entry's deterministic clone/prefix injection
+    timed("duplicate_spans", lambda: entrymod.q_duplicate_spans(spark, sf_dir).count())
+    # BM25F multi-field (derived title + body) over the documents table
+    timed("bm25f_topk", lambda: entrymod.q_bm25f_topk(spark, sf_dir).collect())
+
+    # segment-merge compaction: two half-corpus segment indexes merged
+    # through the partial-combine reduce (builds untimed — the merge is the
+    # op under test; its cost scales with index bytes, not corpus text)
+    from fulltextsearch_spark.operators.compressed_index import build_compressed_index
+    from fulltextsearch_spark.operators.segments import merge_segments
+
+    n_docs_sf = docs.count()
+    seg_cfg = EngineConfig(k1=1.2, b=0.75, k=10, stem=False)
+    seg_a = build_compressed_index(spark, docs.filter(F.col("doc_id") < n_docs_sf // 2), seg_cfg)
+    seg_a.postings.persist().count()
+    seg_b = build_compressed_index(spark, docs.filter(F.col("doc_id") >= n_docs_sf // 2), seg_cfg)
+    seg_b.postings.persist().count()
+    timed("merge_segments", lambda: merge_segments([seg_a, seg_b]).postings.count())
+    seg_a.postings.unpersist()
+    seg_b.postings.unpersist()
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(WEB_DOCS / timings["build_web50k"], 1)
