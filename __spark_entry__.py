@@ -72,14 +72,15 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def _tok_cte() -> str:
+def _tok_cte(src_where: str | None = None) -> str:
     """Shared DuckDB CTEs: tokens list / exploded tokens / doc lengths."""
+    src_filter = f"WHERE {src_where}" if src_where else ""
     return f"""
 toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '{_TOKEN_SPLIT_SQL}'),
                      x -> x <> '' AND x NOT IN ({_stop_list_sql()})) AS tokens
-  FROM documents
+  FROM documents {src_filter}
 ),
 tok AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
 dls AS (SELECT doc_id, len(tokens)::BIGINT AS dl FROM toks)
@@ -341,6 +342,38 @@ def q_bm25_topk_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FILTER_DL_MIN = 50  # filtered-search predicate: docs with at least 50 tokens
+
+
+def q_bm25_topk_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document deletion + physical compaction (Lucene-style apply-on-merge):
+    delete every doc_id%5==0 doc from the built index, then query. Only
+    terms containing a deleted doc are rewritten (skinny broadcast semi-join
+    finds them); N/avgdl recompute under engine A4/A5 semantics over the
+    remaining ids. Value-identical to building over the remaining rows, so
+    the oracle is the shared scored CTE with the complement WHERE clause.
+    Beyond the reference, whose in-RAM index can only rebuild
+    (inverted_index_engine.cpp:15-35)."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.deletes import delete_docs
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.query import search
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    docs = _docs(spark, sf_dir)
+    idx = build_index(spark, docs, cfg, persist=False)
+    deleted = docs.select("doc_id").filter(F.col("doc_id") % 5 == 0)
+    after = delete_docs(idx, deleted)
+    queries = spark.createDataFrame(
+        [(qid, " ".join(t for q, t in QUERY_TOKENS if q == qid)) for qid in
+         sorted({q for q, _ in QUERY_TOKENS})],
+        ["query_id", "content"],
+    )
+    return search(after, queries, cfg).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
 
 
 def q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1342,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_merged": q_bm25_topk_merged,
         "bm25_topk_conj": q_bm25_topk_conj,
         "bm25_topk_filtered": q_bm25_topk_filtered,
+        "bm25_topk_deleted": q_bm25_topk_deleted,
         "trigram_topk_loaded": q_trigram_topk_loaded,
         "tfidf_topk": q_tfidf_topk,
         "vsm_topk": q_vsm_topk,
@@ -1422,6 +1456,7 @@ def _scored_sql(
     conjunctive: bool = False,
     dl_min: int | None = None,
     tokens: list[tuple[str, str]] | None = None,
+    src_where: str | None = None,
 ) -> str:
     """Shared CTE block computing per-(query, doc) accumulated scores.
 
@@ -1432,13 +1467,14 @@ def _scored_sql(
     docs matching every distinct query term (boolean AND); ``dl_min``
     restricts candidates to docs with at least that many tokens (the
     filtered-search entry's predicate)."""
+    src_filter = f"WHERE {src_where}" if src_where else ""
     if stemmed:
         tok_block = f"""
 toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '{_TOKEN_SPLIT_SQL}'),
                      x -> x <> '' AND x NOT IN ({_stop_list_sql()})) AS tokens
-  FROM documents
+  FROM documents {src_filter}
 ),
 smap AS (SELECT * FROM (VALUES {_stem_map_values()}) m(term0, stem)),
 tok0 AS (SELECT doc_id, unnest(tokens) AS term0 FROM toks),
@@ -1450,7 +1486,7 @@ dls AS (SELECT doc_id, len(tokens)::BIGINT AS dl FROM toks)
 qt AS (SELECT query_id, coalesce(s.stem, q.term0) AS term
        FROM qt0 q LEFT JOIN smap s USING (term0))"""
     else:
-        tok_block = _tok_cte()
+        tok_block = _tok_cte(src_where)
         q_block = (
             f"qt AS (SELECT * FROM (VALUES {_values_query_tokens(tokens)}) AS v(query_id, term))"
         )
@@ -2075,6 +2111,7 @@ FROM tf GROUP BY 1
         "bm25_topk_merged": _scored_sql(bm25),
         "bm25_topk_conj": _scored_sql(bm25, conjunctive=True, tokens=CONJ_QUERY_TOKENS),
         "bm25_topk_filtered": _scored_sql(bm25, dl_min=FILTER_DL_MIN),
+        "bm25_topk_deleted": _scored_sql(bm25, src_where="doc_id % 5 <> 0"),
         "trigram_topk_loaded": _trigram_sql(),
         "bm25_topk_stemmed": _scored_sql(bm25, stemmed=True),
         "tfidf_topk": _scored_sql(tfidf),
