@@ -725,6 +725,66 @@ def q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fuzzy-suggestion entry: misspellings of mid-frequency testdata vocabulary
+SUGGEST_QUERIES = [
+    ("s1", "custmer"),
+    ("s2", "windoq"),
+    ("s3", "streem"),
+    ("s4", "smaller"),
+    ("s5", "colum"),
+    ("s6", "vectorr"),
+]
+
+
+def q_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy 'did you mean' term suggestion over the corpus vocabulary:
+    character-trigram Jaccard through the SAME packed-trigram parser the
+    trigram engine uses (offset byte dropped — position-insensitive), ties
+    broken by occurrence count then term. The oracle replays the parser
+    over the vocabulary and the misspelled words, then the Jaccard and the
+    ranking."""
+    from fulltextsearch_spark.operators.trigram import suggest_terms
+
+    qdf = spark.createDataFrame(SUGGEST_QUERIES, ["query_id", "word"])
+    return suggest_terms(_docs(spark, sf_dir), qdf, k=5).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "term",
+        F.round("jaccard", 4).alias("jaccard"),
+        F.col("n_occ").cast("long").alias("n_occ"),
+    )
+
+
+def _suggest_sql() -> str:
+    qvals = ", ".join(f"('{q}', '{w}')" for q, w in SUGGEST_QUERIES)
+    return f"""
+WITH {_tok_cte()},
+vocab AS (SELECT term, count(*)::BIGINT AS n_occ FROM tok GROUP BY 1),
+{_trigram_emit_sql('vocab', 'term', 'term')[1:]},
+vt AS (SELECT DISTINCT term, raw // 256 AS tri FROM vocab_tri),
+vn AS (SELECT term, count(*)::BIGINT AS n_tri FROM vt GROUP BY 1),
+qsrc AS (SELECT * FROM (VALUES {qvals}) v(query_id, word)),
+{_trigram_emit_sql('qsrc', 'query_id', 'word')[1:]},
+qtd AS (SELECT DISTINCT query_id, raw // 256 AS tri FROM qsrc_tri),
+qn AS (SELECT query_id, count(*)::BIGINT AS n_q FROM qtd GROUP BY 1),
+inter AS (SELECT q.query_id, v.term, count(*)::BIGINT AS c
+          FROM qtd q JOIN vt v USING (tri) GROUP BY 1, 2),
+scored AS (SELECT i.query_id, i.term,
+                  i.c::DOUBLE / (qn.n_q + vn.n_tri - i.c) AS jaccard, vb.n_occ
+           FROM inter i
+           JOIN qn USING (query_id)
+           JOIN vn ON vn.term = i.term
+           JOIN vocab vb ON vb.term = i.term),
+ranked AS (SELECT query_id, term, jaccard, n_occ,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY jaccard DESC, n_occ DESC, term ASC) AS rank
+           FROM scored)
+SELECT query_id, rank::BIGINT AS rank, term, round(jaccard, 4) AS jaccard,
+       n_occ::BIGINT AS n_occ
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_snippet_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snippet selection over the positional index: for each proximity
     top-k result, the best SNIP_WINDOW-token span — max distinct query
@@ -1398,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": q_phrase_topk,
         "proximity_topk": q_proximity_topk,
         "snippet_spans": q_snippet_spans,
+        "suggest_terms": q_suggest_terms,
         "duplicate_spans": q_duplicate_spans,
         "bm25f_topk": q_bm25f_topk,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2206,6 +2267,7 @@ ORDER BY doc_id
         "phrase_topk": _phrase_sql(),
         "proximity_topk": _proximity_sql(),
         "snippet_spans": _snippet_sql(),
+        "suggest_terms": _suggest_sql(),
         "duplicate_spans": _span_sql(),
         "bm25f_topk": _bm25f_sql(),
         "curate_corpus": _curate_sql(),

@@ -37,8 +37,9 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from fulltextsearch_spark.config import DEFAULT_CONFIG, EngineConfig
 from fulltextsearch_spark.functions.scoring import bm25_col, tfidf_col
@@ -48,6 +49,7 @@ from fulltextsearch_spark.functions.trigram import (
     trigram_counts_udf,
     trigram_values,
 )
+from fulltextsearch_spark.functions.tokenizer import tokenize_udf
 from fulltextsearch_spark.operators.query import topk
 
 __all__ = [
@@ -57,6 +59,7 @@ __all__ = [
     "query_trigrams",
     "save_trigram_index",
     "load_trigram_index",
+    "suggest_terms",
 ]
 
 
@@ -274,4 +277,90 @@ def load_trigram_index(spark: SparkSession, root: str) -> TrigramIndex:
         doc_count=int(stats["doc_count"]),
         avgdl=float(stats["avgdl"]),
         stop_threshold=int(stats["stop_threshold"]),
+    )
+
+
+def _char_trigram_set_udf():
+    """STRING word -> DISTINCT character trigrams (raw values with the
+    positional offset byte dropped): fuzzy matching must be position-
+    insensitive — an inserted character shifts every later offset, which
+    would destroy overlap for a 1-edit typo."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _set(words):
+        import pandas as pd  # noqa: PLC0415
+
+        out = []
+        for w in words:
+            vals = (
+                trigram_values(w.encode("utf-8"))
+                if isinstance(w, str)
+                else np.empty(0, np.int64)
+            )
+            out.append(np.unique(vals >> 8).tolist() if vals.size else [])
+        return pd.Series(out)
+
+    return _set
+
+
+def suggest_terms(
+    docs: DataFrame, queries: DataFrame, k: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """'Did you mean': fuzzy vocabulary suggestions per query word.
+
+    ``queries`` is (query_id, word); the result is the top-``k``
+    (query_id, rank, term, jaccard, n_occ) vocabulary terms by character-
+    trigram Jaccard — |T(q) AND T(v)| / |T(q) OR T(v)| over the SAME packed
+    trigram parser the trigram engine uses (offset byte dropped: fuzzy
+    matching must not punish position shifts from an inserted char) —
+    tie-broken by corpus occurrence count (popularity prior), then term.
+    The classic spell-correction surface the trigram index exists for
+    (reference trigram_index_engine.cpp scores docs; this scores the
+    vocabulary itself).
+
+    Plan shape: the vocabulary aggregates from one tokenize pass (term,
+    n_occ); its trigram explode is map-only; the query side is tiny and
+    broadcast, so candidate generation is a map-side hash join — only
+    (query, term) intersection counts reach the exchange. Terms shorter
+    than 2 chars have no trigrams and never surface.
+    """
+    tok = tokenize_udf(do_stem=False)
+    vocab = (
+        docs.select(F.explode(tok(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("n_occ"))
+    )
+    tri_set = _char_trigram_set_udf()
+    vt = (
+        vocab.withColumn("_tris", tri_set("term"))
+        .withColumn("n_tri", F.size("_tris").cast("long"))
+        .filter(F.col("n_tri") > 0)
+        .select("term", "n_occ", "n_tri", F.explode("_tris").alias("tri"))
+    )
+    qt = (
+        queries.withColumn("_tris", tri_set("word"))
+        .withColumn("n_q", F.size("_tris").cast("long"))
+        .filter(F.col("n_q") > 0)
+        .select("query_id", "n_q", F.explode("_tris").alias("tri"))
+    )
+    inter = (
+        vt.join(F.broadcast(qt), "tri")
+        .groupBy("query_id", "n_q", "term", "n_tri", "n_occ")
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    scored = inter.select(
+        "query_id",
+        "term",
+        (F.col("_c").cast("double") / (F.col("n_q") + F.col("n_tri") - F.col("_c"))).alias(
+            "jaccard"
+        ),
+        "n_occ",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("jaccard"), F.desc("n_occ"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "term", "jaccard", "n_occ")
     )

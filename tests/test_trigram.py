@@ -232,3 +232,59 @@ def test_save_load_round_trip(spark, tmp_path):
     assert [t[:3] for t in orig] == [t[:3] for t in redo]  # rank-identical
     for a, b in zip(orig, redo):  # scores equal up to FP summation order
         assert a[3] == pytest.approx(b[3], rel=1e-12)
+
+
+def test_suggest_terms_brute_force(spark):
+    """Fuzzy 'did you mean' suggestions == brute-force char-trigram Jaccard."""
+    import numpy as np
+
+    from fulltextsearch_spark.functions.tokenizer import tokenize
+    from fulltextsearch_spark.functions.trigram import trigram_values
+    from fulltextsearch_spark.operators.trigram import suggest_terms
+
+    texts = [
+        (0, "salmon swims upstream salmon salmon"),
+        (1, "customer report window value vector"),
+        (2, "query window filter merge sort customer"),
+        (3, "vector value vectors querying"),
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    queries = [("m1", "slamon"), ("m2", "custmer"), ("m3", "qeury"), ("m4", "zz")]
+    qdf = spark.createDataFrame(queries, ["query_id", "word"])
+    got: dict[str, list] = {}
+    for r in suggest_terms(docs, qdf, k=3).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["term"], round(r["jaccard"], 9), r["n_occ"])
+        )
+
+    def tset(w):
+        v = trigram_values(w.encode())
+        return set((v >> 8).tolist()) if v.size else set()
+
+    vocab: dict[str, int] = {}
+    for _, t in texts:
+        for w in tokenize(t, do_stem=False):
+            vocab[w] = vocab.get(w, 0) + 1
+    want: dict[str, list] = {}
+    for qid, word in queries:
+        q = tset(word)
+        if not q:
+            continue
+        cands = []
+        for term, n_occ in vocab.items():
+            v = tset(term)
+            inter = len(q & v)
+            if inter:
+                cands.append((-inter / len(q | v), -n_occ, term))
+        cands.sort()
+        if cands:
+            want[qid] = [
+                (i + 1, t, round(-negj, 9), -negn)
+                for i, (negj, negn, t) in enumerate(cands[:3])
+            ]
+    assert got == want
+    # the obvious corrections rank first
+    assert got["m1"][0][1] == "salmon"
+    assert got["m2"][0][1] == "customer"
+    # 'zz' has no trigrams -> absent entirely
+    assert "m4" not in got
