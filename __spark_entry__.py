@@ -344,6 +344,106 @@ def q_bm25_topk_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
 FILTER_DL_MIN = 50  # filtered-search predicate: docs with at least 50 tokens
 
 
+PAGERANK_D = 0.85
+PAGERANK_ITERS = 10
+
+
+def q_pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank (uniform teleport, dangling mass redistributed
+    uniformly, fixed 10 power iterations). The testdata has no link graph,
+    so edges derive deterministically from doc_id — doc i links to
+    (7i+3)%N and (13i+5)%N, i%17==0 pages are dangling, self-links dropped,
+    parallel edges deduped — mirrored in the oracle, which unrolls the same
+    10 iterations as chained CTEs."""
+    from fulltextsearch_spark.operators.linkgraph import pagerank
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    base = docs.select("doc_id")
+    e1 = base.select("doc_id", ((F.col("doc_id") * 7 + 3) % n).alias("dst"))
+    e2 = base.select("doc_id", ((F.col("doc_id") * 13 + 5) % n).alias("dst"))
+    edges = (
+        e1.unionByName(e2)
+        .withColumnRenamed("doc_id", "src")
+        .filter((F.col("src") % 17 != 0) & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    pr = pagerank(edges, n, damping=PAGERANK_D, iters=PAGERANK_ITERS)
+    return pr.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("pagerank", 6).alias("pagerank"),
+    )
+
+
+def _pagerank_sql() -> str:
+    d, iters = PAGERANK_D, PAGERANK_ITERS
+    parts = [
+        f"""
+WITH nn AS (SELECT (max(doc_id)+1)::BIGINT AS nb, (max(doc_id)+1)::DOUBLE AS nd
+            FROM documents),
+v AS (SELECT doc_id FROM documents),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id*7+3) % (SELECT nb FROM nn) AS dst FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id*13+5) % (SELECT nb FROM nn) FROM documents
+  ) WHERE src % 17 <> 0 AND src <> dst
+),
+deg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY 1),
+pr0 AS MATERIALIZED (SELECT doc_id, 1.0/(SELECT nd FROM nn) AS r FROM v)"""
+    ]
+    for k in range(iters):
+        parts.append(
+            f""",
+dang{k} AS MATERIALIZED (SELECT coalesce(sum(r), 0) AS dm
+            FROM pr{k} p LEFT JOIN deg ON p.doc_id = deg.src
+            WHERE deg.src IS NULL),
+c{k} AS MATERIALIZED (SELECT e.dst, sum(p.r / g.deg) AS contrib
+         FROM pr{k} p JOIN edges e ON e.src = p.doc_id
+         JOIN deg g ON g.src = e.src GROUP BY 1),
+pr{k + 1} AS MATERIALIZED (SELECT v.doc_id,
+              (1.0-{d})/(SELECT nd FROM nn)
+                + {d}*(coalesce(c.contrib, 0)
+                       + (SELECT dm FROM dang{k})/(SELECT nd FROM nn)) AS r
+              FROM v LEFT JOIN c{k} c ON c.dst = v.doc_id)"""
+        )
+    parts.append(
+        f"""
+SELECT doc_id::BIGINT AS doc_id, round(r, 6) AS pagerank FROM pr{iters}
+"""
+    )
+    return "".join(parts)
+
+
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index describe surface (queryable analogue of the reference's
+    footprint API, fts_engine.hpp:50-60; on-disk bytes are logged per save
+    in _lineage.jsonl): vocabulary size, total postings, head-term df,
+    corpus scalars — one skinny (term, df) aggregate."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index, index_stats
+
+    idx = build_index(spark, _docs(spark, sf_dir), EngineConfig(stem=False), persist=False)
+    return index_stats(idx)
+
+
+def _index_stats_sql() -> str:
+    return f"""
+WITH {_tok_cte()},
+stats AS (
+  SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+         round(sum(dl)::DOUBLE / (max(doc_id)+1), 6) AS avgdl
+  FROM dls
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+SELECT count(*)::BIGINT AS n_terms, sum(df)::BIGINT AS total_postings,
+       max(df)::BIGINT AS max_df, s.n_docs, s.avgdl
+FROM dft CROSS JOIN stats s
+GROUP BY s.n_docs, s.avgdl
+"""
+
+
 def q_bm25_topk_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document deletion + physical compaction (Lucene-style apply-on-merge):
     delete every doc_id%5==0 doc from the built index, then query. Only
@@ -1436,6 +1536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_conj": q_bm25_topk_conj,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_topk_deleted": q_bm25_topk_deleted,
+        "index_stats": q_index_stats,
+        "pagerank_scores": q_pagerank_scores,
         "trigram_topk_loaded": q_trigram_topk_loaded,
         "tfidf_topk": q_tfidf_topk,
         "vsm_topk": q_vsm_topk,
@@ -2173,6 +2275,8 @@ FROM tf GROUP BY 1
         "bm25_topk_conj": _scored_sql(bm25, conjunctive=True, tokens=CONJ_QUERY_TOKENS),
         "bm25_topk_filtered": _scored_sql(bm25, dl_min=FILTER_DL_MIN),
         "bm25_topk_deleted": _scored_sql(bm25, src_where="doc_id % 5 <> 0"),
+        "index_stats": _index_stats_sql(),
+        "pagerank_scores": _pagerank_sql(),
         "trigram_topk_loaded": _trigram_sql(),
         "bm25_topk_stemmed": _scored_sql(bm25, stemmed=True),
         "tfidf_topk": _scored_sql(tfidf),

@@ -33,7 +33,7 @@ from pyspark.storagelevel import StorageLevel
 from fulltextsearch_spark.config import DEFAULT_CONFIG, EngineConfig
 from fulltextsearch_spark.functions.tokenizer import term_counts_batch
 
-__all__ = ["IndexTables", "build_index", "doc_term_frequencies"]
+__all__ = ["IndexTables", "build_index", "doc_term_frequencies", "index_stats"]
 
 
 @dataclass
@@ -195,3 +195,30 @@ def build_index(
         # the checkpointed build.)
         postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
     return IndexTables(postings=postings, doc_stats=doc_stats, n_docs=n_docs, avgdl=avgdl)
+
+
+def index_stats(index: IndexTables) -> DataFrame:
+    """One-row index shape/footprint summary (the queryable analogue of the
+    reference's footprint API, fts_engine.hpp:50-60 — byte sizes on disk are
+    logged per save in `_lineage.jsonl`; this reports the LOGICAL shape):
+    vocabulary size, total postings, head-term df, corpus scalars. One
+    skinny aggregate over (term, df) — posting arrays are pruned away.
+    """
+    # aggregate per term first: a doc-range-sharded index carries a head term
+    # as several rows whose df is the per-slice count — term totals need the
+    # sum, and max_df must be the max of totals, not of slices
+    per_term = (
+        index.postings.select("term", "df").groupBy("term").agg(F.sum("df").alias("_df"))
+    )
+    agg = per_term.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("_df").cast("long").alias("total_postings"),
+        F.max("_df").cast("long").alias("max_df"),
+    )
+    return agg.select(
+        "n_terms",
+        "total_postings",
+        "max_df",
+        F.lit(index.n_docs).cast("long").alias("n_docs"),
+        F.round(F.lit(index.avgdl), 6).alias("avgdl"),
+    )

@@ -1,0 +1,89 @@
+"""Link-graph analysis: PageRank over a web link graph.
+
+Web-scale retrieval ranks with link signals alongside text (the classic
+complement to BM25 — Brin & Page 1998); a 10^12-page corpus's link graph
+is exactly the iterative-DataFrame workload Spark's execution model is
+built for. Standard Google formulation with uniform teleport and dangling
+mass redistributed uniformly:
+
+    r_{k+1}(v) = (1-d)/N + d * ( sum_{u->v} r_k(u)/outdeg(u) + D_k/N )
+
+where D_k = sum of r_k over dangling (no-outlink) nodes. Fixed iteration
+count, no convergence test — determinism is what lets the driver oracle
+unroll the same iterations in SQL and hash-match the result.
+
+Scale shape per iteration: one join of the rank vector (skinny: id,
+double) with the edge list on src — partition both on the join key once
+and every iteration reuses the co-location — one groupBy(dst) for the
+contributions, and one scalar aggregate for the dangling mass. Lineage is
+truncated every few iterations with localCheckpoint (same pattern as
+connected_components, operators/dedup.py) so the plan doesn't grow
+linearly with iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    n_docs: int,
+    damping: float = 0.85,
+    iters: int = 10,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """edges(src, dst) -> (doc_id, pagerank) after ``iters`` power steps.
+
+    Vertices are ids 0..n_docs-1 (docs absent from the edge list still
+    rank: they hold teleport + dangling mass). Parallel edges should be
+    de-duplicated by the caller if unwanted — each contributes separately,
+    like repeated links on a page.
+    """
+    spark = edges.sparkSession
+    d = float(damping)
+    n = float(n_docs)
+    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("_deg"))
+    edges_deg = edges.join(deg, "src").select("src", "dst", "_deg")
+    # one partitioning, reused by every iteration's join
+    edges_deg = edges_deg.repartition("src").persist()
+    edges_deg.count()
+    linked = deg.select(F.col("src").alias("doc_id"))
+
+    ranks = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.lit(1.0 / n).alias("r")
+    )
+    for i in range(iters):
+        dangling = (
+            ranks.join(linked, "doc_id", "left_anti").agg(F.sum("r")).collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            edges_deg.join(ranks, edges_deg["src"] == ranks["doc_id"])
+            .select("dst", (F.col("r") / F.col("_deg")).alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_contrib"))
+        )
+        ranks = (
+            spark.range(n_docs)
+            .select(F.col("id").alias("doc_id"))
+            .join(contribs, F.col("doc_id") == F.col("dst"), "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d)
+                    * (F.coalesce(F.col("_contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("r"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint()
+    # cut the final lineage before dropping the cached edges (the returned
+    # frame must not re-derive from the unpersisted join input)
+    out = ranks.select("doc_id", F.col("r").alias("pagerank")).localCheckpoint()
+    edges_deg.unpersist()
+    return out

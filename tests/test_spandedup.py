@@ -101,3 +101,48 @@ def test_strip_removes_covered_tokens(spark, docs):
         assert rows[d][1] == (b - a)
     # every doc present, clean docs untouched
     assert rows[4][1] == 0 and rows[5][1] == 0
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+@pytest.mark.parametrize("keep_first", [True, False])
+def test_random_corpora_match_brute(spark, seed, keep_first):
+    """Randomized corpora over a tiny alphabet (dup-dense) vs brute force."""
+    import random
+
+    rng = random.Random(seed)
+    words = ["red", "blue", "gold", "mint", "coal"]
+    texts = {
+        d: " ".join(rng.choice(words) for _ in range(rng.randint(0, 12)))
+        for d in range(12)
+    }
+    L = rng.choice([2, 3])
+    docs = spark.createDataFrame(sorted(texts.items()), ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(docs, min_len=L, keep_first=keep_first).collect()
+    }
+
+    streams = {d: tokenize(t, do_stem=False) for d, t in texts.items()}
+    occ: dict[tuple, list] = {}
+    for d, toks in sorted(streams.items()):
+        for s in range(len(toks) - L + 1):
+            occ.setdefault(tuple(toks[s : s + L]), []).append((d, s))
+    covered: dict[int, set] = {d: set() for d in streams}
+    for places in occ.values():
+        if len(places) < 2:
+            continue
+        skip = min(places) if keep_first else None
+        for d, s in places:
+            if (d, s) != skip:
+                covered[d].update(range(s, s + L))
+    want = set()
+    for d, pos in covered.items():
+        ps = sorted(pos)
+        i = 0
+        while i < len(ps):
+            j = i
+            while j + 1 < len(ps) and ps[j + 1] == ps[j] + 1:
+                j += 1
+            want.add((d, ps[i], ps[j] + 1))
+            i = j + 1
+    assert got == want
