@@ -444,6 +444,84 @@ GROUP BY s.n_docs, s.avgdl
 """
 
 
+MLT_SEEDS = (3, 17, 42)  # seed doc_ids for More-Like-This
+MLT_TERMS = 10  # max_query_terms
+
+
+def q_mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-Like-This (Lucene MLT semantics): each seed doc's top tf-idf
+    terms become a bag-of-words query; BM25 ranks the rest of the corpus,
+    seed excluded. Term weighting = the engine's (tf/dl)*idf
+    (reference tf_idf.cpp:7-15), tiebreak term ASC."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.morelikethis import more_like_this
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    docs = _docs(spark, sf_dir)
+    idx = build_index(spark, docs, cfg, persist=False)
+    res = more_like_this(idx, docs, MLT_SEEDS, cfg, max_query_terms=MLT_TERMS)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _mlt_sql() -> str:
+    seeds = ", ".join(f"({i})" for i in MLT_SEEDS)
+    return f"""
+WITH {_tok_cte()},
+stats AS (
+  SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+         sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl
+  FROM dls
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+seeds(src) AS (VALUES {seeds}),
+sw AS (
+  SELECT t.doc_id AS src, t.term,
+         (t.tf::DOUBLE / d.dl) *
+         ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0) AS w
+  FROM tf t
+  JOIN seeds ON t.doc_id = seeds.src
+  JOIN dls d ON d.doc_id = t.doc_id
+  JOIN dft f ON f.term = t.term
+  CROSS JOIN stats s
+),
+qt AS (
+  SELECT src, term FROM (
+    SELECT src, term,
+           row_number() OVER (PARTITION BY src ORDER BY w DESC, term ASC) AS rn
+    FROM sw
+  ) WHERE rn <= {MLT_TERMS}
+),
+scored AS (
+  SELECT q.src AS query_id, tf.doc_id,
+         sum(ln((s.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0) *
+             (tf.tf * ({K1} + 1.0)) /
+             (tf.tf + {K1} * (1.0 - {B} + {B} * dls.dl / s.avgdl))) AS score
+  FROM qt q
+  JOIN tf ON tf.term = q.term
+  JOIN dft ON dft.term = q.term
+  JOIN dls ON dls.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.doc_id <> q.src
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def q_bm25_topk_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document deletion + physical compaction (Lucene-style apply-on-merge):
     delete every doc_id%5==0 doc from the built index, then query. Only
@@ -1538,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "index_stats": q_index_stats,
         "pagerank_scores": q_pagerank_scores,
+        "mlt_topk": q_mlt_topk,
         "trigram_topk_loaded": q_trigram_topk_loaded,
         "tfidf_topk": q_tfidf_topk,
         "vsm_topk": q_vsm_topk,
@@ -2277,6 +2356,7 @@ FROM tf GROUP BY 1
         "bm25_topk_deleted": _scored_sql(bm25, src_where="doc_id % 5 <> 0"),
         "index_stats": _index_stats_sql(),
         "pagerank_scores": _pagerank_sql(),
+        "mlt_topk": _mlt_sql(),
         "trigram_topk_loaded": _trigram_sql(),
         "bm25_topk_stemmed": _scored_sql(bm25, stemmed=True),
         "tfidf_topk": _scored_sql(tfidf),
