@@ -109,6 +109,8 @@ def main() -> None:
     from fulltextsearch_spark.operators.vsm import build_vsm, search_vsm
     vsm_idx = build_vsm(idx)  # norms are a build artifact, persisted once
     timed("vsm_topk", lambda: search_vsm(vsm_idx, qdf, cfg).collect())
+    from fulltextsearch_spark.operators.morelikethis import more_like_this
+    timed("mlt_topk", lambda: more_like_this(idx, docs, (3, 17, 42), cfg).collect())
 
     # --- synthetic web corpus (the scale path) ------------------------------
     # build_web50k is the PRODUCTION build: fused tokenize -> map-side
