@@ -522,6 +522,46 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+AUTOCOMPLETE_PREFIXES = [("p1", "qu"), ("p2", "fi"), ("p3", "spar"), ("p4", "da")]
+AUTOCOMPLETE_K = 5
+
+
+def q_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix autocomplete (search-box completion): top-k dictionary terms
+    per typed prefix, ranked by df DESC then term ASC — popularity-ranked
+    straight off the index's own (term, df), no extra artifact."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.autocomplete import autocomplete
+    from fulltextsearch_spark.operators.index_build import build_index
+
+    idx = build_index(
+        spark, _docs(spark, sf_dir), EngineConfig(stem=False), persist=False
+    )
+    pfx = spark.createDataFrame(AUTOCOMPLETE_PREFIXES, ["query_id", "prefix"])
+    res = autocomplete(idx, pfx, k=AUTOCOMPLETE_K)
+    return res.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "term", "df"
+    )
+
+
+def _autocomplete_sql() -> str:
+    vals = ", ".join(f"('{q}', '{p}')" for q, p in AUTOCOMPLETE_PREFIXES)
+    return f"""
+WITH {_tok_cte()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+pfx(query_id, prefix) AS (VALUES {vals}),
+ranked AS (
+  SELECT p.query_id, d.term, d.df,
+         row_number() OVER (PARTITION BY p.query_id
+                            ORDER BY d.df DESC, d.term ASC) AS rank
+  FROM pfx p JOIN dft d ON starts_with(d.term, p.prefix)
+)
+SELECT query_id, rank::BIGINT AS rank, term, df
+FROM ranked WHERE rank <= {AUTOCOMPLETE_K}
+"""
+
+
 def q_bm25_topk_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document deletion + physical compaction (Lucene-style apply-on-merge):
     delete every doc_id%5==0 doc from the built index, then query. Only
@@ -1617,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_stats": q_index_stats,
         "pagerank_scores": q_pagerank_scores,
         "mlt_topk": q_mlt_topk,
+        "autocomplete": q_autocomplete,
         "trigram_topk_loaded": q_trigram_topk_loaded,
         "tfidf_topk": q_tfidf_topk,
         "vsm_topk": q_vsm_topk,
@@ -2357,6 +2398,7 @@ FROM tf GROUP BY 1
         "index_stats": _index_stats_sql(),
         "pagerank_scores": _pagerank_sql(),
         "mlt_topk": _mlt_sql(),
+        "autocomplete": _autocomplete_sql(),
         "trigram_topk_loaded": _trigram_sql(),
         "bm25_topk_stemmed": _scored_sql(bm25, stemmed=True),
         "tfidf_topk": _scored_sql(tfidf),
