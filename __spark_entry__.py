@@ -22,6 +22,7 @@ from pyspark.sql import Window
 
 K1, B = 1.2, 0.75
 TOPK = 10
+RRF_K = 60  # Cormack/Clarke/Buettcher SIGIR'09 constant
 
 # Fixed query set over the testdata vocabulary. Tokens are given
 # post-tokenization (duplicates preserved — reference accumulates per query
@@ -1627,6 +1628,44 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(_docs(spark, sf_dir))
 
 
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (rrf_k=60) of the per-query
+    BM25 top-k with the global PageRank authority top-k — the classic
+    web-search combination of a lexical ranking with a query-independent
+    link prior. Fused scores are exact sums over integer ranks, so the
+    oracle replays them bit-for-bit from the same two ranked lists."""
+    from fulltextsearch_spark.operators.hybrid import rrf_fuse, static_prior_per_query
+
+    lex = q_bm25_topk(spark, sf_dir).select("query_id", "rank", "doc_id")
+    # rounded-to-6dp pagerank (hash-pinned by the pagerank_scores entry)
+    # orders the prior in BOTH engines, so sub-1e-6 double drift can't
+    # reorder the authority list between Spark and the oracle
+    pr = q_pagerank_scores(spark, sf_dir)
+    auth = static_prior_per_query(pr, lex, "pagerank", k=TOPK)
+    fused = rrf_fuse([lex, auth], rrf_k=RRF_K, k=TOPK)
+    return fused.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted result aggregation: per-query bucket counts + best rank over
+    the `lang` metadata column of the BM25 top-k hits (search-UI drill-down
+    surface; the k-row hit list broadcasts, the corpus never shuffles)."""
+    from fulltextsearch_spark.operators.facets import facet_counts
+
+    lex = q_bm25_topk(spark, sf_dir)
+    return facet_counts(lex, _docs(spark, sf_dir), "lang").select(
+        "query_id",
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("best_rank").cast("long").alias("best_rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -1656,6 +1695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "index_stats": q_index_stats,
         "pagerank_scores": q_pagerank_scores,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "facet_counts": q_facet_counts,
         "mlt_topk": q_mlt_topk,
         "autocomplete": q_autocomplete,
         "trigram_topk_loaded": q_trigram_topk_loaded,
@@ -2397,6 +2438,36 @@ FROM tf GROUP BY 1
         "bm25_topk_deleted": _scored_sql(bm25, src_where="doc_id % 5 <> 0"),
         "index_stats": _index_stats_sql(),
         "pagerank_scores": _pagerank_sql(),
+        "hybrid_rrf_topk": f"""
+WITH lex AS (SELECT * FROM ({_scored_sql(bm25)})),
+pr AS (SELECT * FROM ({_pagerank_sql()})),
+qids AS (SELECT DISTINCT query_id FROM lex),
+auth0 AS (SELECT doc_id,
+                 row_number() OVER (ORDER BY pagerank DESC, doc_id ASC) AS rank
+          FROM pr),
+auth AS (SELECT * FROM auth0 WHERE rank <= {TOPK}),
+contrib AS (
+  SELECT query_id, doc_id, 1.0/({RRF_K} + rank) AS c FROM lex
+  UNION ALL
+  SELECT q.query_id, a.doc_id, 1.0/({RRF_K} + a.rank) FROM qids q CROSS JOIN auth a
+),
+fused AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= {TOPK}
+""",
+        "facet_counts": f"""
+WITH lex AS (SELECT * FROM ({_scored_sql(bm25)}))
+SELECT l.query_id, d.lang, count(*)::BIGINT AS n_docs,
+       min(l.rank)::BIGINT AS best_rank
+FROM lex l JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+""",
         "mlt_topk": _mlt_sql(),
         "autocomplete": _autocomplete_sql(),
         "trigram_topk_loaded": _trigram_sql(),

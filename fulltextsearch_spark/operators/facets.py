@@ -1,0 +1,37 @@
+"""Faceted result aggregation over a top-k result set.
+
+Search engines return, next to the ranked hits, per-facet bucket counts
+over document metadata (language, source, domain) so a UI can offer
+drill-down filters. The reference's result surface is the bare ranked list
+(``/root/reference/src/main.cpp:64-105``); facets complete it the way
+:func:`~fulltextsearch_spark.operators.query.search_filtered` completes
+the drill-down itself.
+
+Scale shape: the result set is tiny (k rows per query) and is BROADCAST to
+the metadata table, so the corpus-sized side never shuffles — one
+broadcast-hash join plus a hash aggregate over ``queries × k`` rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["facet_counts"]
+
+
+def facet_counts(results: DataFrame, doc_meta: DataFrame, facet_col: str) -> DataFrame:
+    """Bucket a ``(query_id, rank, doc_id, ...)`` result set by a metadata column.
+
+    Returns ``(query_id, <facet_col>, n_docs, best_rank)`` — hit count and
+    best (lowest) rank per facet value per query. ``doc_meta`` is any
+    DataFrame carrying ``doc_id`` and ``facet_col``; it is probed on the
+    big side of a broadcast join, so only ``doc_id`` and the facet column
+    are scanned (column pruning) and no corpus shuffle occurs.
+    """
+    hits = results.select("query_id", "rank", "doc_id")
+    joined = doc_meta.select("doc_id", facet_col).join(F.broadcast(hits), "doc_id")
+    return joined.groupBy("query_id", facet_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("rank").alias("best_rank"),
+    )
