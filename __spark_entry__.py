@@ -56,6 +56,18 @@ CONJ_QUERY_TOKENS: list[tuple[str, str]] = [
     ("qc3", "fast"),
 ]
 
+# synonym map for the expanded-search entry, given post-tokenization (the
+# Lucene-SynonymFilter contract); all targets are corpus terms. q5 carries
+# both 'spark' and 'fast', so spark->fast exercises the additive merge
+# (qtf 1.0 + 0.5) rather than only pure expansion.
+SYNONYMS: list[tuple[str, str]] = [
+    ("join", "merge"),
+    ("query", "filter"),
+    ("sort", "window"),
+    ("spark", "fast"),
+]
+SYN_WEIGHT = 0.5
+
 _TOKEN_SPLIT_SQL = "[^0-9a-z$%&+@]+"
 
 
@@ -1628,6 +1640,33 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(_docs(spark, sf_dir))
 
 
+def q_bm25_topk_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted query-time synonym expansion (Lucene SynonymFilter analogue):
+    each query term pulls its synonyms in at 0.5x weight through the
+    unchanged BM25 scorer; a synonym that is already a query term merges
+    additively. The oracle derives the same expansion from a VALUES synonym
+    map — both engines expand independently."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.query import search_expanded
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    idx = build_index(spark, _docs(spark, sf_dir), cfg, persist=False)
+    queries = spark.createDataFrame(
+        [(qid, " ".join(t for q, t in QUERY_TOKENS if q == qid)) for qid in
+         sorted({q for q, _ in QUERY_TOKENS})],
+        ["query_id", "content"],
+    )
+    synonyms = spark.createDataFrame(SYNONYMS, ["term", "syn"])
+    res = search_expanded(idx, queries, synonyms, cfg, weight=SYN_WEIGHT)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion (rrf_k=60) of the per-query
     BM25 top-k with the global PageRank authority top-k — the classic
@@ -1691,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_resumable": q_bm25_topk_resumable,
         "bm25_topk_merged": q_bm25_topk_merged,
         "bm25_topk_conj": q_bm25_topk_conj,
+        "bm25_topk_expanded": q_bm25_topk_expanded,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "index_stats": q_index_stats,
@@ -2434,6 +2474,46 @@ FROM tf GROUP BY 1
         "bm25_topk_resumable": _scored_sql(bm25),
         "bm25_topk_merged": _scored_sql(bm25),
         "bm25_topk_conj": _scored_sql(bm25, conjunctive=True, tokens=CONJ_QUERY_TOKENS),
+        "bm25_topk_expanded": f"""
+WITH {_tok_cte()},
+stats AS (
+  SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+         sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl
+  FROM dls
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qt AS (SELECT * FROM (VALUES {_values_query_tokens()}) AS v(query_id, term)),
+qtf0 AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qt GROUP BY 1, 2),
+syn AS (SELECT * FROM (VALUES {", ".join(f"('{a}', '{b}')" for a, b in SYNONYMS)})
+        s(term, syn)),
+qtf AS (
+  SELECT query_id, term, sum(qtf) AS qtf FROM (
+    SELECT query_id, term, qtf FROM qtf0
+    UNION ALL
+    SELECT q.query_id, s.syn AS term, q.qtf * {SYN_WEIGHT} FROM qtf0 q
+    JOIN syn s USING (term)
+  ) GROUP BY 1, 2
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * {bm25}) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN dft ON dft.term = q.term
+  JOIN dls ON dls.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= {TOPK}
+""",
         "bm25_topk_filtered": _scored_sql(bm25, dl_min=FILTER_DL_MIN),
         "bm25_topk_deleted": _scored_sql(bm25, src_where="doc_id % 5 <> 0"),
         "index_stats": _index_stats_sql(),

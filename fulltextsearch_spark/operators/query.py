@@ -29,7 +29,15 @@ from fulltextsearch_spark.functions.scoring import bm25_col, tfidf_col
 from fulltextsearch_spark.functions.tokenizer import tokenize_udf
 from fulltextsearch_spark.operators.index_build import IndexTables
 
-__all__ = ["query_terms", "search", "search_conjunctive", "search_filtered", "topk"]
+__all__ = [
+    "expand_query_terms",
+    "query_terms",
+    "search",
+    "search_conjunctive",
+    "search_expanded",
+    "search_filtered",
+    "topk",
+]
 
 
 def query_terms(queries: DataFrame, stem: bool = True) -> DataFrame:
@@ -170,6 +178,51 @@ def search_conjunctive(
         .select("query_id", "doc_id", "score")
     )
     return topk(kept, k if k is not None else cfg.k)
+
+
+def expand_query_terms(
+    q_terms: DataFrame, synonyms: DataFrame, weight: float = 0.5
+) -> DataFrame:
+    """Weighted query-time synonym expansion (Lucene SynonymFilter analogue).
+
+    ``synonyms`` is a ``(term, syn)`` table given POST-tokenization (both
+    sides already lowercased/stop-filtered/stemmed to match the index
+    vocabulary — the same contract a Lucene synonym graph has after the
+    analyzer). Each query term contributes its synonyms at ``weight x`` its
+    own multiplicity; a synonym that is also an original query term merges
+    additively (qtf 1.0 + weight), so scores stay a single weighted sum per
+    (query, doc) through the unchanged scorer.
+
+    Plan shape: the synonym table is a broadcast dimension; expansion adds
+    one map-side join + a re-aggregate over the tiny query-term set — no
+    new wide op against the index.
+    """
+    base = q_terms.select("query_id", "term", F.col("qtf").cast("double").alias("qtf"))
+    syn = q_terms.join(F.broadcast(synonyms), "term").select(
+        "query_id",
+        F.col("syn").alias("term"),
+        (F.col("qtf") * F.lit(float(weight))).alias("qtf"),
+    )
+    return (
+        base.unionByName(syn)
+        .groupBy("query_id", "term")
+        .agg(F.sum("qtf").alias("qtf"))
+    )
+
+
+def search_expanded(
+    index: IndexTables,
+    queries: DataFrame,
+    synonyms: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    scoring: str = "bm25",
+    k: int | None = None,
+    weight: float = 0.5,
+) -> DataFrame:
+    """Top-k with weighted synonym expansion of the query terms."""
+    q_terms = expand_query_terms(query_terms(queries, stem=cfg.stem), synonyms, weight)
+    scored = _scored_candidates(index, q_terms, cfg, scoring)
+    return topk(scored, k if k is not None else cfg.k)
 
 
 def search_filtered(

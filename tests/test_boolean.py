@@ -106,3 +106,66 @@ def test_filtered_is_topk_among_allowed(spark, setup):
     assert sorted(got) == sorted(want)
     # and differs from a naive post-filter whenever high ranks were excluded
     assert got != [r for r in full if r[2] in allowed_ids][: len(got)]
+
+
+# ---------------------------------------------------------------------------
+# Query-time synonym expansion
+# ---------------------------------------------------------------------------
+
+
+def test_expand_query_terms_weights_and_merge(spark):
+    from fulltextsearch_spark.operators.query import expand_query_terms
+
+    q_terms = spark.createDataFrame(
+        [("q", "a", 2), ("q", "b", 1)], ["query_id", "term", "qtf"]
+    )
+    syn = spark.createDataFrame(
+        # a->b merges with original b (1.0 + 2*0.5); a->c is pure expansion
+        [("a", "b"), ("a", "c")],
+        ["term", "syn"],
+    )
+    rows = expand_query_terms(q_terms, syn, weight=0.5).collect()
+    got = {r["term"]: r["qtf"] for r in rows}
+    assert got == {"a": 2.0, "b": 2.0, "c": 1.0}
+
+
+def test_search_expanded_matches_manual_requery(spark, setup):
+    """Expansion at weight w must equal a plain search whose query carries the
+    synonym terms with qtf scaled by w — pinned via score equality."""
+    from fulltextsearch_spark.operators.query import (
+        _scored_candidates,
+        query_terms,
+        search_expanded,
+        topk,
+    )
+
+    idx, qdf, _, _ = setup
+    syn = spark.createDataFrame([("salmon", "fish"), ("river", "page")], ["term", "syn"])
+    got = search_expanded(idx, qdf, syn, CFG, weight=0.25).collect()
+
+    base = query_terms(qdf, stem=False)
+    manual = base.select(
+        "query_id", "term", F.col("qtf").cast("double").alias("qtf")
+    ).unionByName(
+        base.join(syn, "term").select(
+            "query_id", F.col("syn").alias("term"), (F.col("qtf") * 0.25).alias("qtf")
+        )
+    ).groupBy("query_id", "term").agg(F.sum("qtf").alias("qtf"))
+    want = topk(_scored_candidates(idx, manual, CFG, "bm25"), CFG.k).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert {key(r): (r["doc_id"], round(r["score"], 9)) for r in got} == {
+        key(r): (r["doc_id"], round(r["score"], 9)) for r in want
+    }
+
+
+def test_search_expanded_zero_weight_is_plain_search(spark, setup):
+    from fulltextsearch_spark.operators.query import search_expanded
+
+    idx, qdf, _, _ = setup
+    syn = spark.createDataFrame([("salmon", "fish")], ["term", "syn"])
+    got = search_expanded(idx, qdf, syn, CFG, weight=0.0).collect()
+    want = search(idx, qdf, CFG).collect()
+    as_map = lambda rows: {  # noqa: E731
+        (r["query_id"], r["rank"]): r["doc_id"] for r in rows
+    }
+    assert as_map(got) == as_map(want)
