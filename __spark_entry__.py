@@ -1667,6 +1667,34 @@ def q_bm25_topk_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_score_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene explain() analogue: per-term BM25 contribution rows for each
+    query's top-3 docs — raw scoring inputs (tf, df, dl, qtf) plus the
+    weighted term score, whose per-(query, doc) sum is the ranked score."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.query import explain_scores
+
+    cfg = EngineConfig(k1=K1, b=B, k=3, stem=False)
+    idx = build_index(spark, _docs(spark, sf_dir), cfg, persist=False)
+    queries = spark.createDataFrame(
+        [(qid, " ".join(t for q, t in QUERY_TOKENS if q == qid)) for qid in
+         sorted({q for q, _ in QUERY_TOKENS})],
+        ["query_id", "content"],
+    )
+    exp = explain_scores(idx, queries, cfg, k=3)
+    return exp.select(
+        "query_id",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.col("dl").cast("long").alias("dl"),
+        F.col("qtf").cast("long").alias("qtf"),
+        F.round("term_score", 4).alias("term_score"),
+    )
+
+
 def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion (rrf_k=60) of the per-query
     BM25 top-k with the global PageRank authority top-k — the classic
@@ -1731,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_merged": q_bm25_topk_merged,
         "bm25_topk_conj": q_bm25_topk_conj,
         "bm25_topk_expanded": q_bm25_topk_expanded,
+        "score_explain": q_score_explain,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "index_stats": q_index_stats,
@@ -2518,6 +2547,44 @@ FROM ranked WHERE rank <= {TOPK}
         "bm25_topk_deleted": _scored_sql(bm25, src_where="doc_id % 5 <> 0"),
         "index_stats": _index_stats_sql(),
         "pagerank_scores": _pagerank_sql(),
+        "score_explain": f"""
+WITH {_tok_cte()},
+stats AS (
+  SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+         sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl
+  FROM dls
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qt AS (SELECT * FROM (VALUES {_values_query_tokens()}) AS v(query_id, term)),
+qtf AS (SELECT query_id, term, count(*)::BIGINT AS qtf FROM qt GROUP BY 1, 2),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * {bm25}) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN dft ON dft.term = q.term
+  JOIN dls ON dls.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT q.query_id, tf.doc_id::BIGINT AS doc_id, tf.term,
+       tf.tf::BIGINT AS tf, dft.df::BIGINT AS df, dls.dl::BIGINT AS dl,
+       q.qtf::BIGINT AS qtf,
+       round(q.qtf * {bm25}, 4) AS term_score
+FROM qtf q
+JOIN tf ON tf.term = q.term
+JOIN dft ON dft.term = q.term
+JOIN dls ON dls.doc_id = tf.doc_id
+CROSS JOIN stats s
+JOIN ranked r ON r.query_id = q.query_id AND r.doc_id = tf.doc_id
+WHERE r.rank <= 3
+""",
         "hybrid_rrf_topk": f"""
 WITH lex AS (SELECT * FROM ({_scored_sql(bm25)})),
 pr AS (SELECT * FROM ({_pagerank_sql()})),

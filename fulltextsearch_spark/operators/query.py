@@ -31,6 +31,7 @@ from fulltextsearch_spark.operators.index_build import IndexTables
 
 __all__ = [
     "expand_query_terms",
+    "explain_scores",
     "query_terms",
     "search",
     "search_conjunctive",
@@ -178,6 +179,74 @@ def search_conjunctive(
         .select("query_id", "doc_id", "score")
     )
     return topk(kept, k if k is not None else cfg.k)
+
+
+def explain_scores(
+    index: IndexTables,
+    queries: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    scoring: str = "bm25",
+    k: int | None = None,
+) -> DataFrame:
+    """Lucene ``explain()`` analogue: per-term score contributions for the
+    top-k docs of each query.
+
+    Returns one row per (query, doc, matched term) with the raw scoring
+    inputs — ``(query_id, doc_id, term, tf, df, dl, qtf, term_score)`` where
+    ``term_score = qtf x score(tf, df, dl)`` and ``sum(term_score) over
+    (query, doc)`` equals the doc's ranked score exactly (same join, same
+    arithmetic as :func:`search`; the final aggregate is simply not taken).
+
+    Plan shape: identical broadcast probe as the search path, then a
+    LEFT SEMI join against the k-row-per-query result set — explain output
+    is bounded by ``queries x k x |query terms|`` rows, never candidates.
+    """
+    q_terms = query_terms(queries, stem=cfg.stem)
+    top = search(index, queries, cfg, scoring=scoring, k=k)
+    joined = index.postings.join(F.broadcast(q_terms), "term", "inner")
+    if index.sharded:
+        # same df-total fix as _scored_candidates: a doc-range-sharded head
+        # term carries per-slice df per row; idf needs the term total
+        df_tot = (
+            index.postings.select("term", "df")
+            .join(F.broadcast(q_terms.select("term").distinct()), "term")
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+        joined = joined.drop("df").join(F.broadcast(df_tot), "term", "inner")
+    flat = (
+        joined.select(
+            "query_id", "term", "qtf", "df", F.explode("postings").alias("p")
+        )
+        .select(
+            "query_id",
+            "term",
+            "qtf",
+            "df",
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("p.tf").alias("tf"),
+            F.col("p.dl").alias("dl"),
+        )
+        .join(top.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_semi")
+    )
+    if scoring == "bm25":
+        per_term = bm25_col(
+            F.col("tf"), F.col("df"), F.col("dl"), index.n_docs, index.avgdl, cfg.k1, cfg.b
+        )
+    elif scoring == "tfidf":
+        per_term = tfidf_col(F.col("tf"), F.col("df"), F.col("dl"), index.n_docs)
+    else:
+        raise ValueError(f"unknown scoring {scoring!r} (use 'bm25' or 'tfidf')")
+    return flat.select(
+        "query_id",
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        "dl",
+        "qtf",
+        (per_term * F.col("qtf").cast("double")).alias("term_score"),
+    )
 
 
 def expand_query_terms(

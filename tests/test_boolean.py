@@ -169,3 +169,24 @@ def test_search_expanded_zero_weight_is_plain_search(spark, setup):
         (r["query_id"], r["rank"]): r["doc_id"] for r in rows
     }
     assert as_map(got) == as_map(want)
+
+
+def test_explain_scores_sum_to_ranked_score(spark, setup):
+    """Per-(query, doc) sums of explain() term contributions must equal the
+    search path's ranked scores exactly; rows exist only for top-k docs."""
+    from fulltextsearch_spark.operators.query import explain_scores
+
+    idx, qdf, _, _ = setup
+    ranked = {(r["query_id"], r["doc_id"]): r["score"]
+              for r in search(idx, qdf, CFG, k=3).collect()}
+    exp = explain_scores(idx, qdf, CFG, k=3).collect()
+    sums: dict = {}
+    for r in exp:
+        key = (r["query_id"], r["doc_id"])
+        sums[key] = sums.get(key, 0.0) + r["term_score"]
+    assert set(sums) == set(ranked)
+    for key, s in sums.items():
+        assert s == pytest.approx(ranked[key], rel=1e-12)
+    # raw inputs are positive and qtf carries query-token multiplicity
+    assert all(r["tf"] >= 1 and r["df"] >= 1 and r["dl"] >= 1 and r["qtf"] >= 1
+               for r in exp)
