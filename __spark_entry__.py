@@ -1695,6 +1695,32 @@ def q_score_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator Spark lacks natively): each click event
+    pairs with the same user's latest view at-or-before it — the
+    union-sort-carry-forward composition (one shuffle on user_id, linear
+    per-partition scan; no range cross-product). Gap reported in exact
+    integer microseconds; ties on view ts break to the greatest event_id."""
+    from fulltextsearch_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    j = asof_join(clicks, views, on=["user_id"], right_ord="event_id")
+    return j.select(
+        F.col("click_id").cast("long").alias("click_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("r_event_id").cast("long").alias("view_id"),
+        # timestampdiff handles TIMESTAMP_NTZ (unix_micros does not) and is
+        # timezone-independent — exact integer microseconds, no float drift
+        F.expr("timestampdiff(MICROSECOND, r_ts, ts)").cast("long").alias("gap_us"),
+    )
+
+
 def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion (rrf_k=60) of the per-query
     BM25 top-k with the global PageRank authority top-k — the classic
@@ -1760,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_conj": q_bm25_topk_conj,
         "bm25_topk_expanded": q_bm25_topk_expanded,
         "score_explain": q_score_explain,
+        "asof_click_view": q_asof_click_view,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "index_stats": q_index_stats,
@@ -2584,6 +2611,21 @@ JOIN dls ON dls.doc_id = tf.doc_id
 CROSS JOIN stats s
 JOIN ranked r ON r.query_id = q.query_id AND r.doc_id = tf.doc_id
 WHERE r.rank <= 3
+""",
+        "asof_click_view": """
+WITH clicks AS (SELECT event_id AS click_id, user_id, ts
+                FROM events WHERE event_type = 'click'),
+views AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+ranked AS (
+  SELECT c.click_id, c.user_id, c.ts AS cts, v.event_id AS view_id, v.ts AS vts,
+         row_number() OVER (PARTITION BY c.click_id
+                            ORDER BY v.ts DESC, v.event_id DESC) AS rn
+  FROM clicks c JOIN views v ON v.user_id = c.user_id AND v.ts <= c.ts
+)
+SELECT click_id::BIGINT AS click_id, user_id::BIGINT AS user_id,
+       view_id::BIGINT AS view_id,
+       date_diff('microsecond', vts, cts)::BIGINT AS gap_us
+FROM ranked WHERE rn = 1
 """,
         "hybrid_rrf_topk": f"""
 WITH lex AS (SELECT * FROM ({_scored_sql(bm25)})),
