@@ -1721,6 +1721,58 @@ def q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) over the events clickstream:
+    gaps-and-islands via one key shuffle + two window passes, no self-join.
+    Per-session rollup keeps the output compact and aggregate-checkable."""
+    from fulltextsearch_spark.operators.temporal import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "ts"
+    )
+    s = sessionize(ev, key="user_id", ts="ts", ord_col="event_id", gap_s=1800.0)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))")
+        .cast("long")
+        .alias("duration_us"),
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "session_id",
+        "n_events",
+        "duration_us",
+    )
+
+
+def q_campaign_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval containment) join without a cross-product: events
+    attach to deterministic, partially-OVERLAPPING campaign windows
+    (campaign i: begin = epoch + 9i hours, length 4 + 3*(i%3) hours, so
+    10-hour campaigns overlap their 9-hour spacing) via the bucketed
+    interval join. The oracle is the plain theta join DuckDB can afford
+    at this scale."""
+    from fulltextsearch_spark.operators.temporal import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "ts")
+    camps = spark.range(12).select(
+        F.col("id").alias("campaign_id"),
+        F.expr(
+            "timestampadd(HOUR, cast(id*9 as int), "
+            "timestamp_ntz'2024-01-01 00:00:00')"
+        ).alias("begin"),
+        F.expr(
+            "timestampadd(HOUR, cast(id*9 + 4 + 3*(id%3) as int), "
+            "timestamp_ntz'2024-01-01 00:00:00')"
+        ).alias("end"),
+    )
+    j = range_join(ev, camps, point_ts="ts", begin="begin", end="end",
+                   bucket_s=3600.0)
+    return j.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("campaign_id").cast("long").alias("campaign_id"),
+    )
+
+
 def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion (rrf_k=60) of the per-query
     BM25 top-k with the global PageRank authority top-k — the classic
@@ -1787,6 +1839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_expanded": q_bm25_topk_expanded,
         "score_explain": q_score_explain,
         "asof_click_view": q_asof_click_view,
+        "event_sessions": q_event_sessions,
+        "campaign_attribution": q_campaign_attribution,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "index_stats": q_index_stats,
@@ -2626,6 +2680,40 @@ SELECT click_id::BIGINT AS click_id, user_id::BIGINT AS user_id,
        view_id::BIGINT AS view_id,
        date_diff('microsecond', vts, cts)::BIGINT AS gap_us
 FROM ranked WHERE rn = 1
+""",
+        "event_sessions": """
+WITH p AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                OR date_diff('microsecond', prev_ts, ts) > 1800000000
+              THEN 1 ELSE 0 END AS nw
+  FROM p
+),
+s AS (
+  SELECT user_id, ts,
+         sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM f
+)
+SELECT user_id::BIGINT AS user_id, session_id::BIGINT AS session_id,
+       count(*)::BIGINT AS n_events,
+       date_diff('microsecond', min(ts), max(ts))::BIGINT AS duration_us
+FROM s GROUP BY 1, 2
+""",
+        "campaign_attribution": """
+WITH c AS (
+  SELECT i AS campaign_id,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (9*i) HOUR AS b,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (9*i + 4 + 3*(i%3)) HOUR AS e
+  FROM range(12) t(i)
+)
+SELECT ev.event_id::BIGINT AS event_id, c.campaign_id::BIGINT AS campaign_id
+FROM events ev JOIN c ON c.b <= ev.ts AND ev.ts < c.e
 """,
         "hybrid_rrf_topk": f"""
 WITH lex AS (SELECT * FROM ({_scored_sql(bm25)})),

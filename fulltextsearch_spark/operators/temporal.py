@@ -1,0 +1,117 @@
+"""Temporal operators Spark lacks as primitives: sessionization, range join.
+
+Companions to :mod:`.asof` for clickstream/event analytics over the engine's
+corpus pipeline (query-log sessionization is how web-search engines mine
+query reformulations; range joins attach events to campaign/deploy windows).
+
+Both are built scale-first:
+
+* ``sessionize`` is the classic gaps-and-islands formulation — one shuffle
+  on the key, two window passes over each key's partition (lag + prefix
+  sum), no self-join. Skew bounds at per-key event counts.
+* ``range_join`` is the BUCKETED interval join: intervals explode to the
+  fixed-width time buckets they overlap, points map to exactly one bucket,
+  and the equi-join on (bucket) runs through the normal hash-shuffle
+  machinery with the precise containment predicate applied AFTER the join.
+  Candidate volume is |points| + |intervals| x (len/bucket_width + 1) —
+  never the |points| x |intervals| cross-product a plain theta join
+  (BroadcastNestedLoopJoin) materializes. Choose ``bucket`` on the order
+  of the longest interval so each interval explodes to O(1) buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["range_join", "sessionize"]
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    ord_col: str | None = None,
+    gap_s: float = 1800.0,
+) -> DataFrame:
+    """Assign inactivity-gap sessions: a new session starts when the time
+    since the key's previous event exceeds ``gap_s`` seconds.
+
+    Adds ``session_id`` (0-based ordinal per key, in time order). Events at
+    identical timestamps order deterministically by ``ord_col`` (defaults
+    to ``ts``; pass a unique id when timestamps can repeat).
+    """
+    ord_col = ord_col or ts
+    w = Window.partitionBy(key).orderBy(ts, ord_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = int(gap_s * 1_000_000)
+    with_prev = events.withColumn("_prev_ts", F.lag(ts).over(w))
+    new_sess = (
+        F.col("_prev_ts").isNull()
+        | (F.expr(f"timestampdiff(MICROSECOND, _prev_ts, {ts})") > gap_us)
+    ).cast("int")
+    return (
+        with_prev.withColumn("_new", new_sess)
+        .withColumn("session_id", (F.sum("_new").over(run) - 1).cast("long"))
+        .drop("_prev_ts", "_new")
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    begin: str = "begin",
+    end: str = "end",
+    bucket_s: float = 3600.0,
+) -> DataFrame:
+    """Join each point row to every interval containing it
+    (``begin <= ts < end``), without a cross-product.
+
+    Both sides gain a time-bucket key: the point's single bucket, and the
+    contiguous bucket range each interval overlaps (via ``sequence`` +
+    ``explode`` — O(interval_len / bucket_s) rows per interval). The
+    equi-join on the bucket runs as a normal shuffled/broadcast hash join;
+    the exact containment filter afterwards removes same-bucket misses.
+    Timestamps are compared at microsecond precision (epoch micros via a
+    DAY-diff-free long expression that supports TIMESTAMP_NTZ).
+    """
+    us = int(bucket_s * 1_000_000)
+
+    def _epoch_us(df: DataFrame, col: str):  # noqa: ANN202
+        # reference literal cast to the column's OWN type so timestampdiff
+        # never sees mixed TIMESTAMP / TIMESTAMP_NTZ operands
+        dt = dict(df.dtypes)[col]
+        return F.expr(
+            f"timestampdiff(MICROSECOND, cast('1970-01-01 00:00:00' as {dt}), {col})"
+        )
+
+    p_us = _epoch_us(points, point_ts)
+    b_us = _epoch_us(intervals, begin)
+    e_us = _epoch_us(intervals, end)
+    p = points.withColumn("_p_us", p_us).withColumn(
+        "_bkt", (F.col("_p_us") / us).cast("long")
+    )
+    iv = (
+        intervals.withColumn("_b_us", b_us)
+        .withColumn("_e_us", e_us)
+        # empty/inverted intervals contain nothing; dropping them up front
+        # also keeps sequence() from generating a descending bucket range
+        .filter(F.col("_e_us") > F.col("_b_us"))
+        .withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    (F.col("_b_us") / us).cast("long"),
+                    # end is exclusive, but an interval ending exactly on a
+                    # bucket boundary still owns no point there — the strict
+                    # filter below handles it; ceil-to-last-contained bucket
+                    ((F.col("_e_us") - 1) / us).cast("long"),
+                )
+            ),
+        )
+    )
+    joined = p.join(iv, "_bkt").filter(
+        (F.col("_b_us") <= F.col("_p_us")) & (F.col("_p_us") < F.col("_e_us"))
+    )
+    return joined.drop("_bkt", "_p_us", "_b_us", "_e_us")

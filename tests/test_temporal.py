@@ -1,0 +1,92 @@
+"""Sessionize and range_join: gap boundaries, overlap semantics, plan shape,
+and randomized brute-force equivalence."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from fulltextsearch_spark.operators.temporal import range_join, sessionize
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _ts(seconds: float) -> dt.datetime:
+    return EPOCH + dt.timedelta(seconds=seconds)
+
+
+def test_sessionize_gap_boundary(spark):
+    # gap exactly equal to gap_s stays in the SAME session (> is strict)
+    rows = [(1, 0, _ts(0)), (1, 1, _ts(100)), (1, 2, _ts(200)),
+            (1, 3, _ts(301)), (2, 4, _ts(0))]
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "ts"])
+    out = sessionize(ev, key="user_id", ts="ts", ord_col="event_id",
+                     gap_s=100.0).collect()
+    got = {r["event_id"]: r["session_id"] for r in out}
+    # 0->100 and 100->200 are exactly 100s (same session); 200->301 exceeds
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 0}
+
+
+def test_sessionize_bruteforce(spark):
+    rng = random.Random(99)
+    rows = []
+    for i in range(200):
+        rows.append((rng.randrange(4), i, _ts(rng.randrange(100000))))
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "ts"])
+    out = sessionize(ev, key="user_id", ts="ts", ord_col="event_id",
+                     gap_s=1800.0).collect()
+    got = {r["event_id"]: (r["user_id"], r["session_id"]) for r in out}
+    want = {}
+    by_user: dict = {}
+    for u, eid, t in rows:
+        by_user.setdefault(u, []).append((t, eid))
+    for u, evs in by_user.items():
+        evs.sort()
+        sid, prev = -1, None
+        for t, eid in evs:
+            if prev is None or (t - prev).total_seconds() > 1800.0:
+                sid += 1
+            want[eid] = (u, sid)
+            prev = t
+    assert got == want
+
+
+def test_range_join_overlap_boundaries_and_plan(spark):
+    points = spark.createDataFrame(
+        [(0, _ts(0)), (1, _ts(3600)), (2, _ts(5400)), (3, _ts(7200)),
+         (4, _ts(10800))],
+        ["pid", "ts"],
+    )
+    # [0, 7200) and [3600, 10800) overlap on [3600, 7200); end exclusive
+    iv = spark.createDataFrame(
+        [(10, _ts(0), _ts(7200)), (11, _ts(3600), _ts(10800)),
+         (12, _ts(50000), _ts(50000))],  # empty interval -> no matches
+        ["iid", "begin", "end"],
+    )
+    df = range_join(points, iv, bucket_s=3600.0)
+    got = sorted((r["pid"], r["iid"]) for r in df.collect())
+    assert got == [(0, 10), (1, 10), (1, 11), (2, 10), (2, 11), (3, 11)]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan  # bucketed equi-join, not a theta join
+
+
+def test_range_join_bruteforce(spark):
+    rng = random.Random(7)
+    pts = [(i, _ts(rng.randrange(200000))) for i in range(150)]
+    ivs = []
+    for i in range(30):
+        b = rng.randrange(200000)
+        ivs.append((i, _ts(b), _ts(b + rng.randrange(1, 20000))))
+    points = spark.createDataFrame(pts, ["pid", "ts"])
+    intervals = spark.createDataFrame(ivs, ["iid", "begin", "end"])
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(points, intervals, bucket_s=2500.0).collect()
+    )
+    want = sorted(
+        (pid, iid)
+        for pid, t in pts
+        for iid, b, e in ivs
+        if b <= t < e
+    )
+    assert got == want
