@@ -1773,6 +1773,27 @@ def q_campaign_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram analogue: per-day, per-event-type counts plus an
+    exactly-summed metric (value pre-scaled to integer cents so the sum is
+    order-independent — no float accumulation drift between engines)."""
+    from fulltextsearch_spark.operators.facets import date_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    h = date_histogram(ev, ts="ts", interval="day", keys=("event_type",),
+                       value="cents")
+    return h.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+    )
+
+
 def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion (rrf_k=60) of the per-query
     BM25 top-k with the global PageRank authority top-k — the classic
@@ -1841,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_view": q_asof_click_view,
         "event_sessions": q_event_sessions,
         "campaign_attribution": q_campaign_attribution,
+        "date_histogram": q_date_histogram,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "index_stats": q_index_stats,
@@ -2714,6 +2736,12 @@ WITH c AS (
 )
 SELECT ev.event_id::BIGINT AS event_id, c.campaign_id::BIGINT AS campaign_id
 FROM events ev JOIN c ON c.b <= ev.ts AND ev.ts < c.e
+""",
+        "date_histogram": """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       count(*)::BIGINT AS n,
+       sum(round(value*100)::BIGINT)::BIGINT AS sum_cents
+FROM events GROUP BY 1, 2
 """,
         "hybrid_rrf_topk": f"""
 WITH lex AS (SELECT * FROM ({_scored_sql(bm25)})),

@@ -17,7 +17,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["facet_counts"]
+__all__ = ["date_histogram", "facet_counts"]
+
+
+def date_histogram(
+    df: DataFrame,
+    ts: str = "ts",
+    interval: str = "day",
+    keys: tuple[str, ...] = (),
+    value: str | None = None,
+) -> DataFrame:
+    """Elasticsearch date_histogram analogue: calendar-bucketed counts
+    (plus an optional summed metric) per key combination.
+
+    Returns ``(bucket, *keys, n[, sum_<value>])`` with ``bucket`` the
+    calendar truncation of ``ts`` (``interval`` is any ``date_trunc``
+    unit). One hash aggregate with map-side partials — the ideal
+    whole-stage-codegen shape; bucket cardinality is time-bounded, so the
+    shuffle never scales with row count.
+    """
+    b = F.date_trunc(interval, F.col(ts)).alias("bucket")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value is not None:
+        aggs.append(F.sum(value).alias(f"sum_{value}"))
+    return df.groupBy(b, *[F.col(k) for k in keys]).agg(*aggs)
 
 
 def facet_counts(results: DataFrame, doc_meta: DataFrame, facet_col: str) -> DataFrame:

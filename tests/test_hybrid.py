@@ -73,3 +73,20 @@ def test_facet_counts_and_broadcast_plan(spark):
     }
     # the hit list must be the broadcast side — the corpus never shuffles
     assert "BroadcastHashJoin" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_date_histogram_buckets_and_metric(spark):
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 5), "a", 10),
+        (dt.datetime(2024, 1, 1, 23), "a", 5),
+        (dt.datetime(2024, 1, 2, 0), "a", 7),
+        (dt.datetime(2024, 1, 1, 12), "b", 1),
+    ]
+    from fulltextsearch_spark.operators.facets import date_histogram
+
+    df = spark.createDataFrame(rows, ["ts", "etype", "v"])
+    out = date_histogram(df, ts="ts", interval="day", keys=("etype",), value="v")
+    got = {(r["bucket"].day, r["etype"]): (r["n"], r["sum_v"]) for r in out.collect()}
+    assert got == {(1, "a"): (2, 15), (2, "a"): (1, 7), (1, "b"): (1, 1)}
