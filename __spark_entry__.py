@@ -1794,6 +1794,69 @@ def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_DEPTH, CMS_WIDTH, CMS_SEED = 3, 16, 7
+
+
+def q_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode-Muthukrishnan) over term occurrences:
+    width 16 forces bucket collisions on the sf0.01 vocabulary, so the
+    one-sided over-count (cms_est >= exact_cnt) is actually exercised.
+    Hashing is exact M61 arithmetic (KR base-257 + (a*h+b) permutations),
+    so the oracle replays the sketch CONTENTS bit-for-bit, not just its
+    guarantees."""
+    from fulltextsearch_spark.operators.sketches import cms_build, cms_estimate
+
+    cnt = (
+        q_tf_table(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("cnt"))
+    )
+    cms = cms_build(cnt, depth=CMS_DEPTH, width=CMS_WIDTH, seed=CMS_SEED)
+    qterms = spark.createDataFrame(
+        [(t,) for t in sorted({t for _, t in QUERY_TOKENS})], ["term"]
+    )
+    est = cms_estimate(cms, qterms, depth=CMS_DEPTH, width=CMS_WIDTH, seed=CMS_SEED)
+    return est.join(cnt, "term", "left").select(
+        "term",
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("exact_cnt"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+    )
+
+
+def _cms_sql() -> str:
+    from fulltextsearch_spark.operators.dedup import _perm_params
+
+    a, b = _perm_params(CMS_DEPTH, CMS_SEED)
+    params = ", ".join(
+        f"({d}, {int(a[d])}::HUGEINT, {int(b[d])}::HUGEINT)" for d in range(CMS_DEPTH)
+    )
+    qt = ", ".join(f"('{t}')" for t in sorted({t for _, t in QUERY_TOKENS}))
+    return f"""
+WITH {_tok_cte()},
+cnt AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+h AS (SELECT term, cnt, {_kr_sql('term')} AS kr FROM cnt),
+params AS (SELECT * FROM (VALUES {params}) p(d, a, b)),
+buck AS (
+  SELECT p.d, ((p.a * h.kr + p.b) % {_M61_SQL}) % {CMS_WIDTH} AS bucket,
+         sum(h.cnt)::BIGINT AS total
+  FROM h CROSS JOIN params p GROUP BY 1, 2
+),
+qt AS (SELECT * FROM (VALUES {qt}) v(term)),
+qh AS (SELECT term, {_kr_sql('term')} AS kr FROM qt),
+probes AS (
+  SELECT q.term, p.d, ((p.a * q.kr + p.b) % {_M61_SQL}) % {CMS_WIDTH} AS bucket
+  FROM qh q CROSS JOIN params p
+),
+est AS (
+  SELECT pr.term, min(coalesce(b.total, 0))::BIGINT AS cms_est
+  FROM probes pr LEFT JOIN buck b ON b.d = pr.d AND b.bucket = pr.bucket
+  GROUP BY 1
+)
+SELECT e.term, coalesce(c.cnt, 0)::BIGINT AS exact_cnt, e.cms_est
+FROM est e LEFT JOIN cnt c USING (term)
+"""
+
+
 def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion (rrf_k=60) of the per-query
     BM25 top-k with the global PageRank authority top-k — the classic
@@ -1863,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "campaign_attribution": q_campaign_attribution,
         "date_histogram": q_date_histogram,
+        "cms_term_counts": q_cms_term_counts,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "index_stats": q_index_stats,
@@ -2743,6 +2807,7 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
        sum(round(value*100)::BIGINT)::BIGINT AS sum_cents
 FROM events GROUP BY 1, 2
 """,
+        "cms_term_counts": _cms_sql(),
         "hybrid_rrf_topk": f"""
 WITH lex AS (SELECT * FROM ({_scored_sql(bm25)})),
 pr AS (SELECT * FROM ({_pagerank_sql()})),
