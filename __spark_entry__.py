@@ -1794,6 +1794,54 @@ def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming (applyInPandasWithState) sessionization run over
+    the events table as a Structured-Streaming file source with an
+    availableNow trigger: emits every CLOSED 30-min-gap session; each
+    user's open tail stays in the state store. The oracle replays exactly
+    that contract in SQL — batch gaps-and-islands sessions minus each
+    user's last session."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import uuid as _uuid
+
+    from fulltextsearch_spark.streaming.sessions import streaming_sessionize
+
+    # the file stream source needs a DIRECTORY; stage the single-file
+    # testdata table into /tmp (idempotent per sf_dir)
+    land = f"/tmp/fts_entry_sess_land_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    _os.makedirs(land, exist_ok=True)
+    staged = _os.path.join(land, "events.parquet")
+    if not _os.path.exists(staged):
+        _sh.copyfile(f"{sf_dir}/events.parquet", staged)
+    name = f"fts_entry_sess_{_uuid.uuid4().hex[:10]}"
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        .parquet(land)
+        .select("user_id", "event_id", "ts")
+    )
+    q = (
+        streaming_sessionize(stream, gap_s=1800.0)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"/tmp/{name}_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_start_us").cast("long").alias("session_start_us"),
+        F.col("session_end_us").cast("long").alias("session_end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 CMS_DEPTH, CMS_WIDTH, CMS_SEED = 3, 16, 7
 
 
@@ -1927,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "campaign_attribution": q_campaign_attribution,
         "date_histogram": q_date_histogram,
         "cms_term_counts": q_cms_term_counts,
+        "streaming_sessions": q_streaming_sessions,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "index_stats": q_index_stats,
@@ -2808,6 +2857,37 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
 FROM events GROUP BY 1, 2
 """,
         "cms_term_counts": _cms_sql(),
+        "streaming_sessions": """
+WITH p AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                OR date_diff('microsecond', prev_ts, ts) > 1800000000
+              THEN 1 ELSE 0 END AS nw
+  FROM p
+),
+s AS (
+  SELECT user_id, ts,
+         sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) - 1 AS sid
+  FROM f
+),
+agg AS (
+  SELECT user_id, sid,
+         epoch_us(min(ts))::BIGINT AS session_start_us,
+         epoch_us(max(ts))::BIGINT AS session_end_us,
+         count(*)::BIGINT AS n_events
+  FROM s GROUP BY 1, 2
+),
+last AS (SELECT user_id, max(sid) AS maxsid FROM agg GROUP BY 1)
+SELECT a.user_id::BIGINT AS user_id, a.session_start_us, a.session_end_us,
+       a.n_events
+FROM agg a JOIN last l ON a.user_id = l.user_id AND a.sid < l.maxsid
+""",
         "hybrid_rrf_topk": f"""
 WITH lex AS (SELECT * FROM ({_scored_sql(bm25)})),
 pr AS (SELECT * FROM ({_pagerank_sql()})),
