@@ -1842,6 +1842,20 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (Church & Hanks): top-20 adjacent bigrams of
+    the engine token stream by pointwise mutual information, support >= 5.
+    Counts stay exact doubles (< 2^53) and the multiply order is mirrored
+    in the oracle, so pmi reproduces bit-for-bit."""
+    from fulltextsearch_spark.operators.textstats import collocations
+
+    out = collocations(_docs(spark, sf_dir), min_count=5, k=20, stem=False)
+    return out.select(
+        "w1", "w2", F.col("n").cast("long").alias("n"),
+        F.round("pmi", 4).alias("pmi"),
+    )
+
+
 CMS_DEPTH, CMS_WIDTH, CMS_SEED = 3, 16, 7
 
 
@@ -1976,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram": q_date_histogram,
         "cms_term_counts": q_cms_term_counts,
         "streaming_sessions": q_streaming_sessions,
+        "collocations_topk": q_collocations,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "index_stats": q_index_stats,
@@ -2857,6 +2872,29 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
 FROM events GROUP BY 1, 2
 """,
         "cms_term_counts": _cms_sql(),
+        "collocations_topk": f"""
+WITH {_tok_cte()},
+big AS (
+  SELECT unnest(list_zip(tokens[1:len(tokens)-1], tokens[2:len(tokens)])) AS bg
+  FROM toks WHERE len(tokens) >= 2
+),
+pairs AS (SELECT bg[1] AS w1, bg[2] AS w2 FROM big),
+c12 AS (SELECT w1, w2, count(*)::BIGINT AS n FROM pairs GROUP BY 1, 2),
+uni AS (SELECT term AS w, count(*)::DOUBLE AS c FROM tok GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM pairs)::DOUBLE AS nb,
+               (SELECT count(*) FROM tok)::DOUBLE AS nu),
+scored AS (
+  SELECT c12.w1, c12.w2, c12.n,
+         ln((c12.n::DOUBLE * t.nu * t.nu) / (t.nb * u1.c * u2.c)) AS pmi
+  FROM c12
+  JOIN uni u1 ON u1.w = c12.w1
+  JOIN uni u2 ON u2.w = c12.w2
+  CROSS JOIN tot t
+  WHERE c12.n >= 5
+)
+SELECT w1, w2, n, round(pmi, 4) AS pmi FROM scored
+ORDER BY pmi DESC, w1, w2 LIMIT 20
+""",
         "streaming_sessions": """
 WITH p AS (
   SELECT user_id, event_id, ts,

@@ -29,6 +29,7 @@ from fulltextsearch_spark.operators.util import spread_for_python_kernel
 
 __all__ = [
     "LANG_STOPWORDS",
+    "collocations",
     "language_expr",
     "language_votes",
     "language_from_votes",
@@ -195,3 +196,65 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
             n_punct.cast("double") / F.greatest(F.length(text_col), F.lit(1)), 4
         ).alias("punct_ratio"),
     )
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+    stem: bool = False,
+) -> DataFrame:
+    """Top-k PMI collocations (adjacent-bigram mining) over the corpus.
+
+    The classic corpus-analytics pass (Church & Hanks 1990) a training-data
+    pipeline runs to find multi-word expressions and boilerplate phrases:
+    ``PMI(w1, w2) = ln( p(w1 w2) / (p(w1) p(w2)) )`` over adjacent bigrams
+    of the engine's own token stream (stop-filtered, optionally stemmed),
+    with a ``min_count`` support floor to suppress the low-frequency PMI
+    explosion. Returns ``(w1, w2, n, pmi)``, top-k by (pmi DESC, w1, w2).
+
+    Plan shape: bigrams stay ARRAY-side (``zip_with`` over two slices — no
+    positional self-join); one hash aggregate each for bigram and unigram
+    counts; the unigram join keys are vocabulary-scale. The final top-k is
+    ``orderBy + limit`` -> TakeOrderedAndProject (distributed partial
+    top-k). All count arithmetic stays in exact doubles (< 2^53), so an
+    oracle replaying the same formula reproduces pmi bit-for-bit.
+    """
+    from fulltextsearch_spark.functions.tokenizer import tokenize_udf
+
+    tok = tokenize_udf(stem)
+    toks = docs.select(tok(F.col(text_col)).alias("tokens")).filter(
+        F.size("tokens") >= 2
+    )
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(tokens, 1, size(tokens)-1), "
+                "slice(tokens, 2, size(tokens)-1), "
+                "(a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = docs.select(tok(F.col(text_col)).alias("tokens")).select(
+        F.explode("tokens").alias("w")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cu = uni.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    nb = bg.count()
+    nu = uni.count()
+    scored = (
+        c12.filter(F.col("n") >= min_count)
+        .join(cu.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(cu.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.log(
+                (F.col("n").cast("double") * float(nu) * float(nu))
+                / (float(nb) * F.col("c1") * F.col("c2"))
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(k)

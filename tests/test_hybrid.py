@@ -90,3 +90,42 @@ def test_date_histogram_buckets_and_metric(spark):
     out = date_histogram(df, ts="ts", interval="day", keys=("etype",), value="v")
     got = {(r["bucket"].day, r["etype"]): (r["n"], r["sum_v"]) for r in out.collect()}
     assert got == {(1, "a"): (2, 15), (2, "a"): (1, 7), (1, "b"): (1, 1)}
+
+
+def test_collocations_pmi_bruteforce(spark):
+    """PMI and top-k ordering vs a Python recomputation over the engine
+    tokenizer's own stream."""
+    import math
+
+    from fulltextsearch_spark.functions.tokenizer import tokenize
+    from fulltextsearch_spark.operators.textstats import collocations
+
+    texts = [
+        "red fox red fox jumps",
+        "red fox sleeps",
+        "blue bird blue bird blue bird",
+        "red fox and blue bird",
+        "lonely",
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = [
+        (r["w1"], r["w2"], r["n"], round(r["pmi"], 9))
+        for r in collocations(docs, min_count=2, k=5).collect()
+    ]
+    streams = [tokenize(t, do_stem=False) for t in texts]
+    uni: dict = {}
+    big: dict = {}
+    for s in streams:
+        for w in s:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(s, s[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    nu = sum(uni.values())
+    nb = sum(big.values())
+    want = [
+        (a, b, n, round(math.log(n * nu * nu / (nb * uni[a] * uni[b])), 9))
+        for (a, b), n in big.items()
+        if n >= 2
+    ]
+    want.sort(key=lambda x: (-x[3], x[0], x[1]))
+    assert got == want[:5]
