@@ -1809,16 +1809,28 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fulltextsearch_spark.streaming.sessions import streaming_sessionize
 
     # the file stream source needs a DIRECTORY; stage the single-file
-    # testdata table into /tmp (idempotent per sf_dir)
+    # testdata table into /tmp. Atomic (tmp name + os.replace) so a
+    # concurrent run never reads a half-written file; re-copied when the
+    # source size changes so a regenerated testdata file is not shadowed
+    # by a stale staging copy.
+    src = f"{sf_dir}/events.parquet"
     land = f"/tmp/fts_entry_sess_land_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
     _os.makedirs(land, exist_ok=True)
     staged = _os.path.join(land, "events.parquet")
-    if not _os.path.exists(staged):
-        _sh.copyfile(f"{sf_dir}/events.parquet", staged)
+    if (
+        not _os.path.exists(staged)
+        or _os.path.getsize(staged) != _os.path.getsize(src)
+    ):
+        tmp = f"{staged}.{_uuid.uuid4().hex[:8]}.tmp"
+        _sh.copyfile(src, tmp)
+        _os.replace(tmp, staged)
     name = f"fts_entry_sess_{_uuid.uuid4().hex[:10]}"
+    # TIMESTAMP_NTZ matches the batch readers' inferred type — epoch micros
+    # stay timezone-independent, so the oracle's epoch_us() agrees on any
+    # host timezone, not just UTC
     stream = (
         spark.readStream.schema(
-            "event_id LONG, ts TIMESTAMP, user_id LONG, "
+            "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, "
             "event_type STRING, value DOUBLE, props STRING"
         )
         .parquet(land)
@@ -1833,7 +1845,11 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_sessions query did not finish in 300s")
+    if q.exception() is not None:
+        raise q.exception()
     return spark.table(name).select(
         F.col("user_id").cast("long").alias("user_id"),
         F.col("session_start_us").cast("long").alias("session_start_us"),
@@ -2690,6 +2706,30 @@ FROM r WHERE rank <= {TOPK}
 """
 
 
+# shared gaps-and-islands session CTEs (30-min gap, (ts, event_id) order) —
+# used by BOTH the batch event_sessions and streaming_sessions oracles so
+# the two can never drift apart
+_SESSIONS_CTE_SQL = """
+p AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                OR date_diff('microsecond', prev_ts, ts) > 1800000000
+              THEN 1 ELSE 0 END AS nw
+  FROM p
+),
+s AS (
+  SELECT user_id, ts,
+         sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) - 1 AS sid
+  FROM f
+)"""
+
+
 def oracle_sql() -> dict[str, str]:
     bm25 = (
         "ln((s.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0) * "
@@ -2831,26 +2871,9 @@ SELECT click_id::BIGINT AS click_id, user_id::BIGINT AS user_id,
        date_diff('microsecond', vts, cts)::BIGINT AS gap_us
 FROM ranked WHERE rn = 1
 """,
-        "event_sessions": """
-WITH p AS (
-  SELECT user_id, event_id, ts,
-         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-  FROM events
-),
-f AS (
-  SELECT user_id, event_id, ts,
-         CASE WHEN prev_ts IS NULL
-                OR date_diff('microsecond', prev_ts, ts) > 1800000000
-              THEN 1 ELSE 0 END AS nw
-  FROM p
-),
-s AS (
-  SELECT user_id, ts,
-         sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) - 1 AS session_id
-  FROM f
-)
-SELECT user_id::BIGINT AS user_id, session_id::BIGINT AS session_id,
+        "event_sessions": f"""
+WITH {_SESSIONS_CTE_SQL}
+SELECT user_id::BIGINT AS user_id, sid::BIGINT AS session_id,
        count(*)::BIGINT AS n_events,
        date_diff('microsecond', min(ts), max(ts))::BIGINT AS duration_us
 FROM s GROUP BY 1, 2
@@ -2895,25 +2918,8 @@ scored AS (
 SELECT w1, w2, n, round(pmi, 4) AS pmi FROM scored
 ORDER BY pmi DESC, w1, w2 LIMIT 20
 """,
-        "streaming_sessions": """
-WITH p AS (
-  SELECT user_id, event_id, ts,
-         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-  FROM events
-),
-f AS (
-  SELECT user_id, event_id, ts,
-         CASE WHEN prev_ts IS NULL
-                OR date_diff('microsecond', prev_ts, ts) > 1800000000
-              THEN 1 ELSE 0 END AS nw
-  FROM p
-),
-s AS (
-  SELECT user_id, ts,
-         sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) - 1 AS sid
-  FROM f
-),
+        "streaming_sessions": f"""
+WITH {_SESSIONS_CTE_SQL},
 agg AS (
   SELECT user_id, sid,
          epoch_us(min(ts))::BIGINT AS session_start_us,

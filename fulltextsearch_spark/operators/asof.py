@@ -54,11 +54,15 @@ def asof_join(
     on = list(on)
     right_ord = right_ord or right_ts
     r_payload = [c for c in right.columns if c not in on]
+    # keep right_ord's NATIVE type: casting to double would collapse int64
+    # ids above 2^53 (and NULL out non-numeric columns), silently breaking
+    # the documented total-order tiebreak
+    ord_type = right.schema[right_ord].dataType
     r = right.select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.col(right_ord).cast("double").alias("_ord"),
+        F.col(right_ord).alias("_ord"),
         F.struct(*[F.col(c).alias(f"r_{c}") for c in r_payload]).alias("_r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns
           if c not in on],
@@ -68,7 +72,9 @@ def asof_join(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        F.lit(0.0).alias("_ord"),
+        # left rows never compete on _ord (their _side sorts after every
+        # right row at equal ts); NULL keeps the union type exact
+        F.lit(None).cast(ord_type).alias("_ord"),
         F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
         *l_cols,
     )

@@ -83,16 +83,25 @@ def static_prior_per_query(
 
     The prior's global top-k is taken first (``orderBy`` + ``limit`` →
     TakeOrderedAndProject, distributed partial top-k — no single-partition
-    window over the full table); the ≤k survivors are broadcast and ranked
-    per query by a window that partitions on ``query_id``.
+    window over the full table); the ≤k survivors are ranked ONCE (packed
+    array sort + posexplode — no window at all, and no recomputing an
+    identical rank per query over the crossJoin output) and the ranked
+    triple is broadcast to every query id.
     """
     head = prior.select("doc_id", order_col).orderBy(
         F.desc(order_col), F.asc("doc_id")
     ).limit(k)
-    per_q = query_ids.select("query_id").distinct().crossJoin(F.broadcast(head))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc(order_col), F.asc("doc_id"))
-    return per_q.select(
-        "query_id", F.row_number().over(w).alias("rank"), "doc_id"
+    cmp = lambda a, b: (  # noqa: E731
+        F.when(a[order_col] > b[order_col], -1)
+        .when(a[order_col] < b[order_col], 1)
+        .when(a["doc_id"] < b["doc_id"], -1)
+        .when(a["doc_id"] > b["doc_id"], 1)
+        .otherwise(0)
+        .cast("int")
     )
+    ranked = (
+        head.agg(F.collect_list(F.struct(order_col, "doc_id")).alias("xs"))
+        .select(F.posexplode(F.array_sort("xs", cmp)).alias("pos", "x"))
+        .select((F.col("pos") + 1).alias("rank"), F.col("x.doc_id").alias("doc_id"))
+    )
+    return query_ids.select("query_id").distinct().crossJoin(F.broadcast(ranked))

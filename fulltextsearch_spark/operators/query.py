@@ -51,14 +51,8 @@ def query_terms(queries: DataFrame, stem: bool = True) -> DataFrame:
     )
 
 
-def _scored_candidates(
-    index: IndexTables,
-    q_terms: DataFrame,
-    cfg: EngineConfig,
-    scoring: str,
-    with_matches: bool = False,
-) -> DataFrame:
-    """(query_id, doc_id, score) — per-(query, doc) accumulated scores.
+def _postings_with_df(index: IndexTables, q_terms: DataFrame) -> DataFrame:
+    """Postings ⋈ broadcast query terms, with a CORRECT ``df`` column.
 
     Shard-aware: a doc-range-sharded index (``index.sharded``, produced via
     ``cfg.shard_postings`` + :func:`decompress_postings`) carries a head term
@@ -75,33 +69,55 @@ def _scored_candidates(
             index.postings.select("term", "df")
             .join(F.broadcast(q_terms.select("term").distinct()), "term")
             .groupBy("term")
-            .agg(F.sum("df").alias("df_term"))
+            .agg(F.sum("df").alias("_df_tot"))
         )
-        joined = joined.drop("df").join(F.broadcast(df_tot), "term", "inner")
-        df_col = F.col("df_term")
-    else:
-        df_col = F.col("df")
-    flat = joined.select(
+        joined = (
+            joined.drop("df")
+            .join(F.broadcast(df_tot), "term", "inner")
+            .withColumnRenamed("_df_tot", "df")
+        )
+    return joined
+
+
+def _per_term_score(scoring: str, index: IndexTables, cfg: EngineConfig):
+    """Per-(term, doc) score Column over (tf, df, dl) — shared dispatch so
+    the ranked path and explain() can never disagree on the arithmetic."""
+    if scoring == "bm25":
+        return bm25_col(
+            F.col("tf"), F.col("df"), F.col("dl"), index.n_docs, index.avgdl, cfg.k1, cfg.b
+        )
+    if scoring == "tfidf":
+        return tfidf_col(F.col("tf"), F.col("df"), F.col("dl"), index.n_docs)
+    raise ValueError(f"unknown scoring {scoring!r} (use 'bm25' or 'tfidf')")
+
+
+def _scored_candidates(
+    index: IndexTables,
+    q_terms: DataFrame,
+    cfg: EngineConfig,
+    scoring: str,
+    with_matches: bool = False,
+) -> DataFrame:
+    """(query_id, doc_id, score) — per-(query, doc) accumulated scores.
+
+    df resolution (incl. the sharded-index total) via
+    :func:`_postings_with_df`; scoring arithmetic via
+    :func:`_per_term_score` — both shared with :func:`explain_scores`.
+    """
+    flat = _postings_with_df(index, q_terms).select(
         "query_id",
         "qtf",
-        df_col.alias("_df"),
+        "df",
         F.explode("postings").alias("p"),
     ).select(
         "query_id",
         "qtf",
-        F.col("_df").alias("df"),
+        "df",
         F.col("p.doc_id").alias("doc_id"),
         F.col("p.tf").alias("tf"),
         F.col("p.dl").alias("dl"),
     )
-    if scoring == "bm25":
-        per_term = bm25_col(
-            F.col("tf"), F.col("df"), F.col("dl"), index.n_docs, index.avgdl, cfg.k1, cfg.b
-        )
-    elif scoring == "tfidf":
-        per_term = tfidf_col(F.col("tf"), F.col("df"), F.col("dl"), index.n_docs)
-    else:
-        raise ValueError(f"unknown scoring {scoring!r} (use 'bm25' or 'tfidf')")
+    per_term = _per_term_score(scoring, index, cfg)
     aggs = [F.sum("_s").alias("score")]
     if with_matches:
         # one flat row per matched (query term, doc) — postings carry each
@@ -203,19 +219,9 @@ def explain_scores(
     """
     q_terms = query_terms(queries, stem=cfg.stem)
     top = search(index, queries, cfg, scoring=scoring, k=k)
-    joined = index.postings.join(F.broadcast(q_terms), "term", "inner")
-    if index.sharded:
-        # same df-total fix as _scored_candidates: a doc-range-sharded head
-        # term carries per-slice df per row; idf needs the term total
-        df_tot = (
-            index.postings.select("term", "df")
-            .join(F.broadcast(q_terms.select("term").distinct()), "term")
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"))
-        )
-        joined = joined.drop("df").join(F.broadcast(df_tot), "term", "inner")
     flat = (
-        joined.select(
+        _postings_with_df(index, q_terms)
+        .select(
             "query_id", "term", "qtf", "df", F.explode("postings").alias("p")
         )
         .select(
@@ -229,14 +235,7 @@ def explain_scores(
         )
         .join(top.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_semi")
     )
-    if scoring == "bm25":
-        per_term = bm25_col(
-            F.col("tf"), F.col("df"), F.col("dl"), index.n_docs, index.avgdl, cfg.k1, cfg.b
-        )
-    elif scoring == "tfidf":
-        per_term = tfidf_col(F.col("tf"), F.col("df"), F.col("dl"), index.n_docs)
-    else:
-        raise ValueError(f"unknown scoring {scoring!r} (use 'bm25' or 'tfidf')")
+    per_term = _per_term_score(scoring, index, cfg)
     return flat.select(
         "query_id",
         "doc_id",

@@ -241,8 +241,18 @@ def collocations(
     )
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n"))
     cu = uni.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c"))
-    nb = bg.count()
-    nu = uni.count()
+    # both scalar totals in ONE tokenize pass (nb = sum of per-doc
+    # max(len-1, 0), nu = sum of lens) — three passes total for the
+    # operator (totals, bigram agg, unigram agg), not four
+    tot = (
+        docs.select(F.size(tok(F.col(text_col))).alias("s"))
+        .agg(
+            F.sum(F.greatest(F.col("s") - 1, F.lit(0))).alias("nb"),
+            F.sum("s").alias("nu"),
+        )
+        .collect()[0]
+    )
+    nb, nu = int(tot["nb"] or 0), int(tot["nu"] or 0)
     scored = (
         c12.filter(F.col("n") >= min_count)
         .join(cu.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")

@@ -47,3 +47,13 @@ def test_matches_bruteforce_randomized(spark):
         if cands:
             want[lid] = max(cands)[1]
     assert got == want
+
+
+def test_tiebreak_exact_above_double_precision(spark):
+    # ids above 2^53 are indistinguishable as doubles; the tiebreak must
+    # compare in the column's native int64 type
+    a, b = (1 << 53) + 1, (1 << 53) + 2
+    left = _df(spark, [(1, 10)], ["k", "ts"])
+    right = _df(spark, [(1, 10, a), (1, 10, b)], ["k", "ts", "rid"])
+    rows = asof_join(left, right, on=["k"], right_ord="rid").collect()
+    assert len(rows) == 1 and rows[0]["r_rid"] == b
