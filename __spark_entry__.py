@@ -56,6 +56,25 @@ CONJ_QUERY_TOKENS: list[tuple[str, str]] = [
     ("qc3", "fast"),
 ]
 
+# wildcard / regexp multi-term entries: patterns expand against the index
+# dictionary (Lucene MultiTermQuery, scoring_boolean rewrite — each pattern
+# is an independent clause). 's*' and 's???' overlap on scan/slow/sort
+# (clause multiplicity qtf=2 is exercised); 'd??' isolates the one rare
+# testdata term 'dup' (df~3%), so its high idf visibly reorders results.
+WILDCARDS: list[tuple[str, str]] = [
+    ("qw1", "s*"),
+    ("qw1", "s???"),
+    ("qw2", "*a*"),
+    ("qw2", "d??"),
+]
+REGEXPS: list[tuple[str, str]] = [
+    ("qr1", "(join|merge|sort)"),
+    ("qr2", "v.*"),
+    ("qr2", "d.p"),
+]
+# Dirichlet smoothing parameter for the LM entry (the standard default).
+LMD_MU = 2000.0
+
 # synonym map for the expanded-search entry, given post-tokenization (the
 # Lucene-SynonymFilter contract); all targets are corpus terms. q5 carries
 # both 'spark' and 'fast', so spark->fast exercises the additive merge
@@ -349,6 +368,96 @@ def q_bm25_topk_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_conjunctive(idx, queries, cfg).select(
         "query_id",
         F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard multi-term search (Lucene WildcardQuery, scoring_boolean
+    rewrite): patterns expand against the index dictionary via a broadcast
+    LIKE join, then score as the BM25 disjunction of the matched terms with
+    per-pattern clause multiplicity. The oracle replays the expansion with
+    LIKE over the vocabulary CTE."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.multiterm import search_wildcard
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    idx = build_index(spark, _docs(spark, sf_dir), cfg, persist=False)
+    pats = spark.createDataFrame(WILDCARDS, ["query_id", "pattern"])
+    return search_wildcard(idx, pats, cfg).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_regexp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored-regexp multi-term search (Lucene RegexpQuery: the pattern
+    must cover the WHOLE term). Same expansion+scoring shape as the wildcard
+    entry; the oracle uses regexp_full_match over the vocabulary CTE."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.multiterm import search_regexp
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    idx = build_index(spark, _docs(spark, sf_dir), cfg, persist=False)
+    pats = spark.createDataFrame(REGEXPS, ["query_id", "pattern"])
+    return search_regexp(idx, pats, cfg).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_lmd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood top-k (Zhai & Lafferty 2001;
+    Lucene LMDirichletSimilarity semantics incl. the per-term clamp at 0) —
+    a second full similarity family over the same index, needing the
+    collection term frequency the BM25 path never computes."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.query import search_lm_dirichlet
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    idx = build_index(spark, _docs(spark, sf_dir), cfg, persist=False)
+    queries = spark.createDataFrame(
+        [(qid, " ".join(t for q, t in QUERY_TOKENS if q == qid)) for qid in
+         sorted({q for q, _ in QUERY_TOKENS})],
+        ["query_id", "content"],
+    )
+    return search_lm_dirichlet(idx, queries, cfg, mu=LMD_MU).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing (ES `collapse` / Lucene grouping): one best doc per
+    `source` field in the top-k — collapse over ALL scored candidates, then
+    rank groups, so a prolific source can't monopolize the result page."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.collapse import search_collapsed
+    from fulltextsearch_spark.operators.index_build import build_index
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    docs = _docs(spark, sf_dir)
+    idx = build_index(spark, docs, cfg, persist=False)
+    queries = spark.createDataFrame(
+        [(qid, " ".join(t for q, t in QUERY_TOKENS if q == qid)) for qid in
+         sorted({q for q, _ in QUERY_TOKENS})],
+        ["query_id", "content"],
+    )
+    keys = docs.select("doc_id", F.col("source").alias("key"))
+    return search_collapsed(idx, queries, keys, cfg).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "key",
         F.col("doc_id").cast("long").alias("doc_id"),
         F.round("score", 4).alias("score"),
     )
@@ -1999,6 +2108,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_merged": q_bm25_topk_merged,
         "bm25_topk_conj": q_bm25_topk_conj,
         "bm25_topk_expanded": q_bm25_topk_expanded,
+        "wildcard_topk": q_wildcard_topk,
+        "regexp_topk": q_regexp_topk,
+        "lmd_topk": q_lmd_topk,
+        "collapse_topk": q_collapse_topk,
         "score_explain": q_score_explain,
         "asof_click_view": q_asof_click_view,
         "event_sessions": q_event_sessions,
@@ -2161,6 +2274,136 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _wc_like_sql(p: str) -> str:
+    """Lucene wildcard -> SQL LIKE pattern (driver-side mirror of
+    multiterm.wildcard_to_like, for the oracle's VALUES rows)."""
+    import re as _re
+
+    esc = _re.sub(r"([%_\\])", r"\\\1", p)
+    return esc.replace("*", "%").replace("?", "_")
+
+
+def _multiterm_sql(
+    patterns: list[tuple[str, str]], match_expr: str, score_expr: str
+) -> str:
+    """Multi-term expansion oracle: patterns match the vocabulary CTE (alias
+    ``dd``/``p`` in ``match_expr``), expanded clauses carry per-pattern
+    multiplicity as qtf, then the shared BM25 disjunction replays."""
+    vals = ", ".join(f"('{q}', '{p}')" for q, p in patterns)
+    return f"""
+WITH {_tok_cte()},
+stats AS (
+  SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+         sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl
+  FROM dls
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+pats AS (SELECT * FROM (VALUES {vals}) v(query_id, pattern)),
+qtf AS (SELECT p.query_id, dd.term, count(*)::DOUBLE AS qtf
+        FROM dft dd JOIN pats p ON {match_expr} GROUP BY 1, 2),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * {score_expr}) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN dft ON dft.term = q.term
+  JOIN dls ON dls.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _lmd_sql() -> str:
+    """Dirichlet query-likelihood oracle: p(t|C) = cf / (avgdl * n_docs) with
+    the identical arithmetic nesting as the Spark Column expression."""
+    return f"""
+WITH {_tok_cte()},
+stats AS (
+  SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+         sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl
+  FROM dls
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+cft AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1),
+qt AS (SELECT * FROM (VALUES {_values_query_tokens()}) AS v(query_id, term)),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qt GROUP BY 1, 2),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * greatest(0.0,
+             ln(1.0 + tf.tf / ({LMD_MU} * (cft.cf / (s.avgdl * s.n_docs))))
+           + ln({LMD_MU} / (dls.dl + {LMD_MU})))) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN cft ON cft.term = q.term
+  JOIN dls ON dls.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _collapse_sql() -> str:
+    """Field-collapse oracle: best doc per (query, source), then rank the
+    collapsed set — windows mirror the Spark operator's two WindowGroupLimits."""
+    return f"""
+WITH {_tok_cte()},
+stats AS (
+  SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+         sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl
+  FROM dls
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qt AS (SELECT * FROM (VALUES {_values_query_tokens()}) AS v(query_id, term)),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qt GROUP BY 1, 2),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln((s.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0) *
+             (tf.tf * ({K1} + 1.0)) /
+             (tf.tf + {K1} * (1.0 - {B} + {B} * dls.dl / s.avgdl))) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN dft ON dft.term = q.term
+  JOIN dls ON dls.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+keyed AS (
+  SELECT sc.query_id, d.source AS "key", sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY sc.query_id, d.source
+                            ORDER BY sc.score DESC, sc.doc_id ASC) AS rn
+  FROM scored sc JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT query_id, "key", doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM keyed WHERE rn = 1
+)
+SELECT query_id, rank::BIGINT AS rank, "key", doc_id::BIGINT AS doc_id,
        round(score, 4) AS score
 FROM ranked WHERE rank <= {TOPK}
 """
@@ -2774,6 +3017,16 @@ FROM tf GROUP BY 1
         "bm25_topk_resumable": _scored_sql(bm25),
         "bm25_topk_merged": _scored_sql(bm25),
         "bm25_topk_conj": _scored_sql(bm25, conjunctive=True, tokens=CONJ_QUERY_TOKENS),
+        "wildcard_topk": _multiterm_sql(
+            [(q, _wc_like_sql(p)) for q, p in WILDCARDS],
+            "dd.term LIKE p.pattern ESCAPE '\\'",
+            bm25,
+        ),
+        "regexp_topk": _multiterm_sql(
+            REGEXPS, "regexp_full_match(dd.term, p.pattern)", bm25
+        ),
+        "lmd_topk": _lmd_sql(),
+        "collapse_topk": _collapse_sql(),
         "bm25_topk_expanded": f"""
 WITH {_tok_cte()},
 stats AS (

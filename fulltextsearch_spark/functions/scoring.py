@@ -22,7 +22,15 @@ import numpy as np
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["idf_col", "bm25_col", "tfidf_col", "idf_np", "bm25_np", "tfidf_np"]
+__all__ = [
+    "idf_col",
+    "bm25_col",
+    "tfidf_col",
+    "lm_dirichlet_col",
+    "idf_np",
+    "bm25_np",
+    "tfidf_np",
+]
 
 
 def idf_col(df_col: Column, n_docs: float) -> Column:
@@ -46,6 +54,33 @@ def bm25_col(
 
 def tfidf_col(tf_col: Column, df_col: Column, dl_col: Column, n_docs: float) -> Column:
     return (tf_col.cast("double") / dl_col.cast("double")) * idf_col(df_col.cast("double"), n_docs)
+
+
+def lm_dirichlet_col(
+    tf_col: Column,
+    cf_col: Column,
+    dl_col: Column,
+    total_tokens: float,
+    mu: float = 2000.0,
+) -> Column:
+    """Dirichlet-smoothed query-likelihood per-term score (Zhai & Lafferty,
+    SIGIR 2001, eq. 6 rank-equivalent form; the Lucene
+    ``LMDirichletSimilarity`` semantics):
+
+        max(0, ln(1 + tf / (mu * p(t|C))) + ln(mu / (dl + mu)))
+
+    with the collection language model ``p(t|C) = cf / total_tokens`` (cf =
+    the term's collection frequency, total_tokens = corpus token count). The
+    per-term clamp at 0 keeps long documents' negative normalizer from
+    rewarding a *miss*, matching Lucene's scorer.
+    """
+    tf = tf_col.cast("double")
+    p_c = cf_col.cast("double") / F.lit(float(total_tokens))
+    dl = dl_col.cast("double")
+    raw = F.log(F.lit(1.0) + tf / (F.lit(float(mu)) * p_c)) + F.log(
+        F.lit(float(mu)) / (dl + F.lit(float(mu)))
+    )
+    return F.greatest(F.lit(0.0), raw)
 
 
 # --- numpy kernels (used by the WAND Arrow UDF and the pure-Python oracle) --

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fulltextsearch_spark.config import DEFAULT_CONFIG, EngineConfig
-from fulltextsearch_spark.functions.scoring import bm25_col, tfidf_col
+from fulltextsearch_spark.functions.scoring import bm25_col, lm_dirichlet_col, tfidf_col
 from fulltextsearch_spark.functions.tokenizer import tokenize_udf
 from fulltextsearch_spark.operators.index_build import IndexTables
 
@@ -37,6 +37,7 @@ __all__ = [
     "search_conjunctive",
     "search_expanded",
     "search_filtered",
+    "search_lm_dirichlet",
     "topk",
 ]
 
@@ -158,6 +159,63 @@ def search(
     """queries(query_id, content) -> (query_id, rank, doc_id, score)."""
     q_terms = query_terms(queries, stem=cfg.stem)
     scored = _scored_candidates(index, q_terms, cfg, scoring)
+    return topk(scored, k if k is not None else cfg.k)
+
+
+def search_lm_dirichlet(
+    index: IndexTables,
+    queries: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    mu: float = 2000.0,
+    k: int | None = None,
+) -> DataFrame:
+    """Top-k under the Dirichlet-smoothed language model (Lucene
+    ``LMDirichletSimilarity``; Zhai & Lafferty, SIGIR 2001).
+
+    Needs one statistic BM25 does not: the collection term frequency
+    ``cf(t) = sum of tf over t's postings``. It is computed only for the
+    broadcast query terms — the semi-narrowed postings scan touches the
+    matched terms' rows alone (parquet row-group pruning on ``term``), the
+    per-row sum is an ``F.aggregate`` over the posting array (no explode),
+    and the groupBy collapses doc-range shards to the term total with
+    map-side combine. Corpus token count = ``avgdl * n_docs`` exactly (the
+    build defines avgdl = sum(dl)/N with N = max(doc_id)+1).
+
+    Query-token multiplicity scales per-term scores exactly as the BM25 path
+    (``score * qtf``) — eq. 6's ``c(w;q)`` factor.
+    """
+    q_terms = query_terms(queries, stem=cfg.stem)
+    cf = (
+        index.postings.join(F.broadcast(q_terms.select("term").distinct()), "term")
+        .select(
+            "term",
+            F.aggregate(
+                "postings", F.lit(0).cast("long"), lambda acc, p: acc + p["tf"]
+            ).alias("_cf_row"),
+        )
+        .groupBy("term")
+        .agg(F.sum("_cf_row").alias("cf"))
+    )
+    flat = (
+        index.postings.join(F.broadcast(q_terms), "term")
+        .join(F.broadcast(cf), "term")
+        .select("query_id", "qtf", "cf", F.explode("postings").alias("p"))
+        .select(
+            "query_id",
+            "qtf",
+            "cf",
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("p.tf").alias("tf"),
+            F.col("p.dl").alias("dl"),
+        )
+    )
+    total_tokens = float(index.avgdl) * float(index.n_docs)
+    per_term = lm_dirichlet_col(F.col("tf"), F.col("cf"), F.col("dl"), total_tokens, mu)
+    scored = (
+        flat.withColumn("_s", per_term * F.col("qtf").cast("double"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_s").alias("score"))
+    )
     return topk(scored, k if k is not None else cfg.k)
 
 
