@@ -75,6 +75,16 @@ REGEXPS: list[tuple[str, str]] = [
 # Dirichlet smoothing parameter for the LM entry (the standard default).
 LMD_MU = 2000.0
 
+# significant-terms entry (ES JLH): foreground = BM25 top-25, keep terms in
+# >=2 fg docs, report the top 10 by JLH score.
+SIG_N_FG, SIG_TOP, SIG_MIN_DC = 25, 10, 2
+# decay function-score entry: doc "age" derives deterministically from
+# doc_id (the testdata has no timestamp column — same convention as the
+# pagerank entry's synthetic edges); exp decay with ES-default shape.
+DECAY_MOD, DECAY_SCALE, DECAY_RATE, DECAY_OFFSET = 97, 60.0, 0.5, 5.0
+# term-vectors entry: the requested doc set (a per-doc inspection API).
+TV_DOC_IDS = [1, 3, 5, 7]
+
 # synonym map for the expanded-search entry, given post-tokenization (the
 # Lucene-SynonymFilter contract); all targets are corpus terms. q5 carries
 # both 'spark' and 'fast', so spark->fast exercises the additive merge
@@ -2082,6 +2092,152 @@ def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _query_frame(spark: SparkSession) -> DataFrame:
+    """The standard 4-query set as (query_id, content) rows."""
+    return spark.createDataFrame(
+        [
+            (qid, " ".join(t for q, t in QUERY_TOKENS if q == qid))
+            for qid in sorted({q for q, _ in QUERY_TOKENS})
+        ],
+        ["query_id", "content"],
+    )
+
+
+def q_sig_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Significant-terms aggregation (ES JLH): terms over-represented in the
+    BM25 top-25 foreground vs the whole corpus. Foreground docs are broadcast
+    and forward-tokenized; background df is a dictionary probe — no index
+    explode. The oracle replays fg selection, fg term counts, and the JLH
+    arithmetic verbatim."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.significant import significant_terms
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    docs = _docs(spark, sf_dir)
+    idx = build_index(spark, docs, cfg, persist=False)
+    return significant_terms(
+        idx, docs, _query_frame(spark), cfg,
+        n_fg=SIG_N_FG, top_terms=SIG_TOP, min_doc_count=SIG_MIN_DC,
+    ).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "term",
+        F.col("fg_count").cast("long").alias("fg_count"),
+        F.col("bg_count").cast("long").alias("bg_count"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-score retrieval (ES exp decay): BM25 x recency multiplier
+    over a deterministic doc age (doc_id % 97 days). The attribute join runs
+    AFTER scoring over the candidate set only."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.functionscore import search_decay
+    from fulltextsearch_spark.operators.index_build import build_index
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    docs = _docs(spark, sf_dir)
+    idx = build_index(spark, docs, cfg, persist=False)
+    values = docs.select(
+        "doc_id", (F.col("doc_id") % DECAY_MOD).cast("double").alias("value")
+    )
+    return search_decay(
+        idx, _query_frame(spark), values, cfg,
+        origin=0.0, scale=DECAY_SCALE, decay=DECAY_RATE, offset=DECAY_OFFSET,
+    ).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_percolate_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolator (reverse search): every (stored query, doc) pair where the
+    doc contains ALL the query's distinct terms — one tokenize pass over the
+    docs, broadcast query-term probe, one groupBy."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.percolate import percolate
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    return percolate(_docs(spark, sf_dir), _query_frame(spark), cfg).select(
+        "query_id",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
+def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term vectors (ES _termvectors, term_statistics=true): per-term stats
+    for a requested doc set — forward tokenize of the broadcast-selected
+    docs plus a semi-narrowed dictionary/postings probe for df and ttf."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.termvectors import term_vectors
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    docs = _docs(spark, sf_dir)
+    idx = build_index(spark, docs, cfg, persist=False)
+    ids = spark.createDataFrame([(i,) for i in TV_DOC_IDS], ["doc_id"])
+    return term_vectors(idx, docs, ids, cfg).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("dl").cast("long").alias("dl"),
+        F.col("df").cast("long").alias("df"),
+        F.col("ttf").cast("long").alias("ttf"),
+    )
+
+
+def q_search_after_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination (ES search_after): the SECOND page of the BM25
+    top-k, fetched through the cursor predicate — not an offset — so the
+    oracle's global ranks 11..20 must equal the cursor path's page exactly."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.paging import page_cursor, search_after
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    idx = build_index(spark, _docs(spark, sf_dir), cfg, persist=False)
+    queries = _query_frame(spark)
+    page1 = search_after(idx, queries, None, cfg)
+    page2 = search_after(idx, queries, page_cursor(page1), cfg)
+    return page2.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank evaluation (ES _rank_eval): nDCG@10 / MRR / precision@10 of the
+    BM25 run against deterministic graded qrels — rel(q, d) = number of q's
+    distinct terms doc d contains (the percolator with min_match=1)."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.percolate import percolate
+    from fulltextsearch_spark.operators.query import search
+    from fulltextsearch_spark.operators.rankeval import rank_eval
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    docs = _docs(spark, sf_dir)
+    idx = build_index(spark, docs, cfg, persist=False)
+    queries = _query_frame(spark)
+    run = search(idx, queries, cfg)
+    qrels = percolate(docs, queries, cfg, min_match=1).select(
+        "query_id", "doc_id", F.col("n_matched").alias("rel")
+    )
+    return rank_eval(run, qrels, k=TOPK).select(
+        "query_id",
+        F.round("ndcg", 4).alias("ndcg"),
+        F.round("mrr", 4).alias("mrr"),
+        F.round("precision", 4).alias("precision"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -2112,6 +2268,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_topk": q_regexp_topk,
         "lmd_topk": q_lmd_topk,
         "collapse_topk": q_collapse_topk,
+        "sig_terms": q_sig_terms,
+        "decay_topk": q_decay_topk,
+        "percolate_matches": q_percolate_matches,
+        "term_vectors": q_term_vectors,
+        "search_after_topk": q_search_after_topk,
+        "rank_eval": q_rank_eval,
         "score_explain": q_score_explain,
         "asof_click_view": q_asof_click_view,
         "event_sessions": q_event_sessions,
@@ -2406,6 +2568,195 @@ ranked AS (
 SELECT query_id, rank::BIGINT AS rank, "key", doc_id::BIGINT AS doc_id,
        round(score, 4) AS score
 FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+_BM25_EXPR = (
+    "ln((s.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0) * "
+    f"(tf.tf * ({K1} + 1.0)) / (tf.tf + {K1} * (1.0 - {B} + {B} * dls.dl / s.avgdl))"
+)
+
+
+def _bm25_core_cte() -> str:
+    """Shared CTE chain tok..ranked: BM25 over the default query set — the
+    base the sig-terms / decay / search-after / rank-eval oracles extend."""
+    return f"""{_tok_cte()},
+stats AS (
+  SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+         sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl
+  FROM dls
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qt AS (SELECT * FROM (VALUES {_values_query_tokens()}) AS v(query_id, term)),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qt GROUP BY 1, 2),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * {_BM25_EXPR}) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN dft ON dft.term = q.term
+  JOIN dls ON dls.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)"""
+
+
+def _sig_terms_sql() -> str:
+    """Significant-terms oracle: fg = BM25 top-N docs, JLH arithmetic with
+    the exact Spark nesting ((fg_pct - bg_pct) * (fg_pct / bg_pct))."""
+    jlh = "(fg_pct - bg_pct) * (fg_pct / bg_pct)"
+    return f"""
+WITH {_bm25_core_cte()},
+fg AS (SELECT query_id, doc_id FROM ranked WHERE rank <= {SIG_N_FG}),
+fgsz AS (SELECT query_id, count(*)::DOUBLE AS fg_size FROM fg GROUP BY 1),
+dterms AS (SELECT DISTINCT doc_id, term FROM tok),
+fgc AS (
+  SELECT f.query_id, d.term, count(*)::BIGINT AS fg_count
+  FROM fg f JOIN dterms d USING (doc_id)
+  GROUP BY 1, 2 HAVING count(*) >= {SIG_MIN_DC}
+),
+sig AS (
+  SELECT c.query_id, c.term, c.fg_count, dft.df AS bg_count,
+         c.fg_count::DOUBLE / z.fg_size AS fg_pct,
+         dft.df::DOUBLE / s.n_docs AS bg_pct
+  FROM fgc c
+  JOIN fgsz z USING (query_id)
+  JOIN dft USING (term)
+  CROSS JOIN stats s
+),
+sranked AS (
+  SELECT query_id, term, fg_count, bg_count, {jlh} AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {jlh} DESC, term ASC) AS rank
+  FROM sig WHERE fg_pct > bg_pct
+)
+SELECT query_id, rank::BIGINT AS rank, term, fg_count,
+       bg_count::BIGINT AS bg_count, round(score, 4) AS score
+FROM sranked WHERE rank <= {SIG_TOP}
+"""
+
+
+def _decay_sql() -> str:
+    """Decay function-score oracle. The decay rate constant lambda =
+    ln(decay)/scale is precomputed in Python and embedded via repr so both
+    engines multiply by the bit-identical double the Spark Column uses."""
+    import math as _math
+
+    lam = repr(_math.log(DECAY_RATE) / DECAY_SCALE)
+    return f"""
+WITH {_bm25_core_cte()},
+rescored AS (
+  SELECT query_id, doc_id,
+         score * exp({lam} * greatest(0.0,
+                 abs((doc_id % {DECAY_MOD})::DOUBLE - 0.0) - {DECAY_OFFSET})) AS score
+  FROM scored
+),
+rranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM rescored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 4) AS score
+FROM rranked WHERE rank <= {TOPK}
+"""
+
+
+def _percolate_sql() -> str:
+    """Percolator oracle: boolean-AND containment of each query's distinct
+    terms over the per-doc distinct term sets."""
+    return f"""
+WITH {_tok_cte()},
+qt AS (SELECT * FROM (VALUES {_values_query_tokens()}) AS v(query_id, term)),
+qts AS (SELECT DISTINCT query_id, term FROM qt),
+need AS (SELECT query_id, count(*)::BIGINT AS n_q FROM qts GROUP BY 1),
+dterms AS (SELECT DISTINCT doc_id, term FROM tok),
+m AS (
+  SELECT q.query_id, d.doc_id, count(*)::BIGINT AS n_matched
+  FROM qts q JOIN dterms d USING (term) GROUP BY 1, 2
+)
+SELECT m.query_id, m.doc_id::BIGINT AS doc_id, m.n_matched
+FROM m JOIN need USING (query_id)
+WHERE m.n_matched >= need.n_q
+"""
+
+
+def _term_vectors_sql() -> str:
+    """Term-vectors oracle: per-doc tf/dl plus corpus df/ttf for the
+    requested doc ids."""
+    ids = ", ".join(str(i) for i in TV_DOC_IDS)
+    return f"""
+WITH {_tok_cte()},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+cft AS (SELECT term, sum(tf)::BIGINT AS ttf FROM tf GROUP BY 1)
+SELECT t.doc_id::BIGINT AS doc_id, t.term, t.tf, dls.dl::BIGINT AS dl,
+       dft.df, cft.ttf
+FROM tf t
+JOIN dls USING (doc_id)
+JOIN dft ON dft.term = t.term
+JOIN cft ON cft.term = t.term
+WHERE t.doc_id IN ({ids})
+"""
+
+
+def _search_after_sql() -> str:
+    """search_after oracle: the cursor page must equal global ranks
+    k+1..2k of the full deterministic ordering, rebased to 1..k."""
+    return f"""
+WITH {_bm25_core_cte()}
+SELECT query_id, (rank - {TOPK})::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 4) AS score
+FROM ranked WHERE rank > {TOPK} AND rank <= {2 * TOPK}
+"""
+
+
+def _rank_eval_sql() -> str:
+    """Rank-eval oracle: nDCG@k (exponential gain), MRR, precision@k over
+    the BM25 run with rel(q, d) = |q's distinct terms contained in d|."""
+    return f"""
+WITH {_bm25_core_cte()},
+run AS (SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {TOPK}),
+dterms AS (SELECT DISTINCT doc_id, term FROM tok),
+qts AS (SELECT DISTINCT query_id, term FROM qt),
+qrels AS (
+  SELECT q.query_id, d.doc_id, count(*)::DOUBLE AS rel
+  FROM qts q JOIN dterms d USING (term) GROUP BY 1, 2
+),
+judged AS (
+  SELECT r.query_id, r.rank, coalesce(j.rel, 0.0) AS rel
+  FROM run r LEFT JOIN qrels j ON j.query_id = r.query_id AND j.doc_id = r.doc_id
+),
+perq AS (
+  SELECT query_id,
+         sum((power(2.0, rel) - 1.0) / log2(rank::DOUBLE + 1.0)) AS dcg,
+         min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_rel
+  FROM judged GROUP BY 1
+),
+ideal AS (
+  SELECT query_id,
+         sum((power(2.0, rel) - 1.0) / log2(irank::DOUBLE + 1.0)) AS idcg
+  FROM (
+    SELECT query_id, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, doc_id ASC) AS irank
+    FROM qrels WHERE rel > 0
+  )
+  WHERE irank <= {TOPK} GROUP BY 1
+)
+SELECT p.query_id,
+       round(CASE WHEN coalesce(i.idcg, 0.0) > 0.0
+                  THEN p.dcg / i.idcg ELSE 0.0 END, 4) AS ndcg,
+       round(coalesce(1.0 / p.first_rel, 0.0), 4) AS mrr,
+       round(p.n_rel::DOUBLE / {float(TOPK)}, 4) AS "precision"
+FROM perq p LEFT JOIN ideal i USING (query_id)
 """
 
 
@@ -3027,6 +3378,12 @@ FROM tf GROUP BY 1
         ),
         "lmd_topk": _lmd_sql(),
         "collapse_topk": _collapse_sql(),
+        "sig_terms": _sig_terms_sql(),
+        "decay_topk": _decay_sql(),
+        "percolate_matches": _percolate_sql(),
+        "term_vectors": _term_vectors_sql(),
+        "search_after_topk": _search_after_sql(),
+        "rank_eval": _rank_eval_sql(),
         "bm25_topk_expanded": f"""
 WITH {_tok_cte()},
 stats AS (

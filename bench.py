@@ -194,6 +194,10 @@ def main() -> None:
     timed("duplicate_spans", lambda: entrymod.q_duplicate_spans(spark, sf_dir).count())
     # BM25F multi-field (derived title + body) over the documents table
     timed("bm25f_topk", lambda: entrymod.q_bm25f_topk(spark, sf_dir).collect())
+    # significant terms: fg tokenize + dictionary probe on top of a fresh build
+    timed("sig_terms", lambda: entrymod.q_sig_terms(spark, sf_dir).collect())
+    # percolator: one full-corpus tokenize pass against the broadcast registry
+    timed("percolate_matches", lambda: entrymod.q_percolate_matches(spark, sf_dir).count())
 
     # segment-merge compaction: two half-corpus segment indexes merged
     # through the partial-combine reduce (builds untimed — the merge is the
