@@ -84,6 +84,8 @@ SIG_N_FG, SIG_TOP, SIG_MIN_DC = 25, 10, 2
 DECAY_MOD, DECAY_SCALE, DECAY_RATE, DECAY_OFFSET = 97, 60.0, 0.5, 5.0
 # term-vectors entry: the requested doc set (a per-doc inspection API).
 TV_DOC_IDS = [1, 3, 5, 7]
+# dis_max entry: Lucene's default-ish tie breaker.
+DISMAX_TIE = 0.3
 
 # synonym map for the expanded-search entry, given post-tokenization (the
 # Lucene-SynonymFilter contract); all targets are corpus terms. q5 carries
@@ -2238,6 +2240,67 @@ def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunction-max retrieval (Lucene DisjunctionMaxQuery): best-clause
+    score plus tie_breaker x the rest — same broadcast probe as search, the
+    aggregate is max+sum instead of sum."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.dismax import search_dismax
+    from fulltextsearch_spark.operators.index_build import build_index
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    idx = build_index(spark, _docs(spark, sf_dir), cfg, persist=False)
+    return search_dismax(idx, _query_frame(spark), cfg, tie_breaker=DISMAX_TIE).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _pii_injected(docs: DataFrame) -> DataFrame:
+    """Deterministic PII injection over the testdata text (it contains none
+    of its own): every 7th doc gains an email, every 11th an IPv4, every
+    13th a phone number — mirrored verbatim in the oracle's CTE."""
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(F.lit(" contact u"), did.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".1")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(
+                    F.lit(" call +1 555 01"),
+                    F.lpad((did % 100).cast("string"), 2, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (C4/ROOTS-style curation stage): regex redaction of
+    emails/IPs/phones in a pinned order, with per-doc hit counts — one
+    whole-stage-codegen projection, zero shuffles."""
+    from fulltextsearch_spark.operators.pii import scrub_pii
+
+    return scrub_pii(_pii_injected(_docs(spark, sf_dir))).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        "n_email",
+        "n_ip",
+        "n_phone",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -2274,6 +2337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_vectors": q_term_vectors,
         "search_after_topk": q_search_after_topk,
         "rank_eval": q_rank_eval,
+        "dismax_topk": q_dismax_topk,
+        "pii_scrub": q_pii_scrub,
         "score_explain": q_score_explain,
         "asof_click_view": q_asof_click_view,
         "event_sessions": q_event_sessions,
@@ -2757,6 +2822,85 @@ SELECT p.query_id,
        round(coalesce(1.0 / p.first_rel, 0.0), 4) AS mrr,
        round(p.n_rel::DOUBLE / {float(TOPK)}, 4) AS "precision"
 FROM perq p LEFT JOIN ideal i USING (query_id)
+"""
+
+
+def _dismax_sql() -> str:
+    """dis_max oracle: max clause + tie_breaker * (qtf-weighted sum - max),
+    with the identical nesting as the Spark aggregate."""
+    return f"""
+WITH {_tok_cte()},
+stats AS (
+  SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+         sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl
+  FROM dls
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qt AS (SELECT * FROM (VALUES {_values_query_tokens()}) AS v(query_id, term)),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qt GROUP BY 1, 2),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         max({_BM25_EXPR})
+           + {DISMAX_TIE} * (sum(q.qtf * {_BM25_EXPR}) - max({_BM25_EXPR})) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN dft ON dft.term = q.term
+  JOIN dls ON dls.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _pii_sql() -> str:
+    """PII-scrub oracle: the same injection CTE, then the PII_PATTERNS chain
+    replayed with RE2 ('g' flag) — counts taken against the text as each
+    pattern sees it, exactly the Spark column chain."""
+    from fulltextsearch_spark.operators.pii import PII_PATTERNS
+
+    steps = []
+    prev = "text"
+    carried: list[str] = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        keep = ", ".join(["doc_id"] + carried)
+        nxt = f"t{i}"
+        steps.append(
+            f"""s{i} AS (
+  SELECT {keep},
+         len(regexp_extract_all({prev}, '{pat}'))::BIGINT AS n_{name},
+         regexp_replace({prev}, '{pat}', '{repl}', 'g') AS {nxt}
+  FROM {'injected' if i == 0 else f's{i - 1}'}
+)"""
+        )
+        carried.append(f"n_{name}")
+        prev = nxt
+    chain = ",\n".join(steps)
+    last = len(PII_PATTERNS) - 1
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact u' || doc_id || '@example.com' ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN ' from 10.0.' || (doc_id % 256) || '.1' ELSE '' END
+           || CASE WHEN doc_id % 13 = 0
+                   THEN ' call +1 555 01' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+                   ELSE '' END AS text
+  FROM documents
+),
+{chain}
+SELECT doc_id::BIGINT AS doc_id, t{last} AS text, n_email, n_ip, n_phone
+FROM s{last}
 """
 
 
@@ -3384,6 +3528,8 @@ FROM tf GROUP BY 1
         "term_vectors": _term_vectors_sql(),
         "search_after_topk": _search_after_sql(),
         "rank_eval": _rank_eval_sql(),
+        "dismax_topk": _dismax_sql(),
+        "pii_scrub": _pii_sql(),
         "bm25_topk_expanded": f"""
 WITH {_tok_cte()},
 stats AS (
