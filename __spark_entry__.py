@@ -2301,6 +2301,54 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc keyword extraction: each requested doc's top tf-idf terms
+    (the first half of Lucene MLT as its own surface), same arithmetic as
+    the tfidf search path."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.termvectors import doc_keywords
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    docs = _docs(spark, sf_dir)
+    idx = build_index(spark, docs, cfg, persist=False)
+    ids = spark.createDataFrame([(i,) for i in TV_DOC_IDS], ["doc_id"])
+    return doc_keywords(idx, docs, ids, cfg, top_terms=5).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "term",
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-distribution stats per doc (Shannon entropy + type-token
+    ratio) — a curation quality signal; empty docs kept with zero stats."""
+    from fulltextsearch_spark.operators.textstats import token_entropy
+
+    return token_entropy(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "dl",
+        "n_types",
+        F.round("entropy", 4).alias("entropy"),
+        F.round("ttr", 4).alias("ttr"),
+    )
+
+
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentiles aggregation (exact linear interpolation, not
+    t-digest): n_chars percentiles per source bucket."""
+    from fulltextsearch_spark.operators.facets import field_percentiles
+
+    out = field_percentiles(
+        _docs(spark, sf_dir), ["source"], "n_chars", [0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+    return out.select(
+        "source",
+        *[F.round(c, 4).alias(c) for c in out.columns if c != "source"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -2339,6 +2387,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval": q_rank_eval,
         "dismax_topk": q_dismax_topk,
         "pii_scrub": q_pii_scrub,
+        "doc_keywords": q_doc_keywords,
+        "token_entropy": q_token_entropy,
+        "length_percentiles": q_length_percentiles,
         "score_explain": q_score_explain,
         "asof_click_view": q_asof_click_view,
         "event_sessions": q_event_sessions,
@@ -2901,6 +2952,72 @@ WITH injected AS (
 {chain}
 SELECT doc_id::BIGINT AS doc_id, t{last} AS text, n_email, n_ip, n_phone
 FROM s{last}
+"""
+
+
+def _doc_keywords_sql() -> str:
+    """doc-keywords oracle: per-doc tf-idf top terms, identical arithmetic
+    to the tfidf entry ((tf/dl) * idf)."""
+    ids = ", ".join(str(i) for i in TV_DOC_IDS)
+    return f"""
+WITH {_tok_cte()},
+stats AS (SELECT (max(doc_id)+1)::BIGINT AS n_docs FROM dls),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT t.doc_id, t.term,
+         (t.tf::DOUBLE / dls.dl) *
+         ln((s.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0) AS score
+  FROM tf t
+  JOIN dls USING (doc_id)
+  JOIN dft ON dft.term = t.term
+  CROSS JOIN stats s
+  WHERE t.doc_id IN ({ids})
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id::BIGINT AS doc_id, rank::BIGINT AS rank, term,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _token_entropy_sql() -> str:
+    """token-entropy oracle: -sum(p*log2(p)) per doc with the Spark
+    nesting; dl=0 docs restored with zero stats via the left join."""
+    return f"""
+WITH {_tok_cte()},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+st AS (
+  SELECT t.doc_id, count(*)::BIGINT AS n_types,
+         -(sum((t.tf::DOUBLE / dls.dl) * log2(t.tf::DOUBLE / dls.dl))) AS entropy
+  FROM tf t JOIN dls USING (doc_id) GROUP BY 1
+)
+SELECT d.doc_id::BIGINT AS doc_id, d.dl::BIGINT AS dl,
+       coalesce(st.n_types, 0)::BIGINT AS n_types,
+       round(coalesce(st.entropy, 0.0), 4) AS entropy,
+       round(CASE WHEN d.dl > 0
+                  THEN coalesce(st.n_types, 0)::DOUBLE / d.dl ELSE 0.0 END,
+             4) AS ttr
+FROM dls d LEFT JOIN st USING (doc_id)
+"""
+
+
+def _length_percentiles_sql() -> str:
+    """percentiles oracle: quantile_cont == Spark's exact percentile
+    (both linear interpolation at rank p*(n-1))."""
+    return """
+SELECT source,
+       round(quantile_cont(n_chars, 0.25), 4) AS p25,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.75), 4) AS p75,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents GROUP BY 1
 """
 
 
@@ -3530,6 +3647,9 @@ FROM tf GROUP BY 1
         "rank_eval": _rank_eval_sql(),
         "dismax_topk": _dismax_sql(),
         "pii_scrub": _pii_sql(),
+        "doc_keywords": _doc_keywords_sql(),
+        "token_entropy": _token_entropy_sql(),
+        "length_percentiles": _length_percentiles_sql(),
         "bm25_topk_expanded": f"""
 WITH {_tok_cte()},
 stats AS (

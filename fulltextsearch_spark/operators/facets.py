@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["date_histogram", "facet_counts"]
+__all__ = ["date_histogram", "facet_counts", "field_percentiles"]
 
 
 def date_histogram(
@@ -58,3 +58,33 @@ def facet_counts(results: DataFrame, doc_meta: DataFrame, facet_col: str) -> Dat
         F.count(F.lit(1)).alias("n_docs"),
         F.min("rank").alias("best_rank"),
     )
+
+
+def field_percentiles(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    percentiles: list[float],
+) -> DataFrame:
+    """ES ``percentiles`` aggregation, exact: per-key linear-interpolated
+    percentiles of a numeric field.
+
+    Returns ``(*key_cols, p<pct>, ...)`` with one column per requested
+    percentile (``0.25 -> p25``, ``0.999 -> p99_9``). Uses Spark's EXACT
+    ``percentile`` aggregate (linear interpolation at rank ``p*(n-1)`` —
+    the same definition as SQL ``quantile_cont``), not the t-digest
+    approximation: at web scale ES reaches for t-digest because its
+    coordinator merges shard sketches, but a Spark sort-based exact
+    aggregate distributes fine for grouped percentiles whose groups fit a
+    partition each; swap in ``percentile_approx`` only when a single group's
+    values exceed executor memory.
+    """
+    def _name(p: float) -> str:
+        s = f"{p * 100:g}".replace(".", "_")
+        return f"p{s}"
+
+    aggs = [
+        F.percentile(F.col(value_col), F.lit(p)).alias(_name(p))
+        for p in percentiles
+    ]
+    return df.groupBy(*[F.col(k) for k in key_cols]).agg(*aggs)

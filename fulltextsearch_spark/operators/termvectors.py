@@ -26,7 +26,7 @@ from fulltextsearch_spark.config import DEFAULT_CONFIG, EngineConfig
 from fulltextsearch_spark.functions.tokenizer import tokenize_udf
 from fulltextsearch_spark.operators.index_build import IndexTables
 
-__all__ = ["term_vectors"]
+__all__ = ["doc_keywords", "term_vectors"]
 
 
 def term_vectors(
@@ -65,4 +65,39 @@ def term_vectors(
     )
     return tf.join(F.broadcast(stats), "term").select(
         "doc_id", "term", "tf", "dl", "df", "ttf"
+    )
+
+
+def doc_keywords(
+    index: IndexTables,
+    docs: DataFrame,
+    doc_ids: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    top_terms: int = 5,
+) -> DataFrame:
+    """(doc_id, rank, term, score) — each requested doc's top tf-idf terms.
+
+    Keyword extraction (the first half of Lucene's More-Like-This, exposed
+    as its own surface; ES analogue: per-doc significant text): terms ranked
+    by the engine's tf-idf — ``(tf/dl) * idf(df)`` with the same arithmetic
+    as the tfidf search path — ties broken term ASC. Cost is exactly
+    :func:`term_vectors` plus a window over its ≤(docs x vocab-per-doc)
+    rows."""
+    from pyspark.sql import Window
+
+    from fulltextsearch_spark.functions.scoring import tfidf_col
+
+    tv = term_vectors(index, docs, doc_ids, cfg)
+    scored = tv.select(
+        "doc_id",
+        "term",
+        tfidf_col(F.col("tf"), F.col("df"), F.col("dl"), float(index.n_docs)).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_terms)
+        .select("doc_id", "rank", "term", "score")
     )

@@ -35,6 +35,7 @@ __all__ = [
     "language_from_votes",
     "language_id",
     "token_counts",
+    "token_entropy",
     "winnow_fingerprints",
     "quality_features",
     "BPE_ISH_PATTERN",
@@ -113,6 +114,62 @@ def language_id(docs: DataFrame, text_col: str = "text", cjk_threshold: float = 
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         language_expr(text_col, cjk_threshold).alias("lang"),
+    )
+
+
+def token_entropy(
+    docs: DataFrame, text_col: str = "text", stem: bool = False
+) -> DataFrame:
+    """(doc_id, dl, n_types, entropy, ttr) — unigram-distribution stats per
+    doc over the engine token stream.
+
+    ``entropy`` is the Shannon entropy of the doc's unigram distribution,
+    ``-sum((tf/dl) * log2(tf/dl))`` — a standard quality/repetitiveness
+    signal for pre-training curation (boilerplate and keyword-stuffed pages
+    score low); ``ttr`` is the type-token ratio ``n_types / dl``. Empty docs
+    (dl=0) are kept with entropy 0 and ttr 0, mirroring the index's
+    missing-as-0 doc-length semantics.
+
+    Scale shape: tokenize (Arrow) -> one partial-combined groupBy on
+    (doc_id, term) -> one tiny groupBy on doc_id. Same exchange pattern as
+    the tf table build; at 100 TB this is the standard per-doc-feature
+    MapReduce, no broadcast, no skew (keys are doc-scoped).
+    """
+    from fulltextsearch_spark.functions.tokenizer import tokenize_udf
+
+    tok = tokenize_udf(stem)
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tok(F.col(text_col)).alias("_tokens"),
+    ).select("doc_id", F.size("_tokens").alias("dl"), F.col("_tokens"))
+    tf = (
+        toks.select("doc_id", "dl", F.explode("_tokens").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    p = F.col("tf").cast("double") / F.col("dl").cast("double")
+    stats = tf.groupBy("doc_id", "dl").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        (-F.sum(p * F.log2(p))).alias("entropy"),
+    )
+    # dl=0 docs never produce tf rows — restore them with zero stats
+    empties = (
+        toks.filter(F.col("dl") == 0)
+        .select(
+            "doc_id",
+            F.col("dl"),
+            F.lit(0).cast("long").alias("n_types"),
+            F.lit(0.0).alias("entropy"),
+        )
+    )
+    return stats.unionByName(empties).select(
+        "doc_id",
+        F.col("dl").cast("long").alias("dl"),
+        F.col("n_types").cast("long").alias("n_types"),
+        "entropy",
+        F.when(F.col("dl") > 0, F.col("n_types").cast("double") / F.col("dl").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("ttr"),
     )
 
 
