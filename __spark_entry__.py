@@ -86,6 +86,23 @@ DECAY_MOD, DECAY_SCALE, DECAY_RATE, DECAY_OFFSET = 97, 60.0, 0.5, 5.0
 TV_DOC_IDS = [1, 3, 5, 7]
 # dis_max entry: Lucene's default-ish tie breaker.
 DISMAX_TIE = 0.3
+# fuzzy entry: misspellings of testdata vocabulary terms ('dap' reaches the
+# rare high-idf term 'dup'; 'filtr'/'windoe' are 1-edit typos; 'joni' is 2).
+FUZZY_TERMS: list[tuple[str, str]] = [
+    ("qf1", "joni"),
+    ("qf1", "filtr"),
+    ("qf2", "windoe"),
+    ("qf2", "dap"),
+]
+FUZZY_MAX_EDITS, FUZZY_PREFIX, FUZZY_MAX_EXP = 2, 1, 50
+# boosting entry: per-query negative clause demoting docs that also match it.
+NEG_QUERY_TOKENS: list[tuple[str, str]] = [
+    ("q1", "window"),
+    ("q2", "join"),
+    ("q4", "fast"),
+    ("q5", "dup"),
+]
+NEG_BOOST = 0.2
 
 # synonym map for the expanded-search entry, given post-tokenization (the
 # Lucene-SynonymFilter contract); all targets are corpus terms. q5 carries
@@ -2349,6 +2366,51 @@ def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy search (Lucene FuzzyQuery): query terms expand to vocabulary
+    terms within max_edits Levenshtein edits (prefix_len=1 adds the
+    hash-join prefix component), each clause weighted by the Lucene boost
+    1 - edits/min(len) and fed through the unchanged BM25 scorer."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.fuzzy import search_fuzzy
+    from fulltextsearch_spark.operators.index_build import build_index
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    idx = build_index(spark, _docs(spark, sf_dir), cfg, persist=False)
+    qdf = spark.createDataFrame(FUZZY_TERMS, ["query_id", "qterm"])
+    return search_fuzzy(
+        idx, qdf, cfg,
+        max_edits=FUZZY_MAX_EDITS, prefix_len=FUZZY_PREFIX,
+        max_expansions=FUZZY_MAX_EXP,
+    ).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_boosting_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boosting query (Lucene BoostingQuery / ES boosting): positive BM25
+    ranking with docs matching the paired negative clause demoted to
+    negative_boost x their score — demote, don't exclude."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.functionscore import search_boosting
+    from fulltextsearch_spark.operators.index_build import build_index
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    idx = build_index(spark, _docs(spark, sf_dir), cfg, persist=False)
+    neg = spark.createDataFrame(NEG_QUERY_TOKENS, ["query_id", "content"])
+    return search_boosting(
+        idx, _query_frame(spark), neg, cfg, negative_boost=NEG_BOOST
+    ).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -2390,6 +2452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": q_doc_keywords,
         "token_entropy": q_token_entropy,
         "length_percentiles": q_length_percentiles,
+        "fuzzy_topk": q_fuzzy_topk,
+        "boosting_topk": q_boosting_topk,
         "score_explain": q_score_explain,
         "asof_click_view": q_asof_click_view,
         "event_sessions": q_event_sessions,
@@ -3018,6 +3082,89 @@ SELECT source,
        round(quantile_cont(n_chars, 0.9), 4) AS p90,
        round(quantile_cont(n_chars, 0.99), 4) AS p99
 FROM documents GROUP BY 1
+"""
+
+
+def _fuzzy_sql() -> str:
+    """Fuzzy oracle: levenshtein expansion over the vocabulary CTE with the
+    prefix/length prune, Lucene boost 1 - edits/min(len), max_expansions cap
+    (edits ASC, df DESC, term ASC), then the BM25 disjunction."""
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in FUZZY_TERMS)
+    return f"""
+WITH {_tok_cte()},
+stats AS (
+  SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+         sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl
+  FROM dls
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qf AS (SELECT * FROM (VALUES {vals}) v(query_id, qterm)),
+cand AS (
+  SELECT v.query_id, v.qterm, d.term, d.df,
+         levenshtein(d.term, v.qterm) AS edits
+  FROM dft d JOIN qf v
+    ON substr(d.term, 1, {FUZZY_PREFIX}) = substr(v.qterm, 1, {FUZZY_PREFIX})
+   AND abs(len(d.term) - len(v.qterm)) <= {FUZZY_MAX_EDITS}
+   AND levenshtein(d.term, v.qterm) <= {FUZZY_MAX_EDITS}
+),
+capped AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id, qterm
+                               ORDER BY edits ASC, df DESC, term ASC) AS rn
+  FROM cand
+),
+qtf AS (
+  SELECT query_id, term,
+         sum(1.0 - edits::DOUBLE / least(len(term), len(qterm))) AS qtf
+  FROM capped WHERE rn <= {FUZZY_MAX_EXP} GROUP BY 1, 2
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * {_BM25_EXPR}) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN dft ON dft.term = q.term
+  JOIN dls ON dls.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _boosting_sql() -> str:
+    """Boosting oracle: the BM25 core with scores multiplied by
+    negative_boost for docs matching any of the query's negative terms."""
+    neg_vals = ", ".join(f"('{q}', '{t}')" for q, t in NEG_QUERY_TOKENS)
+    return f"""
+WITH {_bm25_core_cte()},
+nq AS (SELECT DISTINCT * FROM (VALUES {neg_vals}) v(query_id, term)),
+negd AS (
+  SELECT DISTINCT n.query_id, tf.doc_id
+  FROM nq n JOIN tf ON tf.term = n.term
+),
+demoted AS (
+  SELECT s.query_id, s.doc_id,
+         CASE WHEN nd.doc_id IS NOT NULL THEN s.score * {NEG_BOOST}
+              ELSE s.score END AS score
+  FROM scored s
+  LEFT JOIN negd nd ON nd.query_id = s.query_id AND nd.doc_id = s.doc_id
+),
+dranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM demoted
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 4) AS score
+FROM dranked WHERE rank <= {TOPK}
 """
 
 
@@ -3650,6 +3797,8 @@ FROM tf GROUP BY 1
         "doc_keywords": _doc_keywords_sql(),
         "token_entropy": _token_entropy_sql(),
         "length_percentiles": _length_percentiles_sql(),
+        "fuzzy_topk": _fuzzy_sql(),
+        "boosting_topk": _boosting_sql(),
         "bm25_topk_expanded": f"""
 WITH {_tok_cte()},
 stats AS (

@@ -31,7 +31,7 @@ from fulltextsearch_spark.config import DEFAULT_CONFIG, EngineConfig
 from fulltextsearch_spark.operators.index_build import IndexTables
 from fulltextsearch_spark.operators.query import _scored_candidates, query_terms, topk
 
-__all__ = ["decay_multiplier", "search_decay"]
+__all__ = ["decay_multiplier", "search_boosting", "search_decay"]
 
 
 def decay_multiplier(
@@ -81,3 +81,51 @@ def search_decay(
         )
     )
     return topk(rescored, k if k is not None else cfg.k)
+
+
+def search_boosting(
+    index: IndexTables,
+    queries: DataFrame,
+    negative_queries: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    scoring: str = "bm25",
+    k: int | None = None,
+    negative_boost: float = 0.2,
+) -> DataFrame:
+    """Lucene ``BoostingQuery`` / ES ``boosting``: demote, don't exclude.
+
+    Docs are ranked by the positive query's score; any doc ALSO matching a
+    term of the paired negative query (same ``query_id``) keeps only
+    ``negative_boost`` of its score. Unlike a boolean NOT, demoted docs can
+    still surface when nothing better matches — the classic
+    "apple -fruit-ish" disambiguation ranking.
+
+    Plan shape: two broadcast posting probes (positive scored candidates +
+    the negative MATCH SET, which needs no scores — a skinny distinct
+    (query, doc) projection), one left-semi-style join between them, then
+    the usual top-k. The negative probe touches only its own terms' posting
+    row groups.
+    """
+    if not (0.0 < negative_boost <= 1.0):
+        raise ValueError(f"negative_boost must be in (0, 1], got {negative_boost}")
+    pos_terms = query_terms(queries, stem=cfg.stem)
+    scored = _scored_candidates(index, pos_terms, cfg, scoring)
+    neg_terms = query_terms(negative_queries, stem=cfg.stem).select("query_id", "term")
+    neg_docs = (
+        index.postings.join(F.broadcast(neg_terms), "term")
+        .select("query_id", F.explode("postings").alias("p"))
+        .select("query_id", F.col("p.doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_neg", F.lit(True))
+    )
+    demoted = (
+        scored.join(neg_docs, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            "doc_id",
+            F.when(F.col("_neg"), F.col("score") * F.lit(float(negative_boost)))
+            .otherwise(F.col("score"))
+            .alias("score"),
+        )
+    )
+    return topk(demoted, k if k is not None else cfg.k)
