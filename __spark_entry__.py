@@ -103,6 +103,8 @@ NEG_QUERY_TOKENS: list[tuple[str, str]] = [
     ("q5", "dup"),
 ]
 NEG_BOOST = 0.2
+# temperature-mixing entry (mT5/XLM-R alpha).
+MIX_ALPHA = 0.3
 
 # synonym map for the expanded-search entry, given post-tokenization (the
 # Lucene-SynonymFilter contract); all targets are corpus terms. q5 carries
@@ -2411,6 +2413,46 @@ def q_boosting_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing weights (mT5/XLM-R style) per source bucket:
+    weight_i = p_i^alpha / sum p_j^alpha with alpha=0.3 — the standard
+    low-resource up-weighting lever for pre-training mixes."""
+    from fulltextsearch_spark.operators.sampling import mix_weights
+
+    out = mix_weights(_docs(spark, sf_dir), "source", alpha=MIX_ALPHA)
+    return out.select(
+        "key",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("p", 4).alias("p"),
+        F.round("weight", 4).alias("weight"),
+        F.round("expected_docs", 4).alias("expected_docs"),
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: keep a doc iff the first 8 hex
+    digits of md5(doc_id) fall under the bucket's rate x 2^32 — a pure
+    function of the data (reproducible across runs/partitionings), rates
+    derived deterministically per source bucket and mirrored in the
+    oracle."""
+    from fulltextsearch_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    rates = (
+        docs.select(F.col("source").alias("key"))
+        .distinct()
+        .withColumn(
+            "rate",
+            ((F.ascii(F.substring("key", 1, 1)) % 4 + 1) / F.lit(5.0)),
+        )
+    )
+    return stratified_sample(docs, rates, "source").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("sample_hash").cast("long").alias("sample_hash"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -2454,6 +2496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_percentiles": q_length_percentiles,
         "fuzzy_topk": q_fuzzy_topk,
         "boosting_topk": q_boosting_topk,
+        "mix_weights": q_mix_weights,
+        "stratified_sample": q_stratified_sample,
         "score_explain": q_score_explain,
         "asof_click_view": q_asof_click_view,
         "event_sessions": q_event_sessions,
@@ -3168,6 +3212,45 @@ FROM dranked WHERE rank <= {TOPK}
 """
 
 
+def _mix_weights_sql() -> str:
+    """Temperature-mix oracle: identical arithmetic nesting (p first, then
+    pow, then the normalized weight and doc budget)."""
+    return f"""
+WITH counts AS (
+  SELECT source AS key, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(n_docs)::BIGINT AS total FROM counts),
+powed AS (
+  SELECT key, n_docs,
+         n_docs::DOUBLE / total::DOUBLE AS p,
+         pow(n_docs::DOUBLE / total::DOUBLE, {MIX_ALPHA}) AS pa,
+         total
+  FROM counts CROSS JOIN tot
+),
+z AS (SELECT sum(pa) AS z FROM powed)
+SELECT key, n_docs, round(p, 4) AS p,
+       round(pa / z.z, 4) AS weight,
+       round((pa / z.z) * total::DOUBLE, 4) AS expected_docs
+FROM powed CROSS JOIN z
+"""
+
+
+def _stratified_sample_sql() -> str:
+    """Stratified-sample oracle: the same md5-prefix hash and per-bucket
+    rate expression, replayed row by row."""
+    return """
+WITH hashed AS (
+  SELECT doc_id, source,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UINT64)::BIGINT AS sample_hash,
+         ((ascii(substr(source, 1, 1)) % 4) + 1) / 5.0 AS rate
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, source, sample_hash
+FROM hashed
+WHERE sample_hash::DOUBLE < rate * 4294967296.0
+"""
+
+
 def _phrase_slots_values() -> str:
     """PHRASES through the engine tokenizer (unstemmed), as VALUES rows —
     the oracle consumes the same (query_id, slot, term) table the Spark
@@ -3799,6 +3882,8 @@ FROM tf GROUP BY 1
         "length_percentiles": _length_percentiles_sql(),
         "fuzzy_topk": _fuzzy_sql(),
         "boosting_topk": _boosting_sql(),
+        "mix_weights": _mix_weights_sql(),
+        "stratified_sample": _stratified_sample_sql(),
         "bm25_topk_expanded": f"""
 WITH {_tok_cte()},
 stats AS (
