@@ -1064,6 +1064,41 @@ def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# match_phrase_prefix query set: the last token is a PREFIX ('ta' -> table,
+# 'sp' -> spark/...); pp4 exercises stop-word drops before the prefix slot.
+PREFIX_PHRASES = [
+    ("pp1", "value ta"),
+    ("pp2", "slow ha"),
+    ("pp3", "fast sp"),
+    ("pp4", "value of the ta"),
+]
+PP_MAX_EXP = 50
+
+
+def q_phrase_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase_prefix over the positional index: the phrase's last
+    token expands as a prefix against the vocabulary (term-ASC
+    max_expansions cap), exact leading slots + any expanded final term at
+    the consecutive position; ranked as one virtual term like phrase_topk.
+    The oracle replays expansion (starts_with over the vocabulary CTE) and
+    the slot-shifted adjacency with required slots from the ORIGINAL
+    phrase length."""
+    from fulltextsearch_spark.operators.positional import (
+        build_positional_index,
+        phrase_prefix_topk,
+    )
+
+    idx = build_positional_index(_docs(spark, sf_dir))
+    qs = spark.createDataFrame(PREFIX_PHRASES, ["query_id", "content"])
+    res = phrase_prefix_topk(idx, qs, k=TOPK, k1=K1, b=B, max_expansions=PP_MAX_EXP)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 # Proximity query set (unordered within-window cover) + the window size.
 PROX_QUERIES = [
     ("x1", "slow hash"),
@@ -2498,6 +2533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosting_topk": q_boosting_topk,
         "mix_weights": q_mix_weights,
         "stratified_sample": q_stratified_sample,
+        "phrase_prefix_topk": q_phrase_prefix_topk,
         "score_explain": q_score_explain,
         "asof_click_view": q_asof_click_view,
         "event_sessions": q_event_sessions,
@@ -3299,6 +3335,66 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def _pp_slots_values() -> str:
+    """PREFIX_PHRASES through the engine tokenizer (unstemmed): the last
+    surviving slot's term IS the prefix."""
+    from fulltextsearch_spark.functions.tokenizer import tokenize
+
+    vals = []
+    for qid, content in PREFIX_PHRASES:
+        for slot, term in enumerate(tokenize(content, do_stem=False)):
+            vals.append(f"('{qid}', {slot}, '{term}')")
+    return ", ".join(vals)
+
+
+def _phrase_prefix_sql() -> str:
+    return f"""
+WITH {_tok_cte()},
+pos AS (SELECT doc_id, unnest(tokens) AS term,
+               unnest(generate_series(0, len(tokens)-1)) AS pos
+        FROM toks),
+slots0 AS (SELECT * FROM (VALUES {_pp_slots_values()}) v(query_id, slot, term)),
+lastv AS (SELECT query_id, max(slot) AS last FROM slots0 GROUP BY 1),
+ns AS (SELECT query_id, max(slot)+1 AS n_slots FROM slots0 GROUP BY 1),
+vocab AS (SELECT DISTINCT term FROM tok),
+exact AS (SELECT s.query_id, s.slot, s.term
+          FROM slots0 s JOIN lastv l USING (query_id) WHERE s.slot < l.last),
+pref AS (SELECT s.query_id, s.slot, s.term AS prefix
+         FROM slots0 s JOIN lastv l USING (query_id) WHERE s.slot = l.last),
+exp0 AS (SELECT p.query_id, p.slot, v.term,
+                row_number() OVER (PARTITION BY p.query_id
+                                   ORDER BY v.term ASC) AS rn
+         FROM vocab v JOIN pref p ON starts_with(v.term, p.prefix)),
+slots AS (SELECT query_id, slot, term FROM exact
+          UNION ALL
+          SELECT query_id, slot, term FROM exp0 WHERE rn <= {PP_MAX_EXP}),
+starts AS (SELECT s.query_id, p.doc_id, p.pos - s.slot AS start
+           FROM pos p JOIN slots s USING (term) WHERE p.pos >= s.slot),
+m AS (SELECT query_id, doc_id, start, count(*) AS n_matched
+      FROM starts GROUP BY 1, 2, 3),
+occ AS (SELECT m.query_id, m.doc_id, count(*)::BIGINT AS n_occ
+        FROM m JOIN ns USING (query_id)
+        WHERE m.n_matched = ns.n_slots GROUP BY 1, 2),
+stats AS (SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+                 sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl FROM dls),
+dfp AS (SELECT query_id, count(*)::BIGINT AS df FROM occ GROUP BY 1),
+scored AS (
+  SELECT o.query_id, o.doc_id,
+         ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1.0) *
+         (o.n_occ::DOUBLE * ({K1} + 1.0) /
+          (o.n_occ::DOUBLE + {K1} * (1.0 - {B} + {B} * (dls.dl::DOUBLE / s.avgdl)))) AS score
+  FROM occ o JOIN dfp d USING (query_id) JOIN dls USING (doc_id) CROSS JOIN stats s
+),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scored)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def _prox_qterms_values() -> str:
     """PROX_QUERIES through the engine tokenizer, DISTINCT terms per query
     (set semantics — multiplicity is irrelevant to window cover)."""
@@ -3884,6 +3980,7 @@ FROM tf GROUP BY 1
         "boosting_topk": _boosting_sql(),
         "mix_weights": _mix_weights_sql(),
         "stratified_sample": _stratified_sample_sql(),
+        "phrase_prefix_topk": _phrase_prefix_sql(),
         "bm25_topk_expanded": f"""
 WITH {_tok_cte()},
 stats AS (

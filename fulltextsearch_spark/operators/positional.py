@@ -54,6 +54,8 @@ __all__ = [
     "load_positional_index",
     "phrase_slots",
     "phrase_occurrences",
+    "phrase_prefix_occurrences",
+    "phrase_prefix_topk",
     "phrase_topk",
     "best_snippets",
     "proximity_occurrences",
@@ -141,6 +143,35 @@ def phrase_slots(phrases: DataFrame, stem: bool = False) -> DataFrame:
     )
 
 
+def _occurrences_from_slots(
+    index: PositionalIndex, slots: DataFrame, n_slots: DataFrame
+) -> DataFrame:
+    """Matching core shared by exact-phrase and phrase-prefix search:
+    ``slots`` is (query_id, slot, term) — possibly several terms per slot
+    (prefix expansion) — and ``n_slots`` the (query_id, n_slots) required
+    consecutive-match count. A (slot, start) pair stays unique per (query,
+    doc) even with multi-term slots: one doc position holds exactly one
+    term, so for a fixed start only one expanded term can land on a slot."""
+    cand = index.postings.join(F.broadcast(slots), "term")
+    starts = cand.select(
+        "query_id",
+        "doc_id",
+        "slot",
+        F.explode(
+            F.transform("positions", lambda p: p - F.col("slot"))
+        ).alias("start"),
+    ).filter(F.col("start") >= 0)
+    matched = starts.groupBy("query_id", "doc_id", "start").agg(
+        F.count("*").alias("_m")
+    )
+    occ = matched.join(F.broadcast(n_slots), "query_id").filter(
+        F.col("_m") == F.col("n_slots")
+    )
+    return occ.groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("long").alias("n_occ")
+    )
+
+
 def phrase_occurrences(
     index: PositionalIndex, phrases: DataFrame
 ) -> DataFrame:
@@ -151,26 +182,67 @@ def phrase_occurrences(
     n_slots = slots.groupBy("query_id").agg(
         (F.max("slot") + 1).alias("n_slots")
     )
-    cand = index.postings.join(F.broadcast(slots), "term")
-    starts = cand.select(
-        "query_id",
-        "doc_id",
-        "slot",
-        F.explode(
-            F.transform("positions", lambda p: p - F.col("slot"))
-        ).alias("start"),
-    ).filter(F.col("start") >= 0)
-    # (slot, start) pairs are unique per (query, doc) — positions are
-    # distinct within a doc — so count(*) IS the number of matched slots.
-    matched = starts.groupBy("query_id", "doc_id", "start").agg(
-        F.count("*").alias("_m")
+    return _occurrences_from_slots(index, slots, n_slots)
+
+
+def phrase_prefix_occurrences(
+    index: PositionalIndex,
+    phrases: DataFrame,
+    max_expansions: int | None = 50,
+    dictionary: DataFrame | None = None,
+) -> DataFrame:
+    """ES ``match_phrase_prefix``: the phrase's LAST token is a prefix that
+    expands against the vocabulary; a doc matches where the exact leading
+    tokens are followed by ANY expanded term at the final consecutive
+    position. ``max_expansions`` keeps the first (term ASC — ES's
+    index-order) expansions, like ES's default 50. An empty expansion
+    matches nothing (required slots come from the ORIGINAL phrase length,
+    never from the surviving slot set).
+
+    ``dictionary`` is any one-column ``term`` frame; by default it derives
+    from the positional postings (a vocab-sized distinct — fine per query
+    batch; at full scale pass the plain index's skinny ``(term, df)``
+    projection instead, which exists as a build artifact)."""
+    slots = phrase_slots(phrases, stem=index.stem)
+    n_slots = slots.groupBy("query_id").agg(
+        (F.max("slot") + 1).alias("n_slots")
     )
-    occ = matched.join(F.broadcast(n_slots), "query_id").filter(
-        F.col("_m") == F.col("n_slots")
+    last = slots.groupBy("query_id").agg(F.max("slot").alias("_last"))
+    tagged = slots.join(F.broadcast(last), "query_id")
+    exact = tagged.filter(F.col("slot") < F.col("_last")).select(
+        "query_id", "slot", "term"
     )
-    return occ.groupBy("query_id", "doc_id").agg(
-        F.count("*").cast("long").alias("n_occ")
+    pref = tagged.filter(F.col("slot") == F.col("_last")).select(
+        "query_id", "slot", F.col("term").alias("prefix")
     )
+    if dictionary is None:
+        dictionary = index.postings.select("term").distinct()
+    exp = dictionary.select("term").join(
+        F.broadcast(pref), F.col("term").startswith(F.col("prefix"))
+    )
+    if max_expansions is not None:
+        w = Window.partitionBy("query_id").orderBy(F.asc("term"))
+        exp = exp.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= max_expansions
+        )
+    all_slots = exact.unionByName(exp.select("query_id", "slot", "term"))
+    return _occurrences_from_slots(index, all_slots, n_slots)
+
+
+def phrase_prefix_topk(
+    index: PositionalIndex,
+    phrases: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_expansions: int | None = 50,
+    dictionary: DataFrame | None = None,
+) -> DataFrame:
+    """match_phrase_prefix ranked like :func:`phrase_topk`: the whole
+    prefix-phrase is ONE virtual term (tf = occurrence count, df = matching
+    docs) through the reference BM25 formula."""
+    occ = phrase_prefix_occurrences(index, phrases, max_expansions, dictionary)
+    return _virtual_term_topk(index, occ, k, k1, b)
 
 
 def phrase_topk(
@@ -184,6 +256,14 @@ def phrase_topk(
     scored as ONE virtual term — tf = occurrences, df = matching docs —
     through the reference BM25 formula, deterministic tie-break on doc_id."""
     occ = phrase_occurrences(index, phrases)
+    return _virtual_term_topk(index, occ, k, k1, b)
+
+
+def _virtual_term_topk(
+    index: PositionalIndex, occ: DataFrame, k: int, k1: float, b: float
+) -> DataFrame:
+    """Shared virtual-term BM25 ranking over a (query_id, doc_id, n_occ)
+    occurrence frame."""
     df_ph = occ.groupBy("query_id").agg(F.count("*").cast("long").alias("_df"))
     scored = (
         occ.join(F.broadcast(df_ph), "query_id")
