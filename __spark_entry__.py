@@ -105,6 +105,8 @@ NEG_QUERY_TOKENS: list[tuple[str, str]] = [
 NEG_BOOST = 0.2
 # temperature-mixing entry (mT5/XLM-R alpha).
 MIX_ALPHA = 0.3
+# MMR diversification entry: top-N cosine candidates re-ranked to k.
+MMR_N, MMR_LAM = 20, 0.7
 
 # synonym map for the expanded-search entry, given post-tokenization (the
 # Lucene-SynonymFilter contract); all targets are corpus terms. q5 carries
@@ -2488,6 +2490,50 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (Carbonell & Goldstein 1998): the cosine top-20
+    candidates vs vec_id=0, greedily re-ranked to top-10 balancing relevance
+    against redundancy (lam=0.7). The oracle unrolls the 10 greedy steps as
+    chained CTEs with correlated max-sim subqueries; dot products accumulate
+    sequentially on both sides."""
+    from fulltextsearch_spark.operators.mmr import mmr_rerank
+
+    emb = _embeddings(spark, sf_dir)
+    embd = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    qvec = embd.filter(F.col("vec_id") == 0).select(F.col("vec").alias("qvec"))
+    joined = embd.crossJoin(F.broadcast(qvec))
+    dot = F.aggregate(
+        F.zip_with("vec", "qvec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    sim = dot / (norm(F.col("vec")) * norm(F.col("qvec")))
+    cand = (
+        joined.select("vec_id", sim.alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_N)
+        .withColumn("query_id", F.lit("q"))
+    )
+    res = mmr_rerank(
+        cand,
+        emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding"),
+        k=TOPK,
+        lam=MMR_LAM,
+        id_col="vec_id",
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -2534,6 +2580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_weights": q_mix_weights,
         "stratified_sample": q_stratified_sample,
         "phrase_prefix_topk": q_phrase_prefix_topk,
+        "mmr_topk": q_mmr_topk,
         "score_explain": q_score_explain,
         "asof_click_view": q_asof_click_view,
         "event_sessions": q_event_sessions,
@@ -3395,6 +3442,67 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def _mmr_sql() -> str:
+    """MMR oracle: cosine top-N candidates, pairwise sims among them, then
+    the k greedy steps unrolled as chained CTEs. The (1 - lam) constant is
+    computed in Python and embedded via repr so both engines subtract the
+    bit-identical double."""
+    lam = repr(float(MMR_LAM))
+    om = repr(1.0 - float(MMR_LAM))
+    cos = (
+        "list_sum(list_transform(list_zip({a}.embedding, {b}), "
+        "p -> p[1]::DOUBLE * p[2]::DOUBLE)) "
+        "/ (sqrt(list_sum(list_transform({a}.embedding, x -> x::DOUBLE * x::DOUBLE))) "
+        "* sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
+    )
+    steps = [
+        f"""step1 AS MATERIALIZED (
+  SELECT vec_id, {lam} * rel - {om} * 0.0 AS score
+  FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1
+),
+selected1 AS MATERIALIZED (SELECT vec_id FROM step1)"""
+    ]
+    for i in range(2, TOPK + 1):
+        steps.append(
+            f"""step{i} AS MATERIALIZED (
+  SELECT c.vec_id,
+         {lam} * c.rel - {om} * coalesce(
+           (SELECT max(p.sim) FROM pairs p, selected{i - 1} s
+            WHERE p.da = c.vec_id AND p.db = s.vec_id), 0.0) AS score
+  FROM cand c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM selected{i - 1})
+  ORDER BY score DESC, c.vec_id ASC LIMIT 1
+),
+selected{i} AS MATERIALIZED (SELECT vec_id FROM selected{i - 1}
+                UNION ALL SELECT vec_id FROM step{i})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i}::BIGINT AS rank, vec_id::BIGINT AS vec_id, round(score, 4) AS score FROM step{i}"
+        for i in range(1, TOPK + 1)
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sims AS MATERIALIZED (
+  SELECT e.vec_id, {cos.format(a='e', b='q.qe')} AS rel
+  FROM embeddings e, q
+),
+cand0 AS (
+  SELECT vec_id, rel,
+         row_number() OVER (ORDER BY rel DESC, vec_id ASC) AS rn
+  FROM sims
+),
+cand AS MATERIALIZED (SELECT vec_id, rel FROM cand0 WHERE rn <= {MMR_N}),
+emb2 AS MATERIALIZED (SELECT c.vec_id, e.embedding
+         FROM cand c JOIN embeddings e USING (vec_id)),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS da, b.vec_id AS db, {cos.format(a='a', b='b.embedding')} AS sim
+  FROM emb2 a JOIN emb2 b ON a.vec_id <> b.vec_id
+),
+{','.join(steps)}
+{union}
+"""
+
+
 def _prox_qterms_values() -> str:
     """PROX_QUERIES through the engine tokenizer, DISTINCT terms per query
     (set semantics — multiplicity is irrelevant to window cover)."""
@@ -3981,6 +4089,7 @@ FROM tf GROUP BY 1
         "mix_weights": _mix_weights_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "phrase_prefix_topk": _phrase_prefix_sql(),
+        "mmr_topk": _mmr_sql(),
         "bm25_topk_expanded": f"""
 WITH {_tok_cte()},
 stats AS (
