@@ -2539,6 +2539,76 @@ def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# adjacency_matrix filters: 'dup' is the rare testdata term, the others are
+# head terms — the intersections are non-trivial at every sf.
+ADJ_FILTERS = {"A": "join", "B": "filter", "C": "spark", "D": "dup"}
+RARE_MAX_SHARE = 0.05
+TOPHITS_PER_BUCKET = 2
+LM_ALPHA = 0.5
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-trained bigram-LM cross-entropy / perplexity per
+    document (training-data quality filter)."""
+    from fulltextsearch_spark.operators.textstats import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf_dir), alpha=LM_ALPHA, stem=False)
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: totals, hapax/dis legomena, head mass,
+    fitted Zipf exponent."""
+    from fulltextsearch_spark.operators.textstats import vocab_stats
+
+    return vocab_stats(_docs(spark, sf_dir), stem=False)
+
+
+def q_top_hits_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_hits sub-aggregation: best hits per `lang` bucket of each
+    query's full BM25 match set."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.facets import top_hits
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.query import _scored_candidates, query_terms
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    idx = build_index(spark, _docs(spark, sf_dir), cfg, persist=False)
+    scored = _scored_candidates(idx, query_terms(_query_frame(spark), stem=False), cfg, "bm25")
+    return top_hits(
+        scored, _docs(spark, sf_dir), "lang", n_per_bucket=TOPHITS_PER_BUCKET
+    ).select(
+        "query_id",
+        "lang",
+        F.col("bucket_rank").cast("long").alias("bucket_rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rare_terms aggregation: long-tail dictionary terms with
+    df <= ceil(share * n_docs)."""
+    from fulltextsearch_spark.operators.facets import rare_terms
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    dft = q_df_table(spark, sf_dir)
+    return rare_terms(dft, n_docs, max_share=RARE_MAX_SHARE).select(
+        "term", F.col("df").cast("long").alias("df")
+    )
+
+
+def q_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES adjacency_matrix aggregation: doc counts of named term filters and
+    their pairwise intersections."""
+    from fulltextsearch_spark.operators.facets import adjacency_matrix
+
+    tf = q_tf_table(spark, sf_dir)
+    return adjacency_matrix(tf, ADJ_FILTERS).select(
+        "key1", "key2", F.col("doc_count").cast("long").alias("doc_count")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full stemmed BM25 top-k pipeline on sf0.001."""
     return q_bm25_topk_stemmed(spark, "/root/testdata/sf0.001")
@@ -2638,6 +2708,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_meta": q_resize_meta,
         "frame_sample": q_frame_sample,
         "curate_corpus": q_curate_corpus,
+        "lm_perplexity": q_lm_perplexity,
+        "vocab_stats": q_vocab_stats,
+        "top_hits_lang": q_top_hits_lang,
+        "rare_terms": q_rare_terms,
+        "adjacency_matrix": q_adjacency,
     }
 
 
@@ -4019,6 +4094,95 @@ s AS (
 )"""
 
 
+def _lm_perplexity_sql() -> str:
+    """Bigram-LM oracle: DuckDB zips the two shifted list slices with
+    parallel unnest; smoothing/entropy arithmetic mirrors the Spark
+    nesting (ppl computed from the UNROUNDED entropy, then rounded)."""
+    return f"""
+WITH {_tok_cte()},
+big AS (
+  SELECT doc_id,
+         unnest(tokens[1:len(tokens)-1]) AS w1,
+         unnest(tokens[2:len(tokens)]) AS w2
+  FROM toks WHERE len(tokens) >= 2
+),
+ctx AS (SELECT w1, count(*)::DOUBLE AS c1 FROM big GROUP BY 1),
+bgc AS (SELECT w1, w2, count(*)::DOUBLE AS c2 FROM big GROUP BY 1, 2),
+voc AS (SELECT count(DISTINCT term)::DOUBLE AS v FROM tok),
+sc AS (
+  SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+         -avg(log2((bgc.c2 + {LM_ALPHA}) / (ctx.c1 + {LM_ALPHA} * voc.v))) AS h
+  FROM big b JOIN bgc USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc
+  GROUP BY 1
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+       round(coalesce(sc.h, 0.0), 4) AS cross_entropy,
+       round(pow(2.0, coalesce(sc.h, 0.0)), 4) AS ppl
+FROM dls d LEFT JOIN sc USING (doc_id)
+"""
+
+
+def _vocab_stats_sql() -> str:
+    """Vocabulary-profile oracle: global row_number rank (the Spark side
+    decomposes the same rank as histogram offset + in-class position)."""
+    return f"""
+WITH {_tok_cte()},
+tfq AS (SELECT term, count(*)::BIGINT AS freq FROM tok GROUP BY 1),
+ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, term ASC) AS rank FROM tfq
+)
+SELECT sum(freq)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS n_types,
+       sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax,
+       sum(CASE WHEN freq = 2 THEN 1 ELSE 0 END)::BIGINT AS dis,
+       round(max(freq)::DOUBLE / sum(freq), 6) AS top_share,
+       round(covar_pop(ln(rank::DOUBLE), ln(freq::DOUBLE))
+             / var_pop(ln(rank::DOUBLE)), 4) AS zipf_slope
+FROM ranked
+"""
+
+
+def _top_hits_sql() -> str:
+    """top_hits oracle: the full BM25 candidate set re-bucketed per
+    (query, lang) with an in-bucket rank window."""
+    return f"""
+WITH {_bm25_core_cte()},
+th AS (
+  SELECT s.query_id, d.lang, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY s.query_id, d.lang
+                            ORDER BY s.score DESC, s.doc_id ASC) AS bucket_rank
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT query_id, lang, bucket_rank::BIGINT AS bucket_rank,
+       doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM th WHERE bucket_rank <= {TOPHITS_PER_BUCKET}
+"""
+
+
+def _rare_terms_sql() -> str:
+    return f"""
+WITH {_tok_cte()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+nd AS (SELECT (max(doc_id)+1)::BIGINT AS n_docs FROM documents)
+SELECT term, df FROM dft, nd WHERE df <= ceil({RARE_MAX_SHARE} * n_docs)
+"""
+
+
+def _adjacency_sql() -> str:
+    vals = ", ".join(f"('{k}', '{t}')" for k, t in sorted(ADJ_FILTERS.items()))
+    return f"""
+WITH {_tok_cte()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+km AS (SELECT * FROM (VALUES {vals}) AS v(key, term)),
+flags AS (SELECT DISTINCT tf.doc_id, km.key FROM tf JOIN km USING (term))
+SELECT a.key AS key1, b.key AS key2, count(*)::BIGINT AS doc_count
+FROM flags a JOIN flags b ON a.doc_id = b.doc_id AND a.key <= b.key
+GROUP BY 1, 2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     bm25 = (
         "ln((s.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0) * "
@@ -5104,4 +5268,9 @@ ranked AS (
 SELECT rank::BIGINT AS rank, vec_id, round(sim, 4) AS sim
 FROM ranked WHERE rank <= {TOPK}
 """,
+        "lm_perplexity": _lm_perplexity_sql(),
+        "vocab_stats": _vocab_stats_sql(),
+        "top_hits_lang": _top_hits_sql(),
+        "rare_terms": _rare_terms_sql(),
+        "adjacency_matrix": _adjacency_sql(),
     }

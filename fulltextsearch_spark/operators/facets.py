@@ -17,7 +17,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["date_histogram", "facet_counts", "field_percentiles"]
+__all__ = [
+    "adjacency_matrix",
+    "date_histogram",
+    "facet_counts",
+    "field_percentiles",
+    "rare_terms",
+    "top_hits",
+]
 
 
 def date_histogram(
@@ -88,3 +95,94 @@ def field_percentiles(
         for p in percentiles
     ]
     return df.groupBy(*[F.col(k) for k in key_cols]).agg(*aggs)
+
+
+def top_hits(
+    scored: DataFrame,
+    doc_meta: DataFrame,
+    facet_col: str,
+    n_per_bucket: int = 3,
+) -> DataFrame:
+    """ES ``top_hits`` sub-aggregation: the best N hits inside each facet
+    bucket of each query's FULL match set (not just the global top-k).
+
+    Returns ``(query_id, <facet_col>, bucket_rank, doc_id, score)``.
+    ``scored`` is the per-(query, doc) accumulated score frame (the
+    pre-top-k candidate set from
+    :func:`~fulltextsearch_spark.operators.query._scored_candidates`).
+
+    Scale shape: candidates join ``doc_meta`` on ``doc_id`` — at web scale
+    both sides are corpus-sized, so this is one shuffle join on the doc
+    key; the per-bucket window then partitions by (query, facet), which is
+    well-spread by construction (bucket cardinality × queries partitions).
+    No single-partition window, no corpus broadcast.
+    """
+    from pyspark.sql import Window
+
+    meta = doc_meta.select("doc_id", facet_col)
+    w = Window.partitionBy("query_id", facet_col).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.join(meta, "doc_id")
+        .withColumn("bucket_rank", F.row_number().over(w))
+        .where(F.col("bucket_rank") <= n_per_bucket)
+        .select("query_id", facet_col, "bucket_rank", "doc_id", "score")
+    )
+
+
+def rare_terms(
+    df_table: DataFrame,
+    n_docs: int,
+    max_share: float = 0.05,
+) -> DataFrame:
+    """ES ``rare_terms`` aggregation: the long-tail terms whose document
+    frequency is at most ``ceil(max_share * n_docs)``.
+
+    Returns ``(term, df)``. ES bounds this with a CuckooFilter because its
+    coordinator must merge unbounded shard dictionaries; in Spark the df
+    table is already a materialized aggregate, so rare-term selection is a
+    pushed-down filter on it — no extra shuffle at any scale. The threshold
+    is relative (share of corpus) so the query means the same thing at
+    sf0.01 and at 10^12 docs.
+    """
+    import math
+
+    cap = int(math.ceil(max_share * n_docs))
+    return df_table.select("term", "df").where(F.col("df") <= F.lit(cap))
+
+
+def adjacency_matrix(
+    tf: DataFrame,
+    filters: dict[str, str],
+) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation: document counts for every named
+    term-filter and every pairwise intersection of filters.
+
+    ``filters`` maps bucket key -> term; a document is in bucket ``k`` when
+    it contains ``filters[k]`` at least once. Returns
+    ``(key1, key2, doc_count)`` for ``key1 <= key2`` (the ES convention:
+    the diagonal is the plain filter count, off-diagonal the intersection),
+    only non-empty buckets, like ES.
+
+    Scale shape: ``tf`` is filtered to the |filters| requested terms BEFORE
+    any join (predicate pushdown to the scan), so the self-join operates on
+    a tiny fraction of the corpus; the join key is ``doc_id`` and the
+    final aggregate has at most |filters|^2 groups.
+    """
+    keys = [(k, t) for k, t in sorted(filters.items())]
+    spark = tf.sparkSession
+    kmap = spark.createDataFrame(keys, ["key", "term"])
+    flags = (
+        tf.where(F.col("term").isin([t for _, t in keys]))
+        .join(F.broadcast(kmap), "term")
+        .select("doc_id", "key")
+        .distinct()
+    )
+    a = flags.alias("a")
+    b = flags.alias("b")
+    return (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.key") <= F.col("b.key")))
+        .groupBy(F.col("a.key").alias("key1"), F.col("b.key").alias("key2"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )

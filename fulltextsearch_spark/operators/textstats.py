@@ -29,7 +29,9 @@ from fulltextsearch_spark.operators.util import spread_for_python_kernel
 
 __all__ = [
     "LANG_STOPWORDS",
+    "bigram_lm_scores",
     "collocations",
+    "vocab_stats",
     "language_expr",
     "language_votes",
     "language_from_votes",
@@ -325,3 +327,122 @@ def collocations(
         )
     )
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(k)
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    stem: bool = False,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring: per-document
+    cross-entropy under an add-alpha-smoothed bigram LM trained on the
+    corpus itself (Wenzek et al., "CCNet", LREC 2020 — there a KenLM 5-gram;
+    the bigram form keeps the estimator exactly SQL-expressible).
+
+    ``P(w2|w1) = (C(w1 w2) + alpha) / (C(w1 ·) + alpha * V)`` where
+    ``C(w1 ·)`` counts w1 as a bigram left-context and ``V`` is the unigram
+    vocabulary size. Per doc: ``H = -mean(log2 P)`` over its bigrams and
+    ``ppl = 2^H``; docs with fewer than 2 tokens score 0 with n_bigrams=0.
+
+    Scale shape: bigram extraction is narrow (tokenize UDF + arrays_zip +
+    explode in one stage); the two count tables are hash aggregates with
+    map-side partials (same shuffle shape as the tf table); scoring joins
+    the doc bigram stream against the LM on the (w1, w2) key — a shuffle
+    sort-merge join, the honest plan when the bigram table itself is
+    corpus-scale and cannot broadcast. One final per-doc hash aggregate.
+    """
+    from fulltextsearch_spark.functions.tokenizer import tokenize_udf
+
+    toks = docs.select(
+        "doc_id", tokenize_udf(do_stem=stem)(F.col(text_col)).alias("toks")
+    )
+    n = F.size("toks")
+    big = (
+        toks.where(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, n - 1).alias("w1"),
+                    F.slice("toks", 2, n - 1).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    ctx = big.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    bgc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c2"))
+    # V over the full unigram stream (incl. each doc's final token).
+    voc = (
+        toks.select(F.explode("toks").alias("term"))
+        .agg(F.countDistinct("term").cast("double").alias("v"))
+    )
+    p = (F.col("c2") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("v"))
+    scored = (
+        big.join(bgc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(voc))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (-F.avg(F.log2(p))).alias("cross_entropy"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(F.coalesce("cross_entropy", F.lit(0.0)), 4).alias("cross_entropy"),
+            F.round(F.pow(F.lit(2.0), F.coalesce("cross_entropy", F.lit(0.0))), 4).alias("ppl"),
+        )
+    )
+
+
+def vocab_stats(docs: DataFrame, text_col: str = "text", stem: bool = False) -> DataFrame:
+    """Corpus vocabulary profile: token/type totals, hapax/dis legomena
+    counts, head-term mass share, and the fitted Zipf exponent.
+
+    One row: ``(n_tokens, n_types, hapax, dis, top_share, zipf_slope)``.
+    ``zipf_slope`` is the OLS slope of ln(freq) on ln(rank) (rank by freq
+    desc, term asc — Zipf's law predicts ≈ -1 for natural text; training
+    corpora that drift far from it are boilerplate- or spam-heavy). The
+    slope is ``covar_pop/var_pop`` over per-term (ln rank, ln freq) pairs —
+    exactly the SQL definition, so the oracle is closed-form.
+
+    Scale shape: one tf aggregate (the index build's A1 shuffle); the Zipf
+    rank is NOT a global single-partition sort — it is decomposed as
+    ``offset(freq) + row_number within the freq class``: the offset table
+    is a window over the DISTINCT-FREQUENCY histogram (O(sqrt(n_tokens))
+    rows by Zipf, broadcastable), and the within-class window partitions by
+    ``freq``. The one skewed class (hapax, freq=1) is the upgrade point: if
+    it outgrows a partition, band it by a term-hash prefix and add banded
+    offsets the same way.
+    """
+    from fulltextsearch_spark.functions.tokenizer import tokenized_docs
+
+    tf = tokenized_docs(docs, text_col=text_col, do_stem=stem)
+    freq = tf.groupBy("term").agg(F.sum("tf").alias("freq"))
+    from pyspark.sql import Window
+
+    hist = freq.groupBy("freq").agg(F.count(F.lit(1)).alias("n_in_class"))
+    wh = Window.orderBy(F.desc("freq")).rowsBetween(Window.unboundedPreceding, -1)
+    offs = hist.select(
+        "freq", F.coalesce(F.sum("n_in_class").over(wh), F.lit(0)).alias("offset")
+    )
+    wt = Window.partitionBy("freq").orderBy(F.asc("term"))
+    ranked = freq.join(F.broadcast(offs), "freq").withColumn(
+        "rank", F.col("offset") + F.row_number().over(wt)
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    return ranked.agg(
+        F.sum("freq").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("freq") == 1, 1).otherwise(0)).cast("long").alias("hapax"),
+        F.sum(F.when(F.col("freq") == 2, 1).otherwise(0)).cast("long").alias("dis"),
+        F.round(F.max(F.col("freq")).cast("double") / F.sum("freq"), 6).alias("top_share"),
+        F.round(F.covar_pop(x, y) / F.var_pop(x), 4).alias("zipf_slope"),
+    )

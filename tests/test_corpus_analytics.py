@@ -1,0 +1,145 @@
+"""Corpus-analytics operators — bigram-LM perplexity, vocabulary stats, and
+the ES top_hits / rare_terms / adjacency_matrix aggregations — pinned against
+brute-force Python recomputation.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from fulltextsearch_spark.functions.tokenizer import tokenize
+from fulltextsearch_spark.operators.facets import adjacency_matrix, rare_terms, top_hits
+from fulltextsearch_spark.operators.textstats import bigram_lm_scores, vocab_stats
+from fulltextsearch_spark.sources.webpages import generate_webpages_pdf
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = generate_webpages_pdf(80, seed=17)[["text"]]
+    pdf.insert(0, "doc_id", range(len(pdf)))
+    # Edge docs: empty text and a single-token text (no bigrams).
+    pdf.loc[len(pdf)] = [len(pdf), ""]
+    pdf.loc[len(pdf)] = [len(pdf), "solitary"]
+    docs = spark.createDataFrame(pdf)
+    toks = {int(r["doc_id"]): tokenize(r["text"], do_stem=False) for r in docs.collect()}
+    return docs, toks
+
+
+def test_bigram_lm_scores_match_brute(spark, corpus):
+    docs, toks = corpus
+    alpha = 0.5
+    bigc: dict[tuple[str, str], int] = {}
+    ctx: dict[str, int] = {}
+    vocab = set()
+    for ts in toks.values():
+        vocab.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            bigc[(a, b)] = bigc.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+    v = len(vocab)
+
+    got = {
+        int(r["doc_id"]): (int(r["n_bigrams"]), r["cross_entropy"], r["ppl"])
+        for r in bigram_lm_scores(docs, alpha=alpha, stem=False).collect()
+    }
+    assert set(got) == set(toks)
+    for d, ts in toks.items():
+        n_big = max(len(ts) - 1, 0)
+        assert got[d][0] == n_big
+        if n_big == 0:
+            assert got[d][1] == 0.0 and got[d][2] == 1.0
+            continue
+        h = -sum(
+            math.log2((bigc[(a, b)] + alpha) / (ctx[a] + alpha * v))
+            for a, b in zip(ts, ts[1:])
+        ) / n_big
+        assert got[d][1] == pytest.approx(round(h, 4), abs=2e-4)
+        assert got[d][2] == pytest.approx(round(2.0 ** h, 4), rel=1e-4)
+
+
+def test_vocab_stats_match_brute(spark, corpus):
+    docs, toks = corpus
+    freq: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            freq[t] = freq.get(t, 0) + 1
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [math.log(i + 1) for i in range(len(ranked))]
+    ys = [math.log(f) for _, f in ranked]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+
+    row = vocab_stats(docs, stem=False).collect()[0]
+    assert row["n_tokens"] == sum(freq.values())
+    assert row["n_types"] == len(freq)
+    assert row["hapax"] == sum(1 for f in freq.values() if f == 1)
+    assert row["dis"] == sum(1 for f in freq.values() if f == 2)
+    assert row["top_share"] == pytest.approx(
+        round(max(freq.values()) / sum(freq.values()), 6), abs=2e-6
+    )
+    assert row["zipf_slope"] == pytest.approx(round(slope, 4), abs=2e-4)
+    # Natural-ish text: the fitted exponent is negative and Zipf-ordered.
+    assert row["zipf_slope"] < -0.3
+
+
+def test_top_hits_buckets(spark):
+    scored = spark.createDataFrame(
+        [
+            ("q1", 0, 3.0), ("q1", 1, 2.0), ("q1", 2, 5.0), ("q1", 3, 5.0),
+            ("q2", 0, 1.0), ("q2", 2, 4.0),
+        ],
+        ["query_id", "doc_id", "score"],
+    )
+    meta = spark.createDataFrame(
+        [(0, "en"), (1, "en"), (2, "de"), (3, "de")], ["doc_id", "lang"]
+    )
+    out = {
+        (r["query_id"], r["lang"], r["bucket_rank"]): (r["doc_id"], r["score"])
+        for r in top_hits(scored, meta, "lang", n_per_bucket=2).collect()
+    }
+    # Tie at 5.0 in (q1, de): doc_id asc breaks it.
+    assert out[("q1", "de", 1)] == (2, 5.0)
+    assert out[("q1", "de", 2)] == (3, 5.0)
+    assert out[("q1", "en", 1)] == (0, 3.0)
+    assert out[("q1", "en", 2)] == (1, 2.0)
+    assert out[("q2", "en", 1)] == (0, 1.0)
+    assert out[("q2", "de", 1)] == (2, 4.0)
+    assert len(out) == 6
+
+
+def test_rare_terms_threshold(spark):
+    dft = spark.createDataFrame(
+        [("a", 1), ("b", 5), ("c", 6), ("d", 100)], ["term", "df"]
+    )
+    # ceil(0.05 * 100) = 5 -> a, b qualify.
+    got = sorted(r["term"] for r in rare_terms(dft, 100, max_share=0.05).collect())
+    assert got == ["a", "b"]
+
+
+def test_adjacency_matrix_counts(spark):
+    tf = spark.createDataFrame(
+        [
+            (0, "join", 2), (0, "filter", 1),
+            (1, "join", 1),
+            (2, "filter", 3), (2, "spark", 1),
+            (3, "spark", 1), (3, "join", 4), (3, "filter", 1),
+        ],
+        ["doc_id", "term", "tf"],
+    )
+    got = {
+        (r["key1"], r["key2"]): r["doc_count"]
+        for r in adjacency_matrix(tf, {"A": "join", "B": "filter", "C": "spark"}).collect()
+    }
+    assert got == {
+        ("A", "A"): 3,  # docs 0, 1, 3
+        ("B", "B"): 3,  # docs 0, 2, 3
+        ("C", "C"): 2,  # docs 2, 3
+        ("A", "B"): 2,  # docs 0, 3
+        ("A", "C"): 1,  # doc 3
+        ("B", "C"): 2,  # docs 2, 3
+    }
