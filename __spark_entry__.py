@@ -2609,6 +2609,72 @@ def q_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# span_first clauses (Lucene SpanFirstQuery): the term must occur within the
+# first `end` surviving-token positions. Mixed head/rare terms and cutoffs.
+SPAN_FIRST: list[tuple[str, str, int]] = [
+    ("qs1", "join", 5),
+    ("qs2", "dup", 40),
+    ("qs3", "spark", 3),
+]
+# minimum_should_match for the msm entry (over CONJ_QUERY_TOKENS).
+MSM = 2
+# composite aggregation page: sources (lang, source), after-key straddles
+# the de->en boundary (src ordering is lexicographic: src17 < src2).
+COMPOSITE_SIZE = 6
+COMPOSITE_AFTER = ("de", "src17")
+
+
+def q_span_first_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene span_first: term within the first N surviving positions,
+    ranked through the shared virtual-term BM25."""
+    from fulltextsearch_spark.operators.positional import (
+        build_positional_index,
+        span_first_topk,
+    )
+
+    idx = build_positional_index(_docs(spark, sf_dir), stem=False)
+    spans = spark.createDataFrame(SPAN_FIRST, ["query_id", "term", "end"])
+    return span_first_topk(idx, spans, k=TOPK, k1=K1, b=B).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_msm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene minimum_should_match: rank docs matching at least MSM distinct
+    query terms (between pure OR and pure AND)."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.query import search_conjunctive
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    idx = build_index(spark, _docs(spark, sf_dir), cfg, persist=False)
+    queries = spark.createDataFrame(
+        [(qid, " ".join(t for q, t in CONJ_QUERY_TOKENS if q == qid)) for qid in
+         sorted({q for q, _ in CONJ_QUERY_TOKENS})],
+        ["query_id", "content"],
+    )
+    res = search_conjunctive(idx, queries, cfg, min_match=MSM)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_composite_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite aggregation: (lang, source) bucket counts paged by
+    after-key in deterministic source order."""
+    from fulltextsearch_spark.operators.facets import composite_agg
+
+    return composite_agg(
+        _docs(spark, sf_dir), ["lang", "source"], COMPOSITE_SIZE, COMPOSITE_AFTER
+    ).select("lang", "source", F.col("doc_count").cast("long").alias("doc_count"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full stemmed BM25 top-k pipeline on sf0.001."""
     return q_bm25_topk_stemmed(spark, "/root/testdata/sf0.001")
@@ -2713,6 +2779,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_hits_lang": q_top_hits_lang,
         "rare_terms": q_rare_terms,
         "adjacency_matrix": q_adjacency,
+        "span_first_topk": q_span_first_topk,
+        "msm_topk": q_msm_topk,
+        "composite_agg": q_composite_agg,
     }
 
 
@@ -2754,6 +2823,7 @@ def _scored_sql(
     dl_min: int | None = None,
     tokens: list[tuple[str, str]] | None = None,
     src_where: str | None = None,
+    min_match: int | None = None,
 ) -> str:
     """Shared CTE block computing per-(query, doc) accumulated scores.
 
@@ -2810,7 +2880,8 @@ scored AS (
   CROSS JOIN stats s
   {f'WHERE dls.dl >= {dl_min}' if dl_min is not None else ''}
   GROUP BY 1, 2
-  {'HAVING count(*) = max(nq.n_q)' if conjunctive else ''}
+  {(f'HAVING count(*) >= least({min_match}, max(nq.n_q))' if min_match is not None
+    else 'HAVING count(*) = max(nq.n_q)') if conjunctive else ''}
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
@@ -4170,6 +4241,50 @@ SELECT term, df FROM dft, nd WHERE df <= ceil({RARE_MAX_SHARE} * n_docs)
 """
 
 
+def _span_first_sql() -> str:
+    """span_first oracle: surviving-token positions (same CTE as the phrase
+    oracle), pos < end per clause, virtual-term BM25."""
+    vals = ", ".join(f"('{q}', '{t}', {nd})" for q, t, nd in SPAN_FIRST)
+    return f"""
+WITH {_tok_cte()},
+pos AS (SELECT doc_id, unnest(tokens) AS term,
+               unnest(generate_series(0, len(tokens)-1)) AS pos
+        FROM toks),
+sp AS (SELECT * FROM (VALUES {vals}) v(query_id, term, nd)),
+occ AS (SELECT s.query_id, p.doc_id, count(*)::BIGINT AS n_occ
+        FROM pos p JOIN sp s USING (term) WHERE p.pos < s.nd GROUP BY 1, 2),
+stats AS (SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+                 sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl FROM dls),
+dfp AS (SELECT query_id, count(*)::BIGINT AS df FROM occ GROUP BY 1),
+scored AS (
+  SELECT o.query_id, o.doc_id,
+         ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1.0) *
+         (o.n_occ::DOUBLE * ({K1} + 1.0) /
+          (o.n_occ::DOUBLE + {K1} * (1.0 - {B} + {B} * (dls.dl::DOUBLE / s.avgdl)))) AS score
+  FROM occ o JOIN dfp d USING (query_id) JOIN dls USING (doc_id) CROSS JOIN stats s
+),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scored)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _composite_sql() -> str:
+    a0, a1 = COMPOSITE_AFTER
+    return f"""
+SELECT lang, source, count(*)::BIGINT AS doc_count
+FROM documents
+GROUP BY 1, 2
+HAVING (lang > '{a0}') OR (lang = '{a0}' AND source > '{a1}')
+ORDER BY lang, source
+LIMIT {COMPOSITE_SIZE}
+"""
+
+
 def _adjacency_sql() -> str:
     vals = ", ".join(f"('{k}', '{t}')" for k, t in sorted(ADJ_FILTERS.items()))
     return f"""
@@ -5273,4 +5388,8 @@ FROM ranked WHERE rank <= {TOPK}
         "top_hits_lang": _top_hits_sql(),
         "rare_terms": _rare_terms_sql(),
         "adjacency_matrix": _adjacency_sql(),
+        "span_first_topk": _span_first_sql(),
+        "msm_topk": _scored_sql(bm25, conjunctive=True, min_match=MSM,
+                                tokens=CONJ_QUERY_TOKENS),
+        "composite_agg": _composite_sql(),
     }

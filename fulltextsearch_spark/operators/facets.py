@@ -186,3 +186,38 @@ def adjacency_matrix(
         .groupBy(F.col("a.key").alias("key1"), F.col("b.key").alias("key2"))
         .agg(F.count(F.lit(1)).alias("doc_count"))
     )
+
+
+def composite_agg(
+    df: DataFrame,
+    sources: list[str],
+    size: int,
+    after: tuple | None = None,
+) -> DataFrame:
+    """ES ``composite`` aggregation: multi-source bucket counts streamed in
+    deterministic source order with after-key pagination.
+
+    Returns the next ``size`` buckets ``(*sources, doc_count)`` whose
+    composite key sorts strictly AFTER ``after`` (a tuple aligned with
+    ``sources``; ``None`` = first page). This is the aggregation-side
+    analogue of ``search_after`` — the reason ES has it is exactly the
+    reason it suits Spark: pagination never re-materializes earlier pages.
+
+    Scale shape: one hash aggregate over the source columns (map-side
+    partials), the after-key predicate prunes buckets BEFORE the ordering,
+    and ``orderBy().limit(size)`` compiles to TakeOrdered — a per-partition
+    top-``size`` plus a ``size``-row merge, never a global sort of the
+    bucket set.
+    """
+    grouped = df.groupBy(*[F.col(s) for s in sources]).agg(
+        F.count(F.lit(1)).alias("doc_count")
+    )
+    if after is not None:
+        # lexicographic (s0, s1, ...) > (a0, a1, ...)
+        pred = F.lit(False)
+        eq = F.lit(True)
+        for col, val in zip(sources, after):
+            pred = pred | (eq & (F.col(col) > F.lit(val)))
+            eq = eq & (F.col(col) == F.lit(val))
+        grouped = grouped.where(pred)
+    return grouped.orderBy(*[F.asc(s) for s in sources]).limit(size)

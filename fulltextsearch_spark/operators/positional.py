@@ -60,6 +60,8 @@ __all__ = [
     "best_snippets",
     "proximity_occurrences",
     "proximity_topk",
+    "span_first_occurrences",
+    "span_first_topk",
 ]
 
 
@@ -430,3 +432,42 @@ def proximity_topk(
         )
     )
     return topk(scored, k)
+
+
+def span_first_occurrences(index: PositionalIndex, spans: DataFrame) -> DataFrame:
+    """Lucene SpanFirstQuery: match documents where the span term occurs
+    within the first ``end`` SURVIVING token positions (position semantics
+    identical to the phrase machinery: stop words removed, survivors
+    renumbered).
+
+    ``spans`` is (query_id, term, end) — one row per span clause, terms
+    already tokenizer-normalized. Returns (query_id, doc_id, n_occ) with
+    ``n_occ`` the count of qualifying occurrences (the span-query analogue
+    of tf, feeding the shared virtual-term scorer).
+
+    Scale shape: one broadcast probe of the positional postings on the
+    span terms (O(clause-terms) row groups on a saved index), then a
+    per-row higher-order ``filter`` over the positions array — no explode,
+    no shuffle beyond the probe.
+    """
+    cand = index.postings.join(F.broadcast(spans), "term")
+    return cand.select(
+        "query_id",
+        "doc_id",
+        F.size(F.filter("positions", lambda p: p < F.col("end")))
+        .cast("long")
+        .alias("n_occ"),
+    ).filter(F.col("n_occ") >= 1)
+
+
+def span_first_topk(
+    index: PositionalIndex,
+    spans: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(query_id, term, end) -> (query_id, rank, doc_id, score): span_first
+    matches ranked through the shared virtual-term BM25 (tf = qualifying
+    occurrences, df = matching docs), deterministic doc_id tie-break."""
+    return _virtual_term_topk(index, span_first_occurrences(index, spans), k, k1, b)

@@ -143,3 +143,28 @@ def test_adjacency_matrix_counts(spark):
         ("A", "C"): 1,  # doc 3
         ("B", "C"): 2,  # docs 2, 3
     }
+
+
+def test_composite_agg_pagination(spark):
+    from fulltextsearch_spark.operators.facets import composite_agg
+
+    df = spark.createDataFrame(
+        [("de", "s1"), ("de", "s1"), ("de", "s2"), ("en", "s1"),
+         ("en", "s3"), ("fr", "s1")],
+        ["lang", "source"],
+    )
+    page1 = [tuple(r) for r in composite_agg(df, ["lang", "source"], 2).collect()]
+    assert page1 == [("de", "s1", 2), ("de", "s2", 1)]
+    # after-key = last bucket of page 1 -> page 2 starts strictly after it
+    page2 = [
+        tuple(r)
+        for r in composite_agg(df, ["lang", "source"], 2, after=("de", "s2")).collect()
+    ]
+    assert page2 == [("en", "s1", 1), ("en", "s3", 1)]
+    page3 = [
+        tuple(r)
+        for r in composite_agg(df, ["lang", "source"], 2, after=("en", "s3")).collect()
+    ]
+    assert page3 == [("fr", "s1", 1)]
+    # pages tile the full bucket set exactly
+    assert len(page1) + len(page2) + len(page3) == 5

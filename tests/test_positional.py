@@ -197,3 +197,40 @@ def test_best_snippets_brute_force(index, spark):
     assert got[("s1", 4)] == (0, 2, 3)
     # doc 2 has no salmon: single-term snippet at first cat
     assert got[("s1", 2)] == (0, 1, 1)
+
+
+def test_span_first_occurrences_and_rank(index, spark):
+    from fulltextsearch_spark.operators.positional import (
+        span_first_occurrences,
+        span_first_topk,
+    )
+
+    # surviving positions: doc0 = cat(0) salmon(1) fresh(2) cat(3) salmon(4)
+    # stale(5); doc3 = cat(0) salmon(1) fresh(2) (stop words dropped).
+    spans = spark.createDataFrame(
+        [("a", "salmon", 2), ("b", "salmon", 5), ("c", "fresh", 1)],
+        ["query_id", "term", "end"],
+    )
+    occ = {
+        (r["query_id"], r["doc_id"]): r["n_occ"]
+        for r in span_first_occurrences(index, spans).collect()
+    }
+    # 'salmon' strictly before position 2 -> docs 0 (pos1), 1 (pos0),
+    # 3 (pos1), 4 (pos1); doc2 has no salmon.
+    assert occ[("a", 0)] == 1 and occ[("a", 1)] == 1
+    assert occ[("a", 3)] == 1 and occ[("a", 4)] == 1
+    assert ("a", 2) not in occ
+    # wider window counts MULTIPLE qualifying occurrences
+    assert occ[("b", 0)] == 2  # positions 1 and 4
+    assert occ[("b", 4)] == 2  # positions 1 and 3
+    # 'fresh' never opens a doc -> clause c matches nothing
+    assert not any(q == "c" for q, _ in occ)
+
+    ranked = span_first_topk(index, spans, k=3).collect()
+    by_q: dict = {}
+    for r in ranked:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    # rank 1 for query b goes to a double-occurrence doc (higher tf),
+    # doc_id tie-break picks doc 0 over doc 4.
+    assert sorted(by_q["b"])[0] == (1, 0)
+    assert len(by_q["a"]) == 3
