@@ -2675,6 +2675,79 @@ def q_composite_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("lang", "source", F.col("doc_count").cast("long").alias("doc_count"))
 
 
+# has_child: min 2 matching paragraphs per parent, max child score.
+HC_MIN_CHILDREN = 2
+# DSIR hashed-bigram model size + smoothing (Xie et al. hash n-grams into a
+# fixed bucket space; 1024 keeps the oracle VALUES-free).
+DSIR_BUCKETS = 1024
+DSIR_ALPHA = 0.5
+# matrix_stats fields / percentile_ranks thresholds over documents.n_chars.
+MS_FIELDS = ["n_chars", "dl"]
+PR_THRESHOLDS = [200.0, 400.0, 800.0]
+
+
+def q_has_child_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_child query: parents ranked by the max BM25 of their matching
+    paragraph children (child mini-corpus stats), min_children floor."""
+    from fulltextsearch_spark.operators.parentchild import has_child_topk
+
+    return has_child_topk(
+        _lineful_docs(spark, sf_dir),
+        _query_frame(spark),
+        k=TOPK,
+        score_mode="max",
+        min_children=HC_MIN_CHILDREN,
+        k1=K1,
+        b=B,
+        stem=False,
+    ).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("parent_id").cast("long").alias("parent_id"),
+        F.col("n_children").cast("long").alias("n_children"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling: per-doc log-likelihood ratio of the
+    lang='en' target domain over the raw corpus, hashed-bigram LMs."""
+    from fulltextsearch_spark.operators.sampling import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("lang") == "en")
+    return dsir_weights(
+        docs, target, n_buckets=DSIR_BUCKETS, alpha=DSIR_ALPHA, stem=False
+    )
+
+
+def q_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES matrix_stats: pairwise second-moment statistics over numeric doc
+    fields (n_chars, token count)."""
+    from fulltextsearch_spark.operators.facets import matrix_stats
+    from fulltextsearch_spark.functions.tokenizer import term_counts_udf
+
+    tc = term_counts_udf(do_stem=False)
+    docs = _docs(spark, sf_dir).select(
+        F.col("n_chars").cast("double").alias("n_chars"),
+        tc(F.col("text"))["dl"].cast("double").alias("dl"),
+    )
+    return matrix_stats(docs, MS_FIELDS).select(
+        "field_x", "field_y", F.col("n").cast("long").alias("n"),
+        F.round("mean_x", 6).alias("mean_x"), F.round("mean_y", 6).alias("mean_y"),
+        "covariance", "correlation",
+    )
+
+
+def q_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentile_ranks (exact): per source, % of docs with n_chars <= t."""
+    from fulltextsearch_spark.operators.facets import percentile_ranks
+
+    return percentile_ranks(
+        _docs(spark, sf_dir), ["source"], "n_chars", PR_THRESHOLDS
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full stemmed BM25 top-k pipeline on sf0.001."""
     return q_bm25_topk_stemmed(spark, "/root/testdata/sf0.001")
@@ -2782,6 +2855,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first_topk": q_span_first_topk,
         "msm_topk": q_msm_topk,
         "composite_agg": q_composite_agg,
+        "has_child_topk": q_has_child_topk,
+        "dsir_weights": q_dsir_weights,
+        "matrix_stats": q_matrix_stats,
+        "percentile_ranks": q_percentile_ranks,
     }
 
 
@@ -4285,6 +4362,148 @@ LIMIT {COMPOSITE_SIZE}
 """
 
 
+def _has_child_sql() -> str:
+    """has_child oracle: paragraph children (trim+filter THEN index, like
+    posexplode over the filtered list), child mini-corpus BM25
+    (N = child count, avgdl = avg child dl), max score per parent with the
+    min_children floor."""
+    return f"""
+WITH lineful AS ({_LINEFUL_SQL}),
+lst AS (
+  SELECT doc_id AS parent_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS ls
+  FROM lineful
+),
+child AS (
+  SELECT parent_id,
+         unnest(generate_series(0, len(ls)-1)) AS child_idx,
+         unnest(ls) AS child_text
+  FROM lst
+),
+ctoks AS (
+  SELECT parent_id, child_idx,
+         list_filter(regexp_split_to_array(lower(child_text), '{_TOKEN_SPLIT_SQL}'),
+                     x -> x <> '' AND x NOT IN ({_stop_list_sql()})) AS tokens
+  FROM child
+),
+cstats AS (SELECT count(*)::BIGINT AS n_child, avg(len(tokens))::DOUBLE AS avgdl
+           FROM ctoks),
+cdls AS (SELECT parent_id, child_idx, len(tokens)::BIGINT AS cdl FROM ctoks),
+ctok AS (SELECT parent_id, child_idx, unnest(tokens) AS term FROM ctoks),
+ctf AS (SELECT parent_id, child_idx, term, count(*)::BIGINT AS tf
+        FROM ctok GROUP BY 1, 2, 3),
+cdf AS (SELECT term, count(*)::BIGINT AS df FROM ctf GROUP BY 1),
+qt AS (SELECT * FROM (VALUES {_values_query_tokens()}) AS v(query_id, term)),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qt GROUP BY 1, 2),
+cs AS (
+  SELECT q.query_id, t.parent_id, t.child_idx,
+         sum(q.qtf *
+             ln((s.n_child - d.df + 0.5)/(d.df + 0.5) + 1.0) *
+             (t.tf * ({K1} + 1.0)) /
+             (t.tf + {K1} * (1.0 - {B} + {B} * c.cdl / s.avgdl))) AS child_score
+  FROM qtf q
+  JOIN ctf t ON t.term = q.term
+  JOIN cdf d ON d.term = q.term
+  JOIN cdls c ON c.parent_id = t.parent_id AND c.child_idx = t.child_idx
+  CROSS JOIN cstats s
+  GROUP BY 1, 2, 3
+),
+par AS (
+  SELECT query_id, parent_id, count(*)::BIGINT AS n_children,
+         max(child_score) AS score
+  FROM cs GROUP BY 1, 2
+  HAVING count(*) >= {HC_MIN_CHILDREN}
+),
+ranked AS (
+  SELECT query_id, parent_id, n_children, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, parent_id ASC) AS rank
+  FROM par
+)
+SELECT query_id, rank::BIGINT AS rank, parent_id::BIGINT AS parent_id,
+       n_children, round(score, 4) AS score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _dsir_sql() -> str:
+    """DSIR oracle: the same md5-prefix hashed-bigram features and
+    add-alpha categorical LMs; unseen buckets fall to (0+alpha)/denom —
+    identical to the Spark floor constant."""
+    return f"""
+WITH {_tok_cte()},
+big AS (
+  SELECT doc_id,
+         unnest(tokens[1:len(tokens)-1]) AS w1,
+         unnest(tokens[2:len(tokens)]) AS w2
+  FROM toks WHERE len(tokens) >= 2
+),
+feat AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(w1 || ' ' || w2), 1, 8))::UINT64
+          % {DSIR_BUCKETS})::BIGINT AS feat
+  FROM big
+),
+tfeat AS (SELECT f.feat FROM feat f JOIN documents d USING (doc_id)
+          WHERE d.lang = 'en'),
+tlm AS (SELECT feat, count(*)::DOUBLE AS c FROM tfeat GROUP BY 1),
+tden AS (SELECT count(*)::DOUBLE + {DSIR_ALPHA} * {DSIR_BUCKETS} AS den FROM tfeat),
+rlm AS (SELECT feat, count(*)::DOUBLE AS c FROM feat GROUP BY 1),
+rden AS (SELECT count(*)::DOUBLE + {DSIR_ALPHA} * {DSIR_BUCKETS} AS den FROM feat),
+sc AS (
+  SELECT f.doc_id, count(*)::BIGINT AS n_feats,
+         avg(ln((coalesce(t.c, 0) + {DSIR_ALPHA}) / td.den)
+             - ln((coalesce(r.c, 0) + {DSIR_ALPHA}) / rd.den)) AS logw
+  FROM feat f
+  LEFT JOIN tlm t USING (feat)
+  LEFT JOIN rlm r USING (feat)
+  CROSS JOIN tden td CROSS JOIN rden rd
+  GROUP BY 1
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(sc.n_feats, 0)::BIGINT AS n_feats,
+       round(coalesce(sc.logw, 0.0), 6) AS logw
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
+def _matrix_stats_sql() -> str:
+    return f"""
+WITH {_tok_cte()},
+d AS (
+  SELECT doc.n_chars::DOUBLE AS n_chars, dls.dl::DOUBLE AS dl
+  FROM documents doc JOIN dls USING (doc_id)
+),
+one AS (
+  SELECT count(*)::BIGINT AS n,
+         avg(n_chars) AS m_nc, avg(dl) AS m_dl,
+         covar_pop(n_chars, n_chars) AS c_nn, corr(n_chars, n_chars) AS r_nn,
+         covar_pop(n_chars, dl) AS c_nd, corr(n_chars, dl) AS r_nd,
+         covar_pop(dl, dl) AS c_dd, corr(dl, dl) AS r_dd
+  FROM d
+)
+SELECT 'n_chars' AS field_x, 'n_chars' AS field_y, n,
+       round(m_nc, 6) AS mean_x, round(m_nc, 6) AS mean_y,
+       round(c_nn, 6) AS covariance, round(r_nn, 6) AS correlation FROM one
+UNION ALL
+SELECT 'n_chars', 'dl', n, round(m_nc, 6), round(m_dl, 6),
+       round(c_nd, 6), round(r_nd, 6) FROM one
+UNION ALL
+SELECT 'dl', 'dl', n, round(m_dl, 6), round(m_dl, 6),
+       round(c_dd, 6), round(r_dd, 6) FROM one
+"""
+
+
+def _percentile_ranks_sql() -> str:
+    cols = ", ".join(
+        f"round(100.0 * avg(CASE WHEN n_chars <= {t} THEN 1.0 ELSE 0.0 END), 4)"
+        f" AS pr_{f'{t:g}'.replace('.', '_')}"
+        for t in PR_THRESHOLDS
+    )
+    return f"SELECT source, {cols} FROM documents GROUP BY 1"
+
+
 def _adjacency_sql() -> str:
     vals = ", ".join(f"('{k}', '{t}')" for k, t in sorted(ADJ_FILTERS.items()))
     return f"""
@@ -5392,4 +5611,8 @@ FROM ranked WHERE rank <= {TOPK}
         "msm_topk": _scored_sql(bm25, conjunctive=True, min_match=MSM,
                                 tokens=CONJ_QUERY_TOKENS),
         "composite_agg": _composite_sql(),
+        "has_child_topk": _has_child_sql(),
+        "dsir_weights": _dsir_sql(),
+        "matrix_stats": _matrix_stats_sql(),
+        "percentile_ranks": _percentile_ranks_sql(),
     }

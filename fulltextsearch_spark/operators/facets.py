@@ -19,9 +19,12 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "adjacency_matrix",
+    "composite_agg",
     "date_histogram",
     "facet_counts",
     "field_percentiles",
+    "matrix_stats",
+    "percentile_ranks",
     "rare_terms",
     "top_hits",
 ]
@@ -221,3 +224,64 @@ def composite_agg(
             eq = eq & (F.col(col) == F.lit(val))
         grouped = grouped.where(pred)
     return grouped.orderBy(*[F.asc(s) for s in sources]).limit(size)
+
+
+def percentile_ranks(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    thresholds: list[float],
+) -> DataFrame:
+    """ES ``percentile_ranks`` aggregation, exact: for each threshold, the
+    percentage of values <= it, per key combination.
+
+    Returns ``(*key_cols, pr_<t>, ...)``. ES approximates this with
+    t-digest for the same coordinator-merge reason as ``percentiles``; one
+    Spark hash aggregate computes it exactly (a conditional-count per
+    threshold, all map-side-partial).
+    """
+    def _name(t: float) -> str:
+        return "pr_" + f"{t:g}".replace(".", "_").replace("-", "m")
+
+    aggs = [
+        F.round(
+            100.0 * F.avg((F.col(value_col) <= F.lit(t)).cast("double")), 4
+        ).alias(_name(t))
+        for t in thresholds
+    ]
+    return df.groupBy(*[F.col(k) for k in key_cols]).agg(*aggs)
+
+
+def matrix_stats(df: DataFrame, fields: list[str]) -> DataFrame:
+    """ES ``matrix_stats`` aggregation: per-field-pair second-moment
+    statistics over numeric fields.
+
+    Returns one row per ordered-unique pair ``(field_x <= field_y)``:
+    ``(field_x, field_y, n, mean_x, mean_y, covariance, correlation)``
+    (population covariance; the diagonal's covariance is the variance and
+    its correlation 1). Everything reduces in ONE hash aggregate pass —
+    |fields|^2 scalar aggregates with map-side partials — then a constant
+    ``stack`` unpivot of the single result row; nothing scales with row
+    count except the scan.
+    """
+    pairs = [
+        (fx, fy) for i, fx in enumerate(fields) for fy in fields[i:]
+    ]
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for f_ in fields:
+        aggs.append(F.avg(F.col(f_)).alias(f"_mean_{f_}"))
+    for fx, fy in pairs:
+        aggs.append(F.covar_pop(F.col(fx), F.col(fy)).alias(f"_cov_{fx}_{fy}"))
+        aggs.append(F.corr(F.col(fx), F.col(fy)).alias(f"_cor_{fx}_{fy}"))
+    one = df.agg(*aggs)
+    stack_args = []
+    for fx, fy in pairs:
+        stack_args.append(
+            f"'{fx}', '{fy}', _n, _mean_{fx}, _mean_{fy}, "
+            f"round(_cov_{fx}_{fy}, 6), round(_cor_{fx}_{fy}, 6)"
+        )
+    expr = (
+        f"stack({len(pairs)}, " + ", ".join(stack_args) +
+        ") as (field_x, field_y, n, mean_x, mean_y, covariance, correlation)"
+    )
+    return one.selectExpr(expr)

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["mix_weights", "stratified_sample"]
+__all__ = ["dsir_weights", "mix_weights", "stratified_sample"]
 
 _HASH_SPACE = float(1 << 32)
 
@@ -93,4 +93,100 @@ def stratified_sample(
         .join(F.broadcast(rates.select(F.col("key"), "rate")), F.col(key_col) == F.col("key"))
         .filter(F.col("sample_hash").cast("double") < F.col("rate") * F.lit(_HASH_SPACE))
         .drop("key", "rate")
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    stem: bool = False,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+    per-document log importance weight of a TARGET domain over the RAW
+    corpus, under hashed-bigram bag-of-words language models.
+
+    Each document is a bag of hashed bigram features (``md5(w1 w2)`` first
+    8 hex digits mod ``n_buckets`` — the same engine-portable hash the
+    stratified sampler uses, so the oracle replays it exactly). Two
+    add-``alpha``-smoothed categorical models are fit — one on ``target``
+    (the domain to up-weight), one on the full ``docs`` corpus — and a
+    doc's weight is the mean per-feature log-likelihood ratio::
+
+        logw(d) = mean_{f in d} [ log p_target(f) - log p_raw(f) ]
+
+    Resample by keeping the top-N docs by ``logw`` (or Gumbel-top-k with an
+    external deterministic key). Returns ``(doc_id, n_feats, logw)`` for
+    every doc, ``logw = 0`` for docs with fewer than 2 tokens.
+
+    Scale shape: feature extraction is narrow (tokenize + arrays_zip of
+    shifted slices, one stage); both LMs are ``n_buckets``-row aggregates
+    (map-side partials, then a BROADCAST of the tiny bucket tables — unlike
+    the raw-bigram LM, the hashed model is bounded by construction, which
+    is exactly why DSIR hashes); scoring is one broadcast join + per-doc
+    hash aggregate. The target table is typically a small curated sample —
+    it never joins the corpus, it only fits a 1024-row model.
+    """
+    from fulltextsearch_spark.functions.tokenizer import tokenize_udf
+
+    tok = tokenize_udf(do_stem=stem)
+
+    def feats(frame: DataFrame) -> DataFrame:
+        toks = frame.select("doc_id", tok(F.col(text_col)).alias("toks"))
+        n = F.size("toks")
+        pairs = toks.where(n >= 2).select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, n - 1).alias("w1"),
+                    F.slice("toks", 2, n - 1).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        key = F.concat_ws(" ", F.col("bg.w1"), F.col("bg.w2"))
+        bucket = (
+            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+            % F.lit(n_buckets)
+        )
+        return pairs.select("doc_id", bucket.alias("feat"))
+
+    import math
+
+    def lm(feature_frame: DataFrame, name: str) -> tuple[DataFrame, float]:
+        """(bucket log-prob table, log-prob floor for unseen buckets)."""
+        counts = feature_frame.groupBy("feat").agg(
+            F.count(F.lit(1)).cast("double").alias("_c")
+        )
+        denom = float(feature_frame.count()) + alpha * n_buckets
+        table = counts.select(
+            "feat", F.log((F.col("_c") + alpha) / F.lit(denom)).alias(name)
+        )
+        return table, math.log(alpha / denom)
+
+    doc_feats = feats(docs)
+    t_lm, t_floor = lm(feats(target), "lp_t")
+    r_lm, r_floor = lm(doc_feats, "lp_r")
+
+    scored = (
+        doc_feats.join(F.broadcast(t_lm), "feat", "left")
+        .join(F.broadcast(r_lm), "feat", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.avg(
+                F.coalesce("lp_t", F.lit(t_floor))
+                - F.coalesce("lp_r", F.lit(r_floor))
+            ).alias("logw"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.round(F.coalesce("logw", F.lit(0.0)), 6).alias("logw"),
+        )
     )

@@ -8,6 +8,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from fulltextsearch_spark.functions.tokenizer import tokenize
 from fulltextsearch_spark.operators.facets import adjacency_matrix, rare_terms, top_hits
@@ -168,3 +169,81 @@ def test_composite_agg_pagination(spark):
     assert page3 == [("fr", "s1", 1)]
     # pages tile the full bucket set exactly
     assert len(page1) + len(page2) + len(page3) == 5
+
+
+def test_has_child_score_modes(spark):
+    from fulltextsearch_spark.operators.parentchild import child_docs, has_child_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "salmon river\nsalmon salmon\nempty here"),
+            (1, "salmon alone"),
+            (2, "river bank\nno fish at all"),
+            (3, "   \nsalmon again\n"),
+        ],
+        ["doc_id", "text"],
+    )
+    kids = {(r["parent_id"], r["child_idx"]): r["child_text"]
+            for r in child_docs(docs).collect()}
+    # trimming + empty filtering happens BEFORE indexing
+    assert kids[(3, 0)] == "salmon again"
+    assert (3, 1) not in kids
+    assert len([k for k in kids if k[0] == 0]) == 3
+
+    q = spark.createDataFrame([("q", "salmon")], ["query_id", "content"])
+    # min_children=2: only doc 0 has >=2 children containing 'salmon'
+    got = has_child_topk(docs, q, k=5, score_mode="max", min_children=2).collect()
+    assert [(r["parent_id"], r["n_children"]) for r in got] == [(0, 2)]
+    # min_children=1: docs 0, 1, 3 qualify; sum > max for doc 0 only
+    mx = {r["parent_id"]: r["score"]
+          for r in has_child_topk(docs, q, k=5, score_mode="max").collect()}
+    sm = {r["parent_id"]: r["score"]
+          for r in has_child_topk(docs, q, k=5, score_mode="sum").collect()}
+    assert set(mx) == {0, 1, 3}
+    assert sm[0] > mx[0]
+    assert sm[1] == pytest.approx(mx[1])
+
+
+def test_dsir_weights_favor_target_domain(spark):
+    from fulltextsearch_spark.operators.sampling import dsir_weights
+
+    rows = []
+    # target-like docs repeat one phrase; off-domain docs another
+    for i in range(10):
+        rows.append((i, "clean wiki prose sentence structure clean wiki prose"))
+    for i in range(10, 20):
+        rows.append((i, "spam casino bonus click casino bonus spam click"))
+    rows.append((20, "a"))  # single-token: no bigrams
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = docs.where("doc_id < 10")
+    got = {r["doc_id"]: (r["n_feats"], r["logw"])
+           for r in dsir_weights(docs, target, n_buckets=256).collect()}
+    assert got[20] == (0, 0.0)
+    # every target-domain doc outranks every off-domain doc
+    assert min(got[i][1] for i in range(10)) > max(got[i][1] for i in range(10, 20))
+    assert got[0][0] > 0
+
+
+def test_matrix_stats_and_percentile_ranks(spark):
+    import numpy as np
+
+    from fulltextsearch_spark.operators.facets import matrix_stats, percentile_ranks
+
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0]
+    ys = [2.0, 4.0, 5.0, 4.0, 5.0]
+    df = spark.createDataFrame(list(zip(xs, ys)), ["x", "y"])
+    rows = {(r["field_x"], r["field_y"]): r for r in matrix_stats(df, ["x", "y"]).collect()}
+    assert set(rows) == {("x", "x"), ("x", "y"), ("y", "y")}
+    assert rows[("x", "y")]["covariance"] == pytest.approx(
+        round(float(np.cov(xs, ys, bias=True)[0][1]), 6)
+    )
+    assert rows[("x", "y")]["correlation"] == pytest.approx(
+        round(float(np.corrcoef(xs, ys)[0][1]), 6)
+    )
+    assert rows[("x", "x")]["covariance"] == pytest.approx(
+        round(float(np.var(xs)), 6)
+    )
+
+    pr = percentile_ranks(df.withColumn("g", F.lit("a")), ["g"], "x", [2.0, 4.5]).collect()[0]
+    assert pr["pr_2"] == pytest.approx(40.0)
+    assert pr["pr_4_5"] == pytest.approx(80.0)
