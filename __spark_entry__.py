@@ -2739,6 +2739,33 @@ def q_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Jelinek-Mercer interpolation weight (Zhai & Lafferty's short-query choice).
+LMJM_LAM = 0.1
+
+
+def q_lmjm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer-smoothed query likelihood top-k (Lucene
+    LMJelinekMercerSimilarity) — third similarity family over the index."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.query import search_lm_jm
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    idx = build_index(spark, _docs(spark, sf_dir), cfg, persist=False)
+    return search_lm_jm(idx, _query_frame(spark), cfg, lam=LMJM_LAM).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_dfr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFR InL2 top-k (Amati & van Rijsbergen; Lucene DFRSimilarity
+    In/L/H2) — divergence-from-randomness ranking over the same index."""
+    return _q_topk(spark, sf_dir, "dfr", stem=False)
+
+
 def q_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES percentile_ranks (exact): per source, % of docs with n_chars <= t."""
     from fulltextsearch_spark.operators.facets import percentile_ranks
@@ -2859,6 +2886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "matrix_stats": q_matrix_stats,
         "percentile_ranks": q_percentile_ranks,
+        "lmjm_topk": q_lmjm_topk,
+        "dfr_topk": q_dfr_topk,
     }
 
 
@@ -4495,6 +4524,43 @@ SELECT 'dl', 'dl', n, round(m_dl, 6), round(m_dl, 6),
 """
 
 
+def _lmjm_sql() -> str:
+    """Jelinek-Mercer oracle: same cf/p(t|C) statistics as the Dirichlet
+    oracle, linear interpolation scoring with the Spark nesting."""
+    return f"""
+WITH {_tok_cte()},
+stats AS (
+  SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+         sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl
+  FROM dls
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+cft AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1),
+qt AS (SELECT * FROM (VALUES {_values_query_tokens()}) AS v(query_id, term)),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qt GROUP BY 1, 2),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1.0 +
+             ({1.0 - LMJM_LAM} * tf.tf / dls.dl)
+             / ({LMJM_LAM} * (cft.cf / (s.avgdl * s.n_docs))))) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN cft ON cft.term = q.term
+  JOIN dls ON dls.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def _percentile_ranks_sql() -> str:
     cols = ", ".join(
         f"round(100.0 * avg(CASE WHEN n_chars <= {t} THEN 1.0 ELSE 0.0 END), 4)"
@@ -5615,4 +5681,10 @@ FROM ranked WHERE rank <= {TOPK}
         "dsir_weights": _dsir_sql(),
         "matrix_stats": _matrix_stats_sql(),
         "percentile_ranks": _percentile_ranks_sql(),
+        "lmjm_topk": _lmjm_sql(),
+        "dfr_topk": _scored_sql(
+            "(tf.tf * log2(1.0 + s.avgdl / dls.dl))"
+            " / ((tf.tf * log2(1.0 + s.avgdl / dls.dl)) + 1.0)"
+            " * log2((s.n_docs + 1.0) / (dft.df + 0.5))"
+        ),
     }

@@ -27,6 +27,8 @@ __all__ = [
     "bm25_col",
     "tfidf_col",
     "lm_dirichlet_col",
+    "lm_jm_col",
+    "dfr_inl2_col",
     "idf_np",
     "bm25_np",
     "tfidf_np",
@@ -81,6 +83,53 @@ def lm_dirichlet_col(
         F.lit(float(mu)) / (dl + F.lit(float(mu)))
     )
     return F.greatest(F.lit(0.0), raw)
+
+
+def lm_jm_col(
+    tf_col: Column,
+    cf_col: Column,
+    dl_col: Column,
+    total_tokens: float,
+    lam: float = 0.1,
+) -> Column:
+    """Jelinek-Mercer-smoothed query likelihood per-term score (Lucene
+    ``LMJelinekMercerSimilarity``; Zhai & Lafferty, SIGIR 2001):
+
+        ln(1 + ((1 - lambda) * tf/dl) / (lambda * p(t|C)))
+
+    Linear interpolation of the document and collection models —
+    ``lambda`` near 0 trusts the document (short queries), near 1 the
+    collection (long, verbose queries). Shares the ``cf`` statistic with
+    the Dirichlet path; always > 0 on a match, so no clamp is needed.
+    """
+    tf = tf_col.cast("double")
+    p_c = cf_col.cast("double") / F.lit(float(total_tokens))
+    return F.log(
+        F.lit(1.0)
+        + (F.lit(1.0 - lam) * tf / dl_col.cast("double")) / (F.lit(lam) * p_c)
+    )
+
+
+def dfr_inl2_col(
+    tf_col: Column,
+    df_col: Column,
+    dl_col: Column,
+    n_docs: float,
+    avgdl: float,
+    c: float = 1.0,
+) -> Column:
+    """DFR InL2 per-term score (Amati & van Rijsbergen, TOIS 2002; Lucene
+    ``DFRSimilarity(BasicModelIn, AfterEffectL, NormalizationH2)``):
+
+        tfn  = tf * log2(1 + c * avgdl/dl)          (H2 length normalization)
+        score = tfn/(tfn + 1) * log2((N + 1)/(df + 0.5))   (I(n) basic model,
+                                                            L after-effect)
+    """
+    tf = tf_col.cast("double")
+    tfn = tf * F.log2(F.lit(1.0) + F.lit(float(c) * float(avgdl)) / dl_col.cast("double"))
+    return (tfn / (tfn + F.lit(1.0))) * F.log2(
+        F.lit(float(n_docs) + 1.0) / (df_col.cast("double") + F.lit(0.5))
+    )
 
 
 # --- numpy kernels (used by the WAND Arrow UDF and the pure-Python oracle) --

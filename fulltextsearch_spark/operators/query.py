@@ -89,7 +89,13 @@ def _per_term_score(scoring: str, index: IndexTables, cfg: EngineConfig):
         )
     if scoring == "tfidf":
         return tfidf_col(F.col("tf"), F.col("df"), F.col("dl"), index.n_docs)
-    raise ValueError(f"unknown scoring {scoring!r} (use 'bm25' or 'tfidf')")
+    if scoring == "dfr":
+        from fulltextsearch_spark.functions.scoring import dfr_inl2_col
+
+        return dfr_inl2_col(
+            F.col("tf"), F.col("df"), F.col("dl"), index.n_docs, index.avgdl
+        )
+    raise ValueError(f"unknown scoring {scoring!r} (use 'bm25', 'tfidf' or 'dfr')")
 
 
 def _scored_candidates(
@@ -184,7 +190,23 @@ def search_lm_dirichlet(
     Query-token multiplicity scales per-term scores exactly as the BM25 path
     (``score * qtf``) — eq. 6's ``c(w;q)`` factor.
     """
-    q_terms = query_terms(queries, stem=cfg.stem)
+    flat = _flat_with_cf(index, query_terms(queries, stem=cfg.stem))
+    total_tokens = float(index.avgdl) * float(index.n_docs)
+    per_term = lm_dirichlet_col(F.col("tf"), F.col("cf"), F.col("dl"), total_tokens, mu)
+    scored = (
+        flat.withColumn("_s", per_term * F.col("qtf").cast("double"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_s").alias("score"))
+    )
+    return topk(scored, k if k is not None else cfg.k)
+
+
+def _flat_with_cf(index: IndexTables, q_terms: DataFrame) -> DataFrame:
+    """Exploded (query_id, qtf, cf, doc_id, tf, dl) rows for the language-
+    model scorers: the BM25 probe plus the collection term frequency
+    ``cf(t)``, computed only for the broadcast query terms (semi-narrowed
+    postings scan, per-row F.aggregate over the array — no explode — and a
+    map-side-combined groupBy that collapses doc-range shards)."""
     cf = (
         index.postings.join(F.broadcast(q_terms.select("term").distinct()), "term")
         .select(
@@ -196,7 +218,7 @@ def search_lm_dirichlet(
         .groupBy("term")
         .agg(F.sum("_cf_row").alias("cf"))
     )
-    flat = (
+    return (
         index.postings.join(F.broadcast(q_terms), "term")
         .join(F.broadcast(cf), "term")
         .select("query_id", "qtf", "cf", F.explode("postings").alias("p"))
@@ -209,8 +231,24 @@ def search_lm_dirichlet(
             F.col("p.dl").alias("dl"),
         )
     )
+
+
+def search_lm_jm(
+    index: IndexTables,
+    queries: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    lam: float = 0.1,
+    k: int | None = None,
+) -> DataFrame:
+    """Top-k under the Jelinek-Mercer-smoothed language model (Lucene
+    ``LMJelinekMercerSimilarity``) — same probe + cf plumbing as the
+    Dirichlet path, linear document/collection interpolation instead of
+    the pseudo-count prior."""
+    from fulltextsearch_spark.functions.scoring import lm_jm_col
+
+    flat = _flat_with_cf(index, query_terms(queries, stem=cfg.stem))
     total_tokens = float(index.avgdl) * float(index.n_docs)
-    per_term = lm_dirichlet_col(F.col("tf"), F.col("cf"), F.col("dl"), total_tokens, mu)
+    per_term = lm_jm_col(F.col("tf"), F.col("cf"), F.col("dl"), total_tokens, lam)
     scored = (
         flat.withColumn("_s", per_term * F.col("qtf").cast("double"))
         .groupBy("query_id", "doc_id")

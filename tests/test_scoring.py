@@ -78,3 +78,67 @@ def test_column_and_numpy_bit_identical(spark):
     for tf, df, dl in cases:
         np_val = bm25_np(np.array([tf]), idf_np(np.array([df]), n), np.array([dl]), avgdl, k1, b)[0]
         assert got[(tf, df, dl)] == np_val  # exact IEEE-754 equality
+
+
+def test_lm_jm_and_dfr_columns_match_formula(spark):
+    from pyspark.sql import functions as F
+
+    from fulltextsearch_spark.functions.scoring import dfr_inl2_col, lm_jm_col
+
+    rows = [(3, 7, 120, 40), (1, 2, 15, 9), (8, 30, 300, 300)]  # tf, cf/df, dl, ...
+    df = spark.createDataFrame(rows, ["tf", "stat", "dl", "extra"])
+    total, lam = 10_000.0, 0.1
+    got_jm = [
+        r[0]
+        for r in df.select(
+            lm_jm_col(F.col("tf"), F.col("stat"), F.col("dl"), total, lam)
+        ).collect()
+    ]
+    for (tf, cf, dl, _), g in zip(rows, got_jm):
+        want = math.log(1.0 + ((1.0 - lam) * tf / dl) / (lam * (cf / total)))
+        assert g == pytest.approx(want, rel=1e-12)
+        assert g > 0.0  # JM never needs the Dirichlet clamp on a match
+
+    n_docs, avgdl = 5000.0, 180.0
+    got_dfr = [
+        r[0]
+        for r in df.select(
+            dfr_inl2_col(F.col("tf"), F.col("stat"), F.col("dl"), n_docs, avgdl)
+        ).collect()
+    ]
+    for (tf, d_f, dl, _), g in zip(rows, got_dfr):
+        tfn = tf * math.log2(1.0 + avgdl / dl)
+        want = tfn / (tfn + 1.0) * math.log2((n_docs + 1.0) / (d_f + 0.5))
+        assert g == pytest.approx(want, rel=1e-12)
+
+
+def test_lm_jm_search_ranks_by_formula(spark):
+    from pyspark.sql import functions as F
+
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.query import search, search_lm_jm
+
+    docs = spark.createDataFrame(
+        [
+            (0, "salmon salmon salmon trout"),
+            (1, "salmon trout pike pike pike pike pike pike"),
+            (2, "trout trout"),
+            (3, "salmon"),
+        ],
+        ["doc_id", "text"],
+    )
+    cfg = EngineConfig(k1=1.2, b=0.75, k=4, stem=False)
+    idx = build_index(spark, docs, cfg, persist=False)
+    q = spark.createDataFrame([("q", "salmon")], ["query_id", "content"])
+    got = [(r["doc_id"], r["score"]) for r in search_lm_jm(idx, q, cfg).collect()]
+    # brute: tf/dl dominates under JM -> doc3 (1/1) > doc0 (3/4) > doc1 (1/8)
+    assert [d for d, _ in got] == [3, 0, 1]
+    total = idx.avgdl * idx.n_docs
+    cf = 5.0  # salmon occurrences
+    for d, s, tf, dl in [(3, got[0][1], 1, 1), (0, got[1][1], 3, 4), (1, got[2][1], 1, 8)]:
+        want = math.log(1.0 + (0.9 * tf / dl) / (0.1 * (cf / total)))
+        assert s == pytest.approx(want, rel=1e-12)
+    # DFR dispatch flows through the shared search()
+    dfr = search(idx, q, cfg, scoring="dfr").collect()
+    assert len(dfr) == 3 and dfr[0]["rank"] == 1
