@@ -1687,6 +1687,25 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "vec_id", F.round("sim", 4).alias("sim"))
 
 
+def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op: SemDeDup (Abbas et al., 2023) — k-means cluster
+    the embeddings, then inside each cluster drop any point whose cosine to a
+    smaller-id cluster-mate exceeds the threshold. The DuckDB oracle carries
+    the deterministic k-means centroids as VALUES and independently replays
+    assignment, the within-cluster lower-triangular pair test, and the keep
+    flag. Threshold 0.3 sits 1.8e-4 from the nearest sf0.01 pair cosine, so
+    the boundary cannot flap on summation-order FP noise."""
+    from fulltextsearch_spark.operators.similarity import semdedup_keep
+
+    emb = _embeddings(spark, sf_dir)
+    res = semdedup_keep(emb, n_centroids=16, threshold=0.3)
+    return res.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("list_id").cast("long").alias("list_id"),
+        F.col("kept").cast("long").alias("kept"),
+    )
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: FTSB container header parse. The media table derives
     deterministically from the documents table (media_from_docs), so the
@@ -2868,6 +2887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "semdedup_keep": q_semdedup_keep,
         "media_metadata": q_media_metadata,
         "image_stats": q_image_stats,
         "audio_features": q_audio_features,
@@ -4247,6 +4267,57 @@ FROM r WHERE rank <= {TOPK}
 """
 
 
+def _semdedup_sql() -> str:
+    """Replay SemDeDup in DuckDB: deterministic numpy k-means centroids
+    carried as VALUES (same seed/sample as the Spark path — at the driver's
+    oracle SF the bounded sample is the full 500-row table in vec_id order),
+    then nearest-centroid assignment, the within-cluster a.vec_id < b.vec_id
+    cosine test, and the keep flag recomputed independently in SQL."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from fulltextsearch_spark.operators.similarity import _kmeans
+
+    if not os.path.exists(_EMB_SF001):  # pragma: no cover - driver env always has it
+        return "SELECT 1 WHERE false"
+    tbl = pq.read_table(_EMB_SF001).sort_by("vec_id")  # canonical sample order
+    emb = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    cent = _kmeans(emb, 16, 10, 7)
+    cent_rows = ", ".join(
+        "(%d, [%s])" % (i, ", ".join(repr(float(v)) for v in cent[i]))
+        for i in range(cent.shape[0])
+    )
+    return f"""
+WITH cent AS (SELECT * FROM (VALUES {cent_rows}) c(list_id, cv)),
+ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+dist AS (
+  SELECT vec_id, list_id,
+         list_sum(list_transform(list_zip(v, cv), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM ed CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id, row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+    FROM dist) WHERE rn = 1
+),
+pts AS (
+  SELECT a.vec_id, a.list_id,
+         list_transform(ed.v, x -> x / sqrt(list_sum(list_transform(ed.v, y -> y*y)))) AS nv
+  FROM assign a JOIN ed USING (vec_id)
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM pts a JOIN pts b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(list_zip(a.nv, b.nv), p -> p[1] * p[2])) > 0.3
+)
+SELECT p.vec_id::BIGINT AS vec_id, p.list_id::BIGINT AS list_id,
+       (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS kept
+FROM pts p LEFT JOIN dups d USING (vec_id)
+"""
+
+
 # shared gaps-and-islands session CTEs (30-min gap, (ts, event_id) order) —
 # used by BOTH the batch event_sessions and streaming_sessions oracles so
 # the two can never drift apart
@@ -5557,6 +5628,7 @@ FROM d JOIN labels l ON l.node = d.doc_id AND l.component = d.doc_id
 """,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
+        "semdedup_keep": _semdedup_sql(),
         "media_metadata": """
 SELECT doc_id::BIGINT AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,

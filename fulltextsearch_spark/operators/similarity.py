@@ -42,6 +42,7 @@ __all__ = [
     "build_ivf",
     "ivf_cosine_topk",
     "embedding_neardup_exact",
+    "semdedup_keep",
 ]
 
 
@@ -455,4 +456,68 @@ def embedding_neardup_exact(
         .filter(F.col("vec_id_a") < F.col("vec_id_b"))
         .select("vec_id_a", "vec_id_b", (dot / (F.col("na") * F.col("nb"))).alias("sim"))
         .filter(F.col("sim") >= threshold)
+    )
+
+
+def semdedup_keep(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    iters: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): semantic deduplication by k-means
+    clustering + within-cluster cosine pruning.
+
+    Every embedding is assigned to a k-means cluster (the IVF coarse
+    quantizer, reused); within each cluster a point is a DUPLICATE when
+    some other cluster member with a SMALLER id has cosine similarity
+    above ``threshold`` — the paper's lower-triangular max-similarity
+    test with a deterministic (id-ascending) ordering, so the survivor
+    set is a pure function of the data and exactly SQL-replayable.
+    Returns ``(vec_id, list_id, kept)`` for every input row.
+
+    Scale shape: this is the SemDeDup design point — the O(n^2) similarity
+    matrix is never global, only per-cluster (the paper sizes k so
+    clusters fit a GPU; here so a cluster's pair join fits a task). The
+    join key is ``list_id``; pair volume is sum over clusters of c_i^2.
+    Skew guard at extreme scale: split oversized clusters by a secondary
+    k-means (the paper's own remedy) before the pair join.
+    """
+    assigned, _cent = ivf_assign(
+        embeddings, n_centroids, None, iters, seed, id_col, vec_col
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    pts = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.transform(v, lambda x: x / norm).alias("nv"),
+    ).join(assigned.select(F.col(id_col).cast("long").alias("vec_id"), "list_id"), "vec_id")
+
+    a = pts.alias("a")
+    b = pts.alias("b")
+    cos = F.aggregate(
+        F.zip_with(F.col("a.nv"), F.col("b.nv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos > F.lit(threshold))
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return pts.join(dups, "vec_id", "left").select(
+        "vec_id",
+        F.col("list_id").cast("long").alias("list_id"),
+        (~F.coalesce("_dup", F.lit(False))).alias("kept"),
     )

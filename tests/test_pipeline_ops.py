@@ -203,6 +203,35 @@ def test_embedding_neardup_exact_matches_numpy(spark, emb_df, emb_np):
     assert got == exp and len(exp) > 0
 
 
+def test_semdedup_keep_matches_numpy(spark, emb_df, emb_np):
+    """SemDeDup: cluster assignment + keep flags match an independent numpy
+    replay (k-means, nearest-centroid, within-cluster lower-triangular
+    cosine test), and the smallest id in every cluster always survives."""
+    ids, m = emb_np
+    cent = sim._kmeans(m, 16, 10, 7)  # bounded sample == full table here
+    lab = np.argmin(((m[:, None, :] - cent[None, :, :]) ** 2).sum(-1), axis=1)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    thr = 0.3
+    exp_kept = {}
+    for c in range(16):
+        idx = np.where(lab == c)[0]
+        s = mn[idx] @ mn[idx].T
+        for a, i in enumerate(idx):
+            dup = any(s[b, a] > thr for b in range(a))  # idx is id-ascending
+            exp_kept[int(ids[i])] = (int(c), not dup)
+    got = {
+        r["vec_id"]: (r["list_id"], r["kept"])
+        for r in sim.semdedup_keep(emb_df, n_centroids=16, threshold=thr).collect()
+    }
+    assert got == exp_kept
+    n_dropped = sum(1 for _, k in got.values() if not k)
+    assert n_dropped > 0  # threshold chosen so the pair test actually fires
+    for c in range(16):
+        members = [v for v, (lc, _) in got.items() if lc == c]
+        if members:
+            assert got[min(members)][1]  # cluster-min id always kept
+
+
 # --- textstats ---------------------------------------------------------------
 
 
