@@ -1015,6 +1015,18 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_docs(spark, sf_dir))
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline: fixed-size overlapping token-window chunking
+    (chunk_size=32, overlap=8 -> step 24) over the engine's unstemmed
+    token stream — the RAG / embedding-prep step. Pure map-side: tokenize
+    + sequence + explode + slice, zero shuffles. The DuckDB oracle replays
+    tokenization (shared CTE), the start grid (generate_series by step),
+    the slice, and the join-text independently."""
+    from fulltextsearch_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_size=32, overlap=8)
+
+
 def q_decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-pipeline: benchmark decontamination (published exact
     n-gram-overlap rule, GPT-3 App. C style; n=8 over the engine's
@@ -1684,6 +1696,25 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("qvec"),
     )
     res = ivf_cosine_topk(emb, q, n_centroids=10, nprobe=6, k=TOPK)
+    return res.select("query_id", "rank", "vec_id", F.round("sim", 4).alias("sim"))
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity: product quantization (Jegou et al. 2011) with ADC cosine
+    scoring — 4 subspaces x 16 codes over the 64-dim embeddings. The DuckDB
+    oracle carries the deterministic per-subspace codebooks as VALUES and
+    independently recomputes per-vector code assignment (argmin per
+    subspace slice), the per-query lookup tables, the reconstruction-norm
+    denominator, and the top-k."""
+    from fulltextsearch_spark.operators.similarity import build_pq, pq_adc_topk
+
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qvec"),
+    )
+    idx = build_pq(emb, m=4, n_codes=16)
+    res = pq_adc_topk(idx, q, k=TOPK)
     return res.select("query_id", "rank", "vec_id", F.round("sim", 4).alias("sim"))
 
 
@@ -2861,6 +2892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
+        "chunk_docs": q_chunk_docs,
         "quality_score": q_quality_score,
         "gopher_rules": q_gopher_rules,
         "gopher_repetition": q_gopher_repetition,
@@ -2887,6 +2919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "semdedup_keep": q_semdedup_keep,
         "media_metadata": q_media_metadata,
         "image_stats": q_image_stats,
@@ -4267,6 +4300,80 @@ FROM r WHERE rank <= {TOPK}
 """
 
 
+def _ann_pq_sql() -> str:
+    """Replay PQ + ADC in DuckDB: deterministic per-subspace k-means
+    codebooks carried as VALUES (same bounded sample as the Spark build —
+    the full sf0.01 table in vec_id order), then per-vector code assignment
+    (argmin over each 16-dim subspace slice), per-query subspace dot-product
+    LUTs, the reconstruction-norm denominator, and the top-k, all
+    independently in SQL."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from fulltextsearch_spark.operators.similarity import _kmeans
+
+    if not os.path.exists(_EMB_SF001):  # pragma: no cover - driver env always has it
+        return "SELECT 1 WHERE false"
+    tbl = pq.read_table(_EMB_SF001).sort_by("vec_id")  # canonical sample order
+    emb = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    dsub = emb.shape[1] // 4
+    book_rows = []
+    for j in range(4):
+        cent = _kmeans(np.ascontiguousarray(emb[:, j * dsub : (j + 1) * dsub]), 16, 10, 7 + j)
+        for c in range(cent.shape[0]):
+            book_rows.append(
+                "(%d, %d, [%s])" % (j, c, ", ".join(repr(float(v)) for v in cent[c]))
+            )
+    books = ", ".join(book_rows)
+    return f"""
+WITH books AS (SELECT * FROM (VALUES {books}) b(sub, code, cv)),
+subs AS (SELECT unnest(range(4)) AS sub),
+ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+subv AS (
+  SELECT vec_id, sub, list_slice(v, sub * {dsub} + 1, sub * {dsub} + {dsub}) AS sv
+  FROM ed CROSS JOIN subs
+),
+dist AS (
+  SELECT vec_id, b.sub, b.code,
+         list_sum(list_transform(list_zip(sv, cv), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM subv s JOIN books b ON b.sub = s.sub
+),
+assign AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+    FROM dist) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS qv
+  FROM ed WHERE vec_id < 3
+),
+qsub AS (
+  SELECT query_id, sub, list_slice(qv, sub * {dsub} + 1, sub * {dsub} + {dsub}) AS qsv
+  FROM q CROSS JOIN subs
+),
+lut AS (
+  SELECT query_id, b.sub, b.code,
+         list_sum(list_transform(list_zip(qsv, cv), p -> p[1] * p[2])) AS dt,
+         list_sum(list_transform(cv, y -> y * y)) AS n2
+  FROM qsub s JOIN books b ON b.sub = s.sub
+),
+sims AS (
+  SELECT l.query_id, a.vec_id, sum(l.dt) / sqrt(sum(l.n2)) AS sim
+  FROM assign a JOIN lut l ON l.sub = a.sub AND l.code = a.code
+  GROUP BY 1, 2
+),
+r AS (SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      FROM sims)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, vec_id::BIGINT AS vec_id,
+       round(sim, 4) AS sim
+FROM r WHERE rank <= {TOPK}
+"""
+
+
 def _semdedup_sql() -> str:
     """Replay SemDeDup in DuckDB: deterministic numpy k-means centroids
     carried as VALUES (same seed/sample as the Spark path — at the driver's
@@ -5540,6 +5647,25 @@ SELECT doc_id::BIGINT AS doc_id,
        len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))::BIGINT AS n_bpe_tokens
 FROM documents
 """,
+        "chunk_docs": f"""
+WITH {_tok_cte()},
+st AS (
+  SELECT doc_id, tokens,
+         unnest(generate_series(0, len(tokens) - 1, 24)) AS start_tok
+  FROM toks
+),
+win AS (
+  SELECT doc_id, start_tok,
+         list_slice(tokens, start_tok + 1, start_tok + 32) AS w
+  FROM st
+)
+SELECT doc_id::BIGINT AS doc_id,
+       (start_tok // 24)::BIGINT AS chunk_id,
+       start_tok::BIGINT AS start_tok,
+       len(w)::BIGINT AS n_tokens,
+       array_to_string(w, ' ') AS chunk_text
+FROM win WHERE len(w) >= 1
+""",
         "ngram_jaccard": """
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
 sh AS (
@@ -5628,6 +5754,7 @@ FROM d JOIN labels l ON l.node = d.doc_id AND l.component = d.doc_id
 """,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
+        "ann_pq_topk": _ann_pq_sql(),
         "semdedup_keep": _semdedup_sql(),
         "media_metadata": """
 SELECT doc_id::BIGINT AS media_id,

@@ -189,6 +189,8 @@ def main() -> None:
     timed("simhash_pairs", lambda: entrymod.q_simhash_pairs(spark, sf_dir).count())
     timed("ann_cosine_topk", lambda: entrymod.q_ann_cosine_topk(spark, sf_dir).collect())
     timed("ann_ivf_topk", lambda: entrymod.q_ann_ivf_topk(spark, sf_dir).collect())
+    # SemDeDup: k-means assignment + within-cluster pair join (never global)
+    timed("semdedup_keep", lambda: entrymod.q_semdedup_keep(spark, sf_dir).count())
     # exact-substring dedup: corpus-wide duplicated-8-gram coverage over the
     # documents table with the entry's deterministic clone/prefix injection
     timed("duplicate_spans", lambda: entrymod.q_duplicate_spans(spark, sf_dir).count())

@@ -17,6 +17,11 @@ Training-pipeline operators, Spark-first:
   queries probe the ``nprobe`` nearest lists.
 * :func:`embedding_neardup_exact` — all-pairs cosine >= threshold (oracle
   for near-dup); scale variant composes hyperplane buckets + verify.
+* :func:`semdedup_keep` — SemDeDup semantic dedup: within-k-means-cluster
+  cosine pair test, keep-first by id; the pair join is per-cluster only.
+* :func:`build_pq` / :func:`pq_adc_topk` — product quantization: per-
+  subspace codebooks, vectors as m code ints, ADC cosine serving from
+  per-query lookup tables (the scan never touches raw vectors).
 
 Everything numerical is numpy over Arrow batches; bucket routing is JVM-side.
 """
@@ -43,6 +48,9 @@ __all__ = [
     "ivf_cosine_topk",
     "embedding_neardup_exact",
     "semdedup_keep",
+    "PQIndex",
+    "build_pq",
+    "pq_adc_topk",
 ]
 
 
@@ -520,4 +528,144 @@ def semdedup_keep(
         "vec_id",
         F.col("list_id").cast("long").alias("list_id"),
         (~F.coalesce("_dup", F.lit(False))).alias("kept"),
+    )
+
+
+@dataclass
+class PQIndex:
+    """Product-quantization build artifacts: per-vector codes (the
+    compressed representation — ``m`` small ints instead of ``dim``
+    floats) plus the trained per-subspace codebooks. Train ONCE at build
+    time, exactly like :class:`IVFIndex`."""
+
+    codes: DataFrame  # (vec_id, codes: array<int>), one code per subspace
+    codebooks: np.ndarray  # (m, n_codes, dim/m)
+
+
+def build_pq(
+    embeddings: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    max_sample_rows: int | None = None,
+    iters: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> PQIndex:
+    """Product quantization (Jegou et al., TPAMI 2011): split each vector
+    into ``m`` contiguous subspaces and k-means each subspace independently
+    (``n_codes`` centroids, deterministic seed per subspace); every vector
+    compresses to ``m`` code ints.
+
+    Scale shape: the codebooks train on the same HARD-bounded driver sample
+    the IVF quantizer uses (:func:`_bounded_sample` — one job, order-
+    unbiased, never a full collect); encoding is a distributed Arrow pass.
+    At 100 TB this is the memory play that makes ANN feasible at all: a
+    64-dim float32 vector is 256 bytes, its PQ-16x4 code is 4 — a 64x
+    shrink, so the scan side of query serving reads codes, not vectors,
+    and a billion vectors fit where 16M raw ones did.
+    """
+    if max_sample_rows is None:
+        max_sample_rows = max(n_codes * 1000, 10_000)
+    sample = _bounded_sample(embeddings, vec_col, max_sample_rows, seed, id_col=id_col)
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    n_codes = min(n_codes, sample.shape[0])
+    books = np.stack(
+        [
+            _kmeans(
+                np.ascontiguousarray(sample[:, j * dsub : (j + 1) * dsub]),
+                n_codes,
+                iters,
+                seed + j,
+            )
+            for j in range(m)
+        ]
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for j in range(m):
+                codes[:, j] = _sqdist_argmin(
+                    mat[:, j * dsub : (j + 1) * dsub], books[j]
+                )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    codes_df = spread_for_python_kernel(embeddings).mapInPandas(
+        _encode, schema="vec_id LONG, codes ARRAY<INT>"
+    )
+    return PQIndex(codes=codes_df, codebooks=books)
+
+
+def pq_adc_topk(
+    index: PQIndex,
+    queries: DataFrame,
+    k: int = 10,
+    q_id_col: str = "query_id",
+    q_vec_col: str = "qvec",
+) -> DataFrame:
+    """-> (query_id, rank, vec_id, sim): asymmetric-distance (ADC) cosine
+    top-k over PQ codes — the query stays exact, documents are their
+    reconstructions, sim = dot(q, x_hat) / |x_hat| with |q| normalized out.
+
+    The per-query lookup tables (m x n_codes subspace dot products, plus
+    the query-independent per-code norm parts) are tiny and broadcast with
+    the kernel closure; each partition's scan is pure integer gathers +
+    one add per (vector, subspace) — never touching the original vectors —
+    followed by the same partial-top-k / global-window finish as
+    :func:`brute_cosine_topk`, so candidate rows leaving a partition are
+    k per query, not n.
+    """
+    qids, qm = _collect_queries(queries, q_id_col, q_vec_col)
+    if qids.size == 0:
+        return index.codes.sparkSession.createDataFrame(
+            [], "query_id LONG, rank LONG, vec_id LONG, sim DOUBLE"
+        )
+    books = index.codebooks
+    m_sub, n_codes, dsub = books.shape
+    # dot_lut[q, j, c] = <q_sub_j, book[j, c]>; n2_lut[j, c] = |book[j, c]|^2
+    dot_lut = np.einsum("qjd,jcd->qjc", qm.reshape(qids.size, m_sub, dsub), books)
+    n2_lut = (books**2).sum(axis=2)
+    sub_ix = np.arange(m_sub)[None, :]
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # n x m
+            recon_norm = np.sqrt(np.maximum(n2_lut[sub_ix, codes].sum(axis=1), 1e-30))
+            take = min(k, ids.size)
+            out_q, out_id, out_sim = [], [], []
+            for j in range(qids.size):
+                sims = dot_lut[j][sub_ix, codes].sum(axis=1) / recon_norm
+                idx = np.lexsort((ids, -sims))[:take]
+                out_q.append(np.full(take, qids[j], dtype=np.int64))
+                out_id.append(ids[idx])
+                out_sim.append(sims[idx])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_id),
+                    "sim": np.concatenate(out_sim),
+                }
+            )
+
+    partial = index.codes.mapInPandas(_score, schema="query_id LONG, vec_id LONG, sim DOUBLE")
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "sim")
     )

@@ -232,6 +232,109 @@ def test_semdedup_keep_matches_numpy(spark, emb_df, emb_np):
             assert got[min(members)][1]  # cluster-min id always kept
 
 
+def test_pq_adc_topk_matches_numpy(spark, emb_df, emb_np):
+    """PQ: codes and ADC top-k match an independent numpy replay (per-
+    subspace k-means, argmin encoding, LUT scoring), and PQ recall@10 vs
+    exact brute force is high on the real embeddings."""
+    ids, m = emb_np
+    msub, ncodes, dsub = 4, 16, m.shape[1] // 4
+    books = np.stack(
+        [sim._kmeans(np.ascontiguousarray(m[:, j * dsub : (j + 1) * dsub]), ncodes, 10, 7 + j) for j in range(msub)]
+    )
+    codes = np.stack(
+        [
+            np.argmin(
+                ((m[:, None, j * dsub : (j + 1) * dsub] - books[j][None]) ** 2).sum(-1), axis=1
+            )
+            for j in range(msub)
+        ],
+        axis=1,
+    )  # n x m
+    idx = sim.build_pq(emb_df, m=msub, n_codes=ncodes)
+    got_codes = {r["vec_id"]: list(r["codes"]) for r in idx.codes.collect()}
+    assert got_codes == {int(i): list(map(int, c)) for i, c in zip(ids, codes)}
+    np.testing.assert_allclose(idx.codebooks, books)
+
+    q = emb_df.filter(emb_df.vec_id < 3).selectExpr(
+        "vec_id AS query_id", "transform(embedding, x -> cast(x AS double)) AS qvec"
+    )
+    got = sim.pq_adc_topk(idx, q, k=10).collect()
+    # numpy ADC replay
+    qm = m[np.isin(ids, [0, 1, 2])]
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    n2 = (books**2).sum(axis=2)
+    rnorm = np.sqrt(n2[np.arange(msub)[None, :], codes].sum(axis=1))
+    overlap = []
+    for qi in range(3):
+        dot = np.einsum("jd,jcd->jc", qm[qi].reshape(msub, dsub), books)
+        sims = dot[np.arange(msub)[None, :], codes].sum(axis=1) / rnorm
+        order = np.lexsort((ids, -sims))[:10]
+        exp = [(int(ids[o]), r + 1) for r, o in enumerate(order)]
+        gq = sorted(
+            [(r["vec_id"], r["rank"]) for r in got if r["query_id"] == qi],
+            key=lambda t: t[1],
+        )
+        assert gq == exp
+        exact = set(_brute_np(ids, m, m[np.isin(ids, [qi])][0], 10))
+        overlap.append(len(exact & {v for v, _ in exp}) / 10)
+    # near-uniform random embeddings are the quantization WORST case (no
+    # cluster structure for the codebooks to exploit), so the bar is
+    # "far above the 10/500 = 0.02 chance overlap", not production recall;
+    # the exact-replay asserts above are the real contract
+    assert sum(overlap) / 3 >= 0.15
+
+
+# --- chunking ----------------------------------------------------------------
+
+
+def test_chunk_documents_matches_python_replay(spark):
+    """Chunking matches an independent Python replay of the same rule
+    (starts at multiples of step below n, slice, join), covers every token
+    index, and handles empty / short / exact-multiple docs."""
+    from fulltextsearch_spark.functions.tokenizer import tokenize
+    from fulltextsearch_spark.operators.chunking import chunk_documents
+
+    words = [f"w{i:03d}" for i in range(60)]
+    rows = [
+        (0, " ".join(words[:37])),  # spans several windows, ragged tail
+        (1, " ".join(words[:5])),  # shorter than one chunk
+        (2, ""),  # empty -> no chunks
+        (3, "the and of to in"),  # all stop words -> no chunks
+        (4, " ".join(words[:24])),  # exactly chunk_size + nothing past step grid
+        (5, " ".join(words[:25])),  # one token past an exact window
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    size, ov = 12, 4
+    step = size - ov
+    got = sorted(
+        tuple(r)
+        for r in chunk_documents(df, chunk_size=size, overlap=ov).collect()
+    )
+    exp = []
+    for doc_id, text in rows:
+        toks = tokenize(text, do_stem=False)
+        for s in range(0, len(toks), step):
+            w = toks[s : s + size]
+            if w:
+                exp.append((doc_id, s // step, s, len(w), " ".join(w)))
+    assert got == sorted(exp)
+    # every token index of every non-empty doc is covered by >= 1 chunk
+    for doc_id, text in rows:
+        n = len(tokenize(text, do_stem=False))
+        covered = set()
+        for d, _c, s, k, _t in exp:
+            if d == doc_id:
+                covered.update(range(s, s + k))
+        assert covered == set(range(n))
+    # consecutive chunks of doc 0 share exactly `ov` tokens
+    d0 = [t for t in exp if t[0] == 0]
+    for (_, _, s1, k1, t1), (_, _, s2, _k2, t2) in zip(d0, d0[1:]):
+        assert s2 - s1 == step
+        assert t1.split()[step:] == t2.split()[: k1 - step]
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=8, overlap=8)
+
+
 # --- textstats ---------------------------------------------------------------
 
 
