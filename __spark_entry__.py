@@ -1718,6 +1718,25 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "vec_id", F.round("sim", 4).alias("sim"))
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity: IVF-PQ (Jegou et al. 2011 §IV) — coarse quantizer +
+    product quantization of the residual, ADC cosine over nprobe lists.
+    The DuckDB oracle carries BOTH codebook stages as VALUES and replays
+    list assignment, residual code assignment, probe selection, and the
+    centroid+residual ADC similarity (numerator dot parts, denominator
+    |c|^2 + 2*cross + |r|^2) independently in SQL."""
+    from fulltextsearch_spark.operators.similarity import build_ivfpq, ivfpq_adc_topk
+
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qvec"),
+    )
+    idx = build_ivfpq(emb, n_centroids=10, m=4, n_codes=16, persist=False)
+    res = ivfpq_adc_topk(idx, q, nprobe=6, k=TOPK)
+    return res.select("query_id", "rank", "vec_id", F.round("sim", 4).alias("sim"))
+
+
 def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-pipeline op: SemDeDup (Abbas et al., 2023) — k-means cluster
     the embeddings, then inside each cluster drop any point whose cosine to a
@@ -2920,6 +2939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "semdedup_keep": q_semdedup_keep,
         "media_metadata": q_media_metadata,
         "image_stats": q_image_stats,
@@ -4374,6 +4394,139 @@ FROM r WHERE rank <= {TOPK}
 """
 
 
+def _ann_ivfpq_sql() -> str:
+    """Replay IVF-PQ ADC in DuckDB: coarse centroids AND residual codebooks
+    (both trained on the same canonical sample as the Spark build) carried
+    as VALUES; SQL independently recomputes list assignment, the residual,
+    per-subspace code assignment, nprobe selection, and the full ADC
+    similarity with its centroid/residual cross terms."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from fulltextsearch_spark.operators.similarity import _kmeans, _sqdist_argmin
+
+    if not os.path.exists(_EMB_SF001):  # pragma: no cover - driver env always has it
+        return "SELECT 1 WHERE false"
+    tbl = pq.read_table(_EMB_SF001).sort_by("vec_id")  # canonical sample order
+    emb = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    dsub = emb.shape[1] // 4
+    cent = _kmeans(emb, 10, 10, 7)
+    resid = emb - cent[_sqdist_argmin(emb, cent)]
+    cent_rows = ", ".join(
+        "(%d, [%s])" % (i, ", ".join(repr(float(v)) for v in cent[i]))
+        for i in range(cent.shape[0])
+    )
+    book_rows = []
+    for j in range(4):
+        bk = _kmeans(np.ascontiguousarray(resid[:, j * dsub : (j + 1) * dsub]), 16, 10, 7 + 101 + j)
+        for c in range(bk.shape[0]):
+            book_rows.append(
+                "(%d, %d, [%s])" % (j, c, ", ".join(repr(float(v)) for v in bk[c]))
+            )
+    books = ", ".join(book_rows)
+    return f"""
+WITH cent AS (SELECT list_id, list_transform(cv, x -> x::DOUBLE) AS cv
+              FROM (VALUES {cent_rows}) c(list_id, cv)),
+books AS (SELECT sub, code, list_transform(bv, x -> x::DOUBLE) AS bv
+          FROM (VALUES {books}) b(sub, code, bv)),
+subs AS (SELECT unnest(range(4)) AS sub),
+ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+cdist AS (
+  SELECT vec_id, list_id,
+         list_sum(list_transform(list_zip(v, cv), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM ed CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id, row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+    FROM cdist) WHERE rn = 1
+),
+resid AS (
+  SELECT e.vec_id, a.list_id,
+         list_transform(list_zip(e.v, c.cv), p -> p[1] - p[2]) AS rv
+  FROM ed e JOIN assign a USING (vec_id) JOIN cent c USING (list_id)
+),
+rsub AS (
+  SELECT vec_id, list_id, sub,
+         list_slice(rv, sub * {dsub} + 1, sub * {dsub} + {dsub}) AS sv
+  FROM resid CROSS JOIN subs
+),
+rdist AS (
+  SELECT vec_id, b.sub, b.code,
+         list_sum(list_transform(list_zip(sv, bv), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM rsub s JOIN books b ON b.sub = s.sub
+),
+rassign AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+    FROM rdist) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS qv
+  FROM ed WHERE vec_id < 3
+),
+qcd AS (
+  SELECT query_id, list_id,
+         list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2])) AS qcdot,
+         list_sum(list_transform(list_zip(qv, cv), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM q CROSS JOIN cent
+),
+probes AS (
+  SELECT query_id, list_id, qcdot FROM (
+    SELECT query_id, list_id, qcdot, row_number() OVER (PARTITION BY query_id ORDER BY d, list_id) AS rn
+    FROM qcd) WHERE rn <= 6
+),
+qsub AS (
+  SELECT query_id, sub, list_slice(qv, sub * {dsub} + 1, sub * {dsub} + {dsub}) AS qsv
+  FROM q CROSS JOIN subs
+),
+lutd AS (
+  SELECT query_id, b.sub, b.code,
+         list_sum(list_transform(list_zip(qsv, bv), p -> p[1] * p[2])) AS dt
+  FROM qsub s JOIN books b ON b.sub = s.sub
+),
+csub AS (
+  SELECT list_id, sub, list_slice(cv, sub * {dsub} + 1, sub * {dsub} + {dsub}) AS csv
+  FROM cent CROSS JOIN subs
+),
+crossd AS (
+  SELECT list_id, b.sub, b.code,
+         list_sum(list_transform(list_zip(csv, bv), p -> p[1] * p[2])) AS cx
+  FROM csub s JOIN books b ON b.sub = s.sub
+),
+n2t AS (SELECT sub, code, list_sum(list_transform(bv, y -> y * y)) AS n2 FROM books),
+c2t AS (SELECT list_id, list_sum(list_transform(cv, y -> y * y)) AS c2 FROM cent),
+cand AS (
+  SELECT p.query_id, a.vec_id, a.list_id, p.qcdot
+  FROM probes p JOIN assign a USING (list_id)
+),
+terms AS (
+  SELECT c.query_id, c.vec_id, c.list_id, any_value(c.qcdot) AS qcdot,
+         sum(l.dt) AS sdt, sum(x.cx) AS scx, sum(n.n2) AS sn2
+  FROM cand c
+  JOIN rassign ra ON ra.vec_id = c.vec_id
+  JOIN lutd l ON l.query_id = c.query_id AND l.sub = ra.sub AND l.code = ra.code
+  JOIN crossd x ON x.list_id = c.list_id AND x.sub = ra.sub AND x.code = ra.code
+  JOIN n2t n ON n.sub = ra.sub AND n.code = ra.code
+  GROUP BY 1, 2, 3
+),
+sims AS (
+  SELECT t.query_id, t.vec_id,
+         (t.qcdot + t.sdt) / sqrt(c2t.c2 + 2 * t.scx + t.sn2) AS sim
+  FROM terms t JOIN c2t ON c2t.list_id = t.list_id
+),
+r AS (SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      FROM sims)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, vec_id::BIGINT AS vec_id,
+       round(sim, 4) AS sim
+FROM r WHERE rank <= {TOPK}
+"""
+
+
 def _semdedup_sql() -> str:
     """Replay SemDeDup in DuckDB: deterministic numpy k-means centroids
     carried as VALUES (same seed/sample as the Spark path — at the driver's
@@ -5755,6 +5908,7 @@ FROM d JOIN labels l ON l.node = d.doc_id AND l.component = d.doc_id
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "ann_pq_topk": _ann_pq_sql(),
+        "ann_ivfpq_topk": _ann_ivfpq_sql(),
         "semdedup_keep": _semdedup_sql(),
         "media_metadata": """
 SELECT doc_id::BIGINT AS media_id,

@@ -22,6 +22,9 @@ Training-pipeline operators, Spark-first:
 * :func:`build_pq` / :func:`pq_adc_topk` — product quantization: per-
   subspace codebooks, vectors as m code ints, ADC cosine serving from
   per-query lookup tables (the scan never touches raw vectors).
+* :func:`build_ivfpq` / :func:`ivfpq_adc_topk` — IVF-PQ: residual PQ
+  under the coarse quantizer; inverted lists bound what a query touches,
+  codes bound what it reads — the billion-vector serving layout.
 
 Everything numerical is numpy over Arrow batches; bucket routing is JVM-side.
 """
@@ -51,6 +54,9 @@ __all__ = [
     "PQIndex",
     "build_pq",
     "pq_adc_topk",
+    "IVFPQIndex",
+    "build_ivfpq",
+    "ivfpq_adc_topk",
 ]
 
 
@@ -666,6 +672,171 @@ def pq_adc_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "sim")
+    )
+
+
+@dataclass
+class IVFPQIndex:
+    """IVF-PQ build artifacts: per-vector (inverted list, residual PQ codes)
+    plus the coarse centroids and residual codebooks. The FAISS IVFPQ design
+    point — the serving scan reads (list_id, m code ints) only."""
+
+    assigned_codes: DataFrame  # (vec_id, list_id, codes: array<int>)
+    centroids: np.ndarray  # (n_centroids, dim)
+    codebooks: np.ndarray  # (m, n_codes, dim/m) — trained on RESIDUALS
+
+
+def build_ivfpq(
+    embeddings: DataFrame,
+    n_centroids: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    max_sample_rows: int | None = None,
+    iters: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    persist: bool = True,
+) -> IVFPQIndex:
+    """IVF-PQ (Jegou et al. 2011 §IV): coarse k-means quantizer + product
+    quantization of the RESIDUAL (vector minus its centroid) — residuals
+    are smaller and better centered than raw vectors, so the same code
+    budget quantizes them more accurately.
+
+    One bounded driver sample trains both stages (coarse centroids, then
+    per-subspace residual codebooks); the encode pass is a single
+    distributed Arrow scan emitting (vec_id, list_id, codes). At 100 TB
+    this is the standard billion-vector serving layout: the inverted
+    lists bound what a query touches, the codes bound what it reads.
+    """
+    if max_sample_rows is None:
+        max_sample_rows = max(max(n_centroids, n_codes) * 1000, 10_000)
+    sample = _bounded_sample(embeddings, vec_col, max_sample_rows, seed, id_col=id_col)
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    n_centroids = min(n_centroids, sample.shape[0])
+    n_codes = min(n_codes, sample.shape[0])
+    cent = _kmeans(sample, n_centroids, iters, seed)
+    resid = sample - cent[_sqdist_argmin(sample, cent)]
+    books = np.stack(
+        [
+            _kmeans(
+                np.ascontiguousarray(resid[:, j * dsub : (j + 1) * dsub]),
+                n_codes,
+                iters,
+                seed + 101 + j,
+            )
+            for j in range(m)
+        ]
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            lists = _sqdist_argmin(mat, cent)
+            r = mat - cent[lists]
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for j in range(m):
+                codes[:, j] = _sqdist_argmin(r[:, j * dsub : (j + 1) * dsub], books[j])
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "list_id": lists,
+                    "codes": list(codes),
+                }
+            )
+
+    df = spread_for_python_kernel(embeddings).mapInPandas(
+        _encode, schema="vec_id LONG, list_id LONG, codes ARRAY<INT>"
+    )
+    if persist:
+        from pyspark.storagelevel import StorageLevel  # noqa: PLC0415
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    return IVFPQIndex(assigned_codes=df, centroids=cent, codebooks=books)
+
+
+def ivfpq_adc_topk(
+    index: IVFPQIndex,
+    queries: DataFrame,
+    nprobe: int = 4,
+    k: int = 10,
+    q_id_col: str = "query_id",
+    q_vec_col: str = "qvec",
+) -> DataFrame:
+    """-> (query_id, rank, vec_id, sim): probe the nprobe nearest inverted
+    lists, score candidates by ADC cosine against the reconstruction
+    x_hat = centroid + decoded residual — entirely from (list_id, codes):
+
+        sim = (<q, c_l> + sum_j <q_j, b_j[code_j]>)
+              / sqrt(|c_l|^2 + 2 sum_j <c_l_j, b_j[code_j]> + sum_j |b_j[code_j]|^2)
+
+    Every term is a lookup: the per-query LUTs (<q, c_l>, subspace dots)
+    and the query-independent LUTs (centroid/code cross terms, code norms)
+    are tiny and ride the kernel closure; candidates come from one
+    broadcast-probe join, and raw vectors are never read at query time.
+    """
+    qids, qm = _collect_queries(queries, q_id_col, q_vec_col)
+    if qids.size == 0:
+        return index.assigned_codes.sparkSession.createDataFrame(
+            [], "query_id LONG, rank LONG, vec_id LONG, sim DOUBLE"
+        )
+    cent, books = index.centroids, index.codebooks
+    m_sub, n_codes, dsub = books.shape
+    nlist = cent.shape[0]
+    d = ((qm[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probe_lists = np.argsort(d, axis=1)[:, : min(nprobe, nlist)]
+    spark = index.assigned_codes.sparkSession
+    probe_df = spark.createDataFrame(
+        [(int(q), int(l)) for q, row in zip(qids, probe_lists) for l in row],
+        "query_id LONG, list_id LONG",
+    )
+    cand = index.assigned_codes.join(F.broadcast(probe_df), "list_id")
+
+    q_ix_of = {int(q): i for i, q in enumerate(qids)}
+    qc_dot = qm @ cent.T  # nq x nlist
+    dt_lut = np.einsum("qjd,jcd->qjc", qm.reshape(qids.size, m_sub, dsub), books)
+    cross_lut = np.einsum(
+        "ljd,jcd->ljc", cent.reshape(nlist, m_sub, dsub), books
+    )  # nlist x m x n_codes
+    n2_lut = (books**2).sum(axis=2)
+    c2 = (cent**2).sum(axis=1)
+    sub_ix = np.arange(m_sub)[None, :]
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            lists = pdf["list_id"].to_numpy(dtype=np.int64)
+            qix = np.array([q_ix_of[int(q)] for q in pdf["query_id"]], dtype=np.int64)
+            num = qc_dot[qix, lists] + dt_lut[qix[:, None], sub_ix, codes].sum(axis=1)
+            den = np.sqrt(
+                np.maximum(
+                    c2[lists]
+                    + 2.0 * cross_lut[lists[:, None], sub_ix, codes].sum(axis=1)
+                    + n2_lut[sub_ix, codes].sum(axis=1),
+                    1e-30,
+                )
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "sim": num / den,
+                }
+            )
+
+    scored = cand.mapInPandas(_score, schema="query_id LONG, vec_id LONG, sim DOUBLE")
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "sim")
     )

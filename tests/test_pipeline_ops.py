@@ -284,6 +284,67 @@ def test_pq_adc_topk_matches_numpy(spark, emb_df, emb_np):
     assert sum(overlap) / 3 >= 0.15
 
 
+def test_ivfpq_adc_topk_matches_numpy(spark, emb_df, emb_np):
+    """IVF-PQ: (list, codes) and the nprobe ADC top-k match an independent
+    numpy replay (coarse k-means, residual codebooks, centroid+residual
+    similarity with cross terms), and candidates only come from probed
+    lists."""
+    ids, m = emb_np
+    msub, ncodes, nlist, nprobe = 4, 16, 10, 3
+    dsub = m.shape[1] // msub
+    cent = sim._kmeans(m, nlist, 10, 7)
+    lists = np.argmin(((m[:, None, :] - cent[None]) ** 2).sum(-1), axis=1)
+    r = m - cent[lists]
+    books = np.stack(
+        [sim._kmeans(np.ascontiguousarray(r[:, j * dsub : (j + 1) * dsub]), ncodes, 10, 7 + 101 + j) for j in range(msub)]
+    )
+    codes = np.stack(
+        [
+            np.argmin(((r[:, None, j * dsub : (j + 1) * dsub] - books[j][None]) ** 2).sum(-1), axis=1)
+            for j in range(msub)
+        ],
+        axis=1,
+    )
+    idx = sim.build_ivfpq(emb_df, n_centroids=nlist, m=msub, n_codes=ncodes, persist=False)
+    got_rows = {r2["vec_id"]: (r2["list_id"], list(r2["codes"])) for r2 in idx.assigned_codes.collect()}
+    assert got_rows == {
+        int(i): (int(l), list(map(int, c))) for i, l, c in zip(ids, lists, codes)
+    }
+
+    q = emb_df.filter(emb_df.vec_id < 3).selectExpr(
+        "vec_id AS query_id", "transform(embedding, x -> cast(x AS double)) AS qvec"
+    )
+    got = sim.ivfpq_adc_topk(idx, q, nprobe=nprobe, k=10).collect()
+    qm = m[np.isin(ids, [0, 1, 2])]
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    sub_ix = np.arange(msub)[None, :]
+    n2 = (books**2).sum(axis=2)
+    for qi in range(3):
+        probe = np.argsort(((qm[qi] - cent) ** 2).sum(-1))[:nprobe]
+        mask = np.isin(lists, probe)
+        dt = np.einsum("jd,jcd->jc", qm[qi].reshape(msub, dsub), books)
+        num = qm[qi] @ cent[lists[mask]].T + dt[sub_ix, codes[mask]].sum(1)
+        den = np.sqrt(
+            (cent[lists[mask]] ** 2).sum(1)
+            + 2.0
+            * np.einsum("ljd,jcd->ljc", cent.reshape(nlist, msub, dsub), books)[
+                lists[mask][:, None], sub_ix, codes[mask]
+            ].sum(1)
+            + n2[sub_ix, codes[mask]].sum(1)
+        )
+        sims = num / den
+        cids = ids[mask]
+        order = np.lexsort((cids, -sims))[:10]
+        exp = [(int(cids[o]), rk + 1) for rk, o in enumerate(order)]
+        gq = sorted(
+            [(r2["vec_id"], r2["rank"]) for r2 in got if r2["query_id"] == qi],
+            key=lambda t: t[1],
+        )
+        assert gq == exp
+        # every returned candidate lives in a probed list
+        assert all(lists[np.where(ids == v)[0][0]] in probe for v, _ in gq)
+
+
 # --- chunking ----------------------------------------------------------------
 
 
