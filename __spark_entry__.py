@@ -1737,6 +1737,35 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "vec_id", F.round("sim", 4).alias("sim"))
 
 
+def q_ann_ivfpq_loaded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ under the index store/load gate: build -> save_ivfpq_index
+    (codes clustered by list_id, quantizer stages as row tables) ->
+    load_ivfpq_index -> probe. The round-trip is lossless (float64
+    survives parquet DOUBLE exactly), so it shares ann_ivfpq_topk's
+    oracle."""
+    import hashlib as _hl
+
+    from fulltextsearch_spark.operators.similarity import (
+        build_ivfpq,
+        ivfpq_adc_topk,
+        load_ivfpq_index,
+        save_ivfpq_index,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qvec"),
+    )
+    root = f"/tmp/fts_entry_ivfpq_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    save_ivfpq_index(
+        build_ivfpq(emb, n_centroids=10, m=4, n_codes=16, persist=False), root
+    )
+    idx = load_ivfpq_index(spark, root)
+    res = ivfpq_adc_topk(idx, q, nprobe=6, k=TOPK)
+    return res.select("query_id", "rank", "vec_id", F.round("sim", 4).alias("sim"))
+
+
 def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-pipeline op: SemDeDup (Abbas et al., 2023) — k-means cluster
     the embeddings, then inside each cluster drop any point whose cosine to a
@@ -2940,6 +2969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_ivfpq_loaded": q_ann_ivfpq_loaded,
         "semdedup_keep": q_semdedup_keep,
         "media_metadata": q_media_metadata,
         "image_stats": q_image_stats,
@@ -5909,6 +5939,7 @@ FROM d JOIN labels l ON l.node = d.doc_id AND l.component = d.doc_id
         "ann_ivf_topk": _ann_ivf_sql(),
         "ann_pq_topk": _ann_pq_sql(),
         "ann_ivfpq_topk": _ann_ivfpq_sql(),
+        "ann_ivfpq_loaded": _ann_ivfpq_sql(),
         "semdedup_keep": _semdedup_sql(),
         "media_metadata": """
 SELECT doc_id::BIGINT AS media_id,

@@ -57,6 +57,8 @@ __all__ = [
     "IVFPQIndex",
     "build_ivfpq",
     "ivfpq_adc_topk",
+    "save_ivfpq_index",
+    "load_ivfpq_index",
 ]
 
 
@@ -839,4 +841,67 @@ def ivfpq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "sim")
+    )
+
+
+def save_ivfpq_index(index: IVFPQIndex, root: str) -> None:
+    """Persist the IVF-PQ index under ``root`` as parquet tables.
+
+    Codes are written clustered by ``list_id`` so a query's nprobe lists
+    map to a handful of row groups selected by parquet footer min/max —
+    the on-disk analogue of contiguous inverted lists; the quantizer
+    stages (coarse centroids, residual codebooks) are tiny row tables.
+    Appends a footprint line to ``{root}/_lineage.jsonl`` like every
+    other saved index (reference fts_engine.hpp:50-60).
+    """
+    from fulltextsearch_spark.operators.util import record_footprint  # noqa: PLC0415
+
+    index.assigned_codes.repartition(F.col("list_id")).sortWithinPartitions(
+        "list_id"
+    ).write.mode("overwrite").parquet(f"{root}/codes")
+    spark = index.assigned_codes.sparkSession
+    nlist = index.centroids.shape[0]
+    spark.createDataFrame(
+        [(i, [float(v) for v in index.centroids[i]]) for i in range(nlist)],
+        "list_id LONG, cv ARRAY<DOUBLE>",
+    ).write.mode("overwrite").parquet(f"{root}/centroids")
+    m_sub, n_codes, _ = index.codebooks.shape
+    spark.createDataFrame(
+        [
+            (j, c, [float(v) for v in index.codebooks[j, c]])
+            for j in range(m_sub)
+            for c in range(n_codes)
+        ],
+        "sub LONG, code LONG, bv ARRAY<DOUBLE>",
+    ).write.mode("overwrite").parquet(f"{root}/codebooks")
+    record_footprint(
+        root,
+        {
+            "codes": f"{root}/codes",
+            "centroids": f"{root}/centroids",
+            "codebooks": f"{root}/codebooks",
+        },
+    )
+
+
+def load_ivfpq_index(spark, root: str) -> IVFPQIndex:
+    """Inverse of :func:`save_ivfpq_index`; the round-trip is lossless
+    (float64 arrays survive parquet DOUBLE exactly)."""
+    cent_rows = sorted(
+        spark.read.parquet(f"{root}/centroids").collect(), key=lambda r: r["list_id"]
+    )
+    cent = np.array([r["cv"] for r in cent_rows], dtype=np.float64)
+    book_rows = sorted(
+        spark.read.parquet(f"{root}/codebooks").collect(),
+        key=lambda r: (r["sub"], r["code"]),
+    )
+    m_sub = book_rows[-1]["sub"] + 1
+    n_codes = book_rows[-1]["code"] + 1
+    books = np.array([r["bv"] for r in book_rows], dtype=np.float64).reshape(
+        m_sub, n_codes, -1
+    )
+    return IVFPQIndex(
+        assigned_codes=spark.read.parquet(f"{root}/codes"),
+        centroids=cent,
+        codebooks=books,
     )

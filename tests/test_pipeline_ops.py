@@ -345,6 +345,34 @@ def test_ivfpq_adc_topk_matches_numpy(spark, emb_df, emb_np):
         assert all(lists[np.where(ids == v)[0][0]] in probe for v, _ in gq)
 
 
+def test_ivfpq_save_load_roundtrip(spark, emb_df, tmp_path):
+    """save/load is lossless: identical quantizer arrays, identical codes,
+    identical ranked output; save appends a footprint lineage line."""
+    import json
+    import os
+
+    root = str(tmp_path / "ivfpq")
+    idx = sim.build_ivfpq(emb_df, n_centroids=8, m=4, n_codes=16, persist=False)
+    sim.save_ivfpq_index(idx, root)
+    loaded = sim.load_ivfpq_index(spark, root)
+    np.testing.assert_array_equal(loaded.centroids, idx.centroids)
+    np.testing.assert_array_equal(loaded.codebooks, idx.codebooks)
+    orig = {r["vec_id"]: (r["list_id"], list(r["codes"])) for r in idx.assigned_codes.collect()}
+    back = {r["vec_id"]: (r["list_id"], list(r["codes"])) for r in loaded.assigned_codes.collect()}
+    assert back == orig
+    q = emb_df.filter(emb_df.vec_id < 2).selectExpr(
+        "vec_id AS query_id", "transform(embedding, x -> cast(x AS double)) AS qvec"
+    )
+    a = sorted(tuple(r) for r in sim.ivfpq_adc_topk(idx, q, nprobe=3, k=5).collect())
+    b = sorted(tuple(r) for r in sim.ivfpq_adc_topk(loaded, q, nprobe=3, k=5).collect())
+    assert a == b and len(a) == 10
+    lineage = os.path.join(root, "_lineage.jsonl")
+    assert os.path.exists(lineage)
+    rec = json.loads(open(lineage).read().strip().splitlines()[-1])
+    assert rec["stage"] == "footprint"
+    assert all(rec[f"{t}_bytes"] > 0 for t in ("codes", "centroids", "codebooks"))
+
+
 # --- chunking ----------------------------------------------------------------
 
 
