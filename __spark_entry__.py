@@ -2503,6 +2503,37 @@ def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES extended_stats aggregation: per-lang moments over n_chars.
+    Variance/std are DERIVED from the integer moment sums (sumsq/n -
+    (sum/n)^2 — ES's population formula), so the doubles are bit-identical
+    under any aggregation order and the oracle replays the same formula."""
+    from fulltextsearch_spark.operators.facets import extended_stats
+
+    out = extended_stats(_docs(spark, sf_dir), "n_chars", keys=("lang",))
+    return out.select(
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        "min_v",
+        "max_v",
+        "sum_v",
+        "avg_v",
+        "sumsq_v",
+        "variance",
+        "std_dev",
+    )
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES numeric histogram aggregation over n_chars (interval 100) with
+    min_doc_count=0 gap fill: empty buckets between the min and max
+    observed bucket are emitted with n=0, replayed in the oracle via
+    generate_series."""
+    from fulltextsearch_spark.operators.facets import value_histogram
+
+    return value_histogram(_docs(spark, sf_dir), "n_chars", interval=100)
+
+
 def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy search (Lucene FuzzyQuery): query terms expand to vocabulary
     terms within max_edits Levenshtein edits (prefix_len=1 adds the
@@ -2909,6 +2940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": q_doc_keywords,
         "token_entropy": q_token_entropy,
         "length_percentiles": q_length_percentiles,
+        "extended_stats": q_extended_stats,
+        "length_histogram": q_length_histogram,
         "fuzzy_topk": q_fuzzy_topk,
         "boosting_topk": q_boosting_topk,
         "mix_weights": q_mix_weights,
@@ -5009,6 +5042,30 @@ FROM tf GROUP BY 1
         "doc_keywords": _doc_keywords_sql(),
         "token_entropy": _token_entropy_sql(),
         "length_percentiles": _length_percentiles_sql(),
+        "extended_stats": """
+WITH base AS (
+  SELECT lang, count(*)::BIGINT AS n,
+         min(n_chars::DOUBLE) AS min_v, max(n_chars::DOUBLE) AS max_v,
+         sum(n_chars::DOUBLE) AS sum_v, sum(n_chars::DOUBLE * n_chars::DOUBLE) AS sumsq_v
+  FROM documents GROUP BY lang
+)
+SELECT lang, n, min_v, max_v, sum_v,
+       sum_v / n AS avg_v, sumsq_v,
+       sumsq_v / n - (sum_v / n) * (sum_v / n) AS variance,
+       sqrt(sumsq_v / n - (sum_v / n) * (sum_v / n)) AS std_dev
+FROM base
+""",
+        "length_histogram": """
+WITH counts AS (
+  SELECT (floor(n_chars::DOUBLE / 100) * 100)::BIGINT AS bucket, count(*)::BIGINT AS n
+  FROM documents GROUP BY 1
+),
+rng AS (
+  SELECT unnest(generate_series(min(bucket), max(bucket), 100)) AS bucket FROM counts
+)
+SELECT r.bucket::BIGINT AS bucket, coalesce(c.n, 0)::BIGINT AS n
+FROM rng r LEFT JOIN counts c USING (bucket)
+""",
         "fuzzy_topk": _fuzzy_sql(),
         "boosting_topk": _boosting_sql(),
         "mix_weights": _mix_weights_sql(),

@@ -21,12 +21,14 @@ __all__ = [
     "adjacency_matrix",
     "composite_agg",
     "date_histogram",
+    "extended_stats",
     "facet_counts",
     "field_percentiles",
     "matrix_stats",
     "percentile_ranks",
     "rare_terms",
     "top_hits",
+    "value_histogram",
 ]
 
 
@@ -285,3 +287,72 @@ def matrix_stats(df: DataFrame, fields: list[str]) -> DataFrame:
         ") as (field_x, field_y, n, mean_x, mean_y, covariance, correlation)"
     )
     return one.selectExpr(expr)
+
+
+def extended_stats(
+    df: DataFrame, value: str, keys: tuple[str, ...] = ()
+) -> DataFrame:
+    """Elasticsearch extended_stats analogue: count / min / max / sum /
+    avg / sum_of_squares / variance / std_deviation per key combination.
+
+    Variance and std are DERIVED from the moment sums
+    (``sumsq/n - (sum/n)^2``, ES's own population formula) instead of a
+    native VAR_POP aggregate, so when the value column is integral the
+    moment sums are exact and the derived doubles are bit-identical
+    under any partitioning / aggregation order — SQL-replayable by
+    construction. One hash aggregate with map-side partials.
+    """
+    g = df.groupBy(*[F.col(k) for k in keys]) if keys else df.groupBy()
+    v = F.col(value).cast("double")
+    base = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.sum(v).alias("sum_v"),
+        F.sum(v * v).alias("sumsq_v"),
+    )
+    mean = F.col("sum_v") / F.col("n")
+    var = F.col("sumsq_v") / F.col("n") - mean * mean
+    return base.select(
+        *keys,
+        "n",
+        "min_v",
+        "max_v",
+        "sum_v",
+        mean.alias("avg_v"),
+        "sumsq_v",
+        var.alias("variance"),
+        F.sqrt(var).alias("std_dev"),
+    )
+
+
+def value_histogram(
+    df: DataFrame, value: str, interval: int, min_doc_count: int = 0
+) -> DataFrame:
+    """Elasticsearch numeric histogram analogue: fixed-``interval``
+    buckets of ``floor(value / interval) * interval``, with ES's
+    ``min_doc_count=0`` semantics — EMPTY buckets between the min and max
+    observed bucket are emitted with n=0 (the gap fill that makes the
+    histogram plottable without client-side densification).
+
+    The gap fill is a sequence over the [min_bucket, max_bucket] range —
+    bucket cardinality is (max-min)/interval regardless of row count, so
+    the densify side stays tiny while the counting side is one map-side-
+    partial hash aggregate.
+    """
+    b = (F.floor(F.col(value).cast("double") / interval) * interval).cast(
+        "long"
+    ).alias("bucket")
+    counts = df.select(b).groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    if min_doc_count > 0:
+        return counts.filter(F.col("n") >= min_doc_count)
+    rng = counts.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    ).select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(int(interval)))
+        ).alias("bucket")
+    )
+    return rng.join(counts, "bucket", "left").select(
+        "bucket", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )

@@ -134,3 +134,42 @@ def test_field_percentiles_column_naming(spark):
     df = spark.createDataFrame([("a", 1.0)], ["k", "v"])
     out = field_percentiles(df, ["k"], "v", [0.25, 0.999])
     assert out.columns == ["k", "p25", "p99_9"]
+
+
+def test_extended_stats_moment_derivation(spark):
+    """extended_stats derives variance/std from integer moment sums — the
+    values match an exact Python replay and the derivation is aggregation-
+    order independent (same result with 1 vs 8 partitions)."""
+    from fulltextsearch_spark.operators.facets import extended_stats
+
+    rows = [("x", v) for v in [4, 7, 13, 16]] + [("y", v) for v in [10, 10, 40]]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    for parts in (1, 8):
+        got = {
+            r["k"]: r.asDict()
+            for r in extended_stats(df.repartition(parts), "v", keys=("k",)).collect()
+        }
+        for key in ("x", "y"):
+            vals = [float(v) for k, v in rows if k == key]
+            n, s, sq = len(vals), sum(vals), sum(v * v for v in vals)
+            assert got[key]["n"] == n
+            assert got[key]["min_v"] == min(vals) and got[key]["max_v"] == max(vals)
+            assert got[key]["sum_v"] == s and got[key]["sumsq_v"] == sq
+            assert got[key]["avg_v"] == s / n
+            assert got[key]["variance"] == sq / n - (s / n) * (s / n)
+            assert got[key]["std_dev"] == math.sqrt(sq / n - (s / n) * (s / n))
+
+
+def test_value_histogram_gap_fill(spark):
+    """value_histogram emits empty buckets between min and max (ES
+    min_doc_count=0), counts exactly, and min_doc_count>0 filters."""
+    from fulltextsearch_spark.operators.facets import value_histogram
+
+    df = spark.createDataFrame([(v,) for v in [5, 17, 18, 52, 55, 103]], ["v"])
+    got = {r["bucket"]: r["n"] for r in value_histogram(df, "v", 10).collect()}
+    assert got == {0: 1, 10: 2, 20: 0, 30: 0, 40: 0, 50: 2, 60: 0, 70: 0, 80: 0, 90: 0, 100: 1}
+    trimmed = {
+        r["bucket"]: r["n"]
+        for r in value_histogram(df, "v", 10, min_doc_count=2).collect()
+    }
+    assert trimmed == {10: 2, 50: 2}
