@@ -2503,6 +2503,31 @@ def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Phrase-suggester query set: 1-edit typos with in-vocabulary corrections,
+# an exact single token, and a typo single token — 2 slots max so the
+# oracle's combo chain is one bigram deep (the pytest covers longer).
+_PSUGG_QS = [
+    ("s1", "tble scan"),
+    ("s2", "windw sort"),
+    ("s3", "hash vlue"),
+    ("s4", "sprk"),
+]
+
+
+def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES phrase suggester: per-slot candidate expansion (levenshtein<=1
+    over the vocabulary + the source token, popularity-ranked, capped),
+    exact cross-product phrase candidates, scored by the corpus add-alpha
+    bigram LM plus a per-correction log2 penalty. The DuckDB oracle
+    replays the candidate windows, the combo join, and the LM formula."""
+    from fulltextsearch_spark.operators.phrasesuggest import suggest_phrases
+
+    res = suggest_phrases(_docs(spark, sf_dir), _PSUGG_QS, k=3)
+    return res.select(
+        "query_id", "rank", "suggestion", F.round("score", 4).alias("score")
+    )
+
+
 def q_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES extended_stats aggregation: per-lang moments over n_chars.
     Variance/std are DERIVED from the integer moment sums (sumsq/n -
@@ -2942,6 +2967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_percentiles": q_length_percentiles,
         "extended_stats": q_extended_stats,
         "length_histogram": q_length_histogram,
+        "phrase_suggest": q_phrase_suggest,
         "fuzzy_topk": q_fuzzy_topk,
         "boosting_topk": q_boosting_topk,
         "mix_weights": q_mix_weights,
@@ -4665,6 +4691,84 @@ s AS (
 )"""
 
 
+def _phrase_suggest_sql() -> str:
+    """Phrase-suggester oracle: slots from the SAME tokenizer, candidate
+    generation (levenshtein + length band + popularity window + source
+    token), the slot-0 x slot-1 combo join, and the add-alpha bigram /
+    unigram LM scoring with the -3.0 log2-per-edit penalty all replayed
+    independently in SQL."""
+    from fulltextsearch_spark.functions.tokenizer import tokenize
+
+    slot_vals = []
+    for qid, phrase in _PSUGG_QS:
+        ws = tokenize(phrase, do_stem=False)
+        for i, w in enumerate(ws):
+            slot_vals.append(f"('{qid}', {len(ws)}, {i}, '{w}')")
+    slots_sql = ", ".join(slot_vals)
+    return f"""
+WITH {_tok_cte()},
+slots AS (SELECT * FROM (VALUES {slots_sql}) s(query_id, n_slots, slot, word)),
+vocab AS (SELECT term, count(*)::BIGINT AS n_occ FROM tok GROUP BY 1),
+totals AS (SELECT (SELECT count(*)::DOUBLE FROM tok) AS n_tokens,
+                  (SELECT count(DISTINCT term)::DOUBLE FROM tok) AS v),
+big AS (
+  SELECT unnest(tokens[1:len(tokens)-1]) AS w1,
+         unnest(tokens[2:len(tokens)]) AS w2
+  FROM toks WHERE len(tokens) >= 2
+),
+ctx AS (SELECT w1, count(*)::DOUBLE AS c1 FROM big GROUP BY 1),
+bgc AS (SELECT w1, w2, count(*)::DOUBLE AS c2 FROM big GROUP BY 1, 2),
+matches AS (
+  SELECT s.query_id, s.n_slots, s.slot, v.term,
+         levenshtein(v.term, s.word) AS edits, v.n_occ
+  FROM vocab v JOIN slots s ON abs(length(v.term) - length(s.word)) <= 1
+  WHERE levenshtein(v.term, s.word) <= 1
+),
+orig AS (
+  SELECT s.query_id, s.n_slots, s.slot, s.word AS term, 0 AS edits,
+         coalesce(v.n_occ, 0) AS n_occ
+  FROM slots s LEFT JOIN vocab v ON v.term = s.word
+),
+cand0 AS (
+  SELECT query_id, n_slots, slot, term, min(edits) AS edits, max(n_occ) AS n_occ
+  FROM (SELECT * FROM matches UNION ALL SELECT * FROM orig) GROUP BY 1, 2, 3, 4
+),
+cand AS (
+  SELECT query_id, n_slots, slot, term, edits FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id, slot
+                                 ORDER BY edits, n_occ DESC, term) AS rn
+    FROM cand0) WHERE rn <= 3
+),
+single AS (
+  SELECT c.query_id, c.term AS suggestion,
+         log2((coalesce(v.n_occ, 0)::DOUBLE + 0.5) / (t.n_tokens + 0.5 * t.v))
+           + c.edits * (-3.0) AS score
+  FROM cand c LEFT JOIN vocab v ON v.term = c.term CROSS JOIN totals t
+  WHERE c.n_slots = 1
+),
+pairs AS (
+  SELECT a.query_id, a.term AS t1, b.term AS t2, (a.edits + b.edits) AS n_edits
+  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.slot = 0 AND b.slot = 1
+  WHERE a.n_slots = 2
+),
+multi AS (
+  SELECT p.query_id, p.t1 || ' ' || p.t2 AS suggestion,
+         log2((coalesce(g.c2, 0) + 0.5) / (coalesce(x.c1, 0) + 0.5 * t.v))
+           + p.n_edits * (-3.0) AS score
+  FROM pairs p
+  LEFT JOIN bgc g ON g.w1 = p.t1 AND g.w2 = p.t2
+  LEFT JOIN ctx x ON x.w1 = p.t1
+  CROSS JOIN totals t
+),
+allc AS (SELECT * FROM single UNION ALL SELECT * FROM multi),
+r AS (SELECT query_id, suggestion, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, suggestion) AS rank
+      FROM allc)
+SELECT query_id, rank::BIGINT AS rank, suggestion, round(score, 4) AS score
+FROM r WHERE rank <= 3
+"""
+
+
 def _lm_perplexity_sql() -> str:
     """Bigram-LM oracle: DuckDB zips the two shifted list slices with
     parallel unnest; smoothing/entropy arithmetic mirrors the Spark
@@ -6110,6 +6214,7 @@ SELECT rank::BIGINT AS rank, vec_id, round(sim, 4) AS sim
 FROM ranked WHERE rank <= {TOPK}
 """,
         "lm_perplexity": _lm_perplexity_sql(),
+        "phrase_suggest": _phrase_suggest_sql(),
         "vocab_stats": _vocab_stats_sql(),
         "top_hits_lang": _top_hits_sql(),
         "rare_terms": _rare_terms_sql(),
