@@ -1737,6 +1737,25 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "vec_id", F.round("sim", 4).alias("sim"))
 
 
+def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity: int8 scalar quantization (FAISS SQ8) — per-dimension
+    global min/max affine quantizer, codes = floor((x-min)/scale + 0.5)
+    clamped to [0,255], cosine against the reconstructions. The quantizer
+    is closed-form from the data (no trained codebooks), so the DuckDB
+    oracle recomputes min/scale/codes/reconstruction/top-k entirely from
+    the embeddings table with no carried constants."""
+    from fulltextsearch_spark.operators.similarity import build_sq, sq_cosine_topk
+
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qvec"),
+    )
+    idx = build_sq(emb)
+    res = sq_cosine_topk(idx, q, k=TOPK)
+    return res.select("query_id", "rank", "vec_id", F.round("sim", 4).alias("sim"))
+
+
 def q_ann_ivfpq_loaded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ under the index store/load gate: build -> save_ivfpq_index
     (codes clustered by list_id, quantizer stages as row tables) ->
@@ -3029,6 +3048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_ivfpq_loaded": q_ann_ivfpq_loaded,
+        "ann_sq_topk": q_ann_sq_topk,
         "semdedup_keep": q_semdedup_keep,
         "media_metadata": q_media_metadata,
         "image_stats": q_image_stats,
@@ -4473,6 +4493,44 @@ sims AS (
   SELECT l.query_id, a.vec_id, sum(l.dt) / sqrt(sum(l.n2)) AS sim
   FROM assign a JOIN lut l ON l.sub = a.sub AND l.code = a.code
   GROUP BY 1, 2
+),
+r AS (SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      FROM sims)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, vec_id::BIGINT AS vec_id,
+       round(sim, 4) AS sim
+FROM r WHERE rank <= {TOPK}
+"""
+
+
+_SQ_SQL = f"""
+WITH ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+dims AS (SELECT unnest(range(64)) AS d),
+stats AS (
+  SELECT d, min(v[d + 1]) AS mn, max(v[d + 1]) AS mx
+  FROM ed CROSS JOIN dims GROUP BY d
+),
+sc AS (SELECT d, mn, (mx - mn) / 255.0 AS s FROM stats),
+recon AS (
+  SELECT e.vec_id, c.d,
+         c.mn + (CASE WHEN c.s = 0 THEN 0
+                      ELSE least(greatest(floor((e.v[c.d + 1] - c.mn) / c.s + 0.5), 0), 255)
+                 END) * c.s AS xh
+  FROM ed e CROSS JOIN sc c
+),
+q AS (
+  SELECT vec_id AS query_id,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS qv
+  FROM ed WHERE vec_id < 3
+),
+dots AS (
+  SELECT q.query_id, r.vec_id, sum(r.xh * q.qv[r.d + 1]) AS dt
+  FROM recon r CROSS JOIN q GROUP BY 1, 2
+),
+norms AS (SELECT vec_id, greatest(sqrt(sum(xh * xh)), 1e-30) AS nrm FROM recon GROUP BY 1),
+sims AS (
+  SELECT d.query_id, d.vec_id, d.dt / n.nrm AS sim
+  FROM dots d JOIN norms n USING (vec_id)
 ),
 r AS (SELECT query_id, vec_id, sim,
              row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
@@ -6101,6 +6159,7 @@ FROM d JOIN labels l ON l.node = d.doc_id AND l.component = d.doc_id
         "ann_pq_topk": _ann_pq_sql(),
         "ann_ivfpq_topk": _ann_ivfpq_sql(),
         "ann_ivfpq_loaded": _ann_ivfpq_sql(),
+        "ann_sq_topk": _SQ_SQL,
         "semdedup_keep": _semdedup_sql(),
         "media_metadata": """
 SELECT doc_id::BIGINT AS media_id,

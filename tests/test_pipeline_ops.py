@@ -373,6 +373,46 @@ def test_ivfpq_save_load_roundtrip(spark, emb_df, tmp_path):
     assert all(rec[f"{t}_bytes"] > 0 for t in ("codes", "centroids", "codebooks"))
 
 
+def test_sq_cosine_topk_matches_numpy(spark, emb_df, emb_np):
+    """SQ8: codes, reconstructions, and top-k match a numpy replay; the
+    quantizer is lossy-bounded (per-dim error <= scale/2) and recall vs
+    exact brute force is near-perfect at 8 bits."""
+    ids, m = emb_np
+    mins, maxs = m.min(axis=0), m.max(axis=0)
+    scales = (maxs - mins) / 255.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        c = np.floor((m - mins) / scales + 0.5)
+    codes = np.clip(np.where(np.isfinite(c), c, 0.0), 0, 255)
+    idx = sim.build_sq(emb_df)
+    np.testing.assert_allclose(idx.mins, mins)
+    np.testing.assert_allclose(idx.scales, scales)
+    got_codes = {r["vec_id"]: list(r["codes"]) for r in idx.codes.collect()}
+    assert got_codes == {int(i): list(map(int, row)) for i, row in zip(ids, codes)}
+    recon = mins + codes * scales
+    assert np.abs(recon - m).max() <= scales.max() / 2 + 1e-12
+
+    q = emb_df.filter(emb_df.vec_id < 3).selectExpr(
+        "vec_id AS query_id", "transform(embedding, x -> cast(x AS double)) AS qvec"
+    )
+    got = sim.sq_cosine_topk(idx, q, k=10).collect()
+    qm = m[np.isin(ids, [0, 1, 2])]
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    norms = np.maximum(np.sqrt((recon**2).sum(axis=1)), 1e-30)
+    overlap = []
+    for qi in range(3):
+        sims = (recon @ qm[qi]) / norms
+        order = np.lexsort((ids, -sims))[:10]
+        exp = [(int(ids[o]), rk + 1) for rk, o in enumerate(order)]
+        gq = sorted(
+            [(r["vec_id"], r["rank"]) for r in got if r["query_id"] == qi],
+            key=lambda t: t[1],
+        )
+        assert gq == exp
+        exact = set(_brute_np(ids, m, m[np.isin(ids, [qi])][0], 10))
+        overlap.append(len(exact & {v for v, _ in exp}) / 10)
+    assert sum(overlap) / 3 >= 0.9  # 8-bit reconstruction barely moves ranks
+
+
 # --- chunking ----------------------------------------------------------------
 
 
