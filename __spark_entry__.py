@@ -1785,6 +1785,20 @@ def q_ann_ivfpq_loaded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "vec_id", F.round("sim", 4).alias("sim"))
 
 
+def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity: approximate kNN similarity JOIN — every vector's top-3
+    cosine neighbors among its 3 nearest IVF lists' members (self
+    excluded); the semantic near-dup graph builder. The DuckDB oracle
+    carries the k-means centroids as VALUES and replays assignment,
+    per-vector probe selection, the candidate join, and the ranked
+    neighbor lists."""
+    from fulltextsearch_spark.operators.similarity import ivf_knn_join
+
+    emb = _embeddings(spark, sf_dir)
+    res = ivf_knn_join(emb, n_centroids=10, nprobe=3, k=3)
+    return res.select("vec_id", "rank", "nb_id", F.round("sim", 4).alias("sim"))
+
+
 def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-pipeline op: SemDeDup (Abbas et al., 2023) — k-means cluster
     the embeddings, then inside each cluster drop any point whose cosine to a
@@ -3049,6 +3063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_ivfpq_loaded": q_ann_ivfpq_loaded,
         "ann_sq_topk": q_ann_sq_topk,
+        "ann_knn_join": q_ann_knn_join,
         "semdedup_keep": q_semdedup_keep,
         "media_metadata": q_media_metadata,
         "image_stats": q_image_stats,
@@ -4674,6 +4689,69 @@ FROM r WHERE rank <= {TOPK}
 """
 
 
+def _ann_knn_join_sql() -> str:
+    """kNN-join oracle: same deterministic centroids as the Spark build
+    (VALUES); assignment, per-vector nprobe probe selection, the
+    probe-list candidate join (self excluded), cosine, and the per-vector
+    rank all replayed in SQL."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from fulltextsearch_spark.operators.similarity import _kmeans
+
+    if not os.path.exists(_EMB_SF001):  # pragma: no cover - driver env always has it
+        return "SELECT 1 WHERE false"
+    tbl = pq.read_table(_EMB_SF001).sort_by("vec_id")  # canonical sample order
+    emb = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    cent = _kmeans(emb, 10, 10, 7)
+    cent_rows = ", ".join(
+        "(%d, [%s])" % (i, ", ".join(repr(float(v)) for v in cent[i]))
+        for i in range(cent.shape[0])
+    )
+    return f"""
+WITH cent AS (SELECT list_id, list_transform(cv, x -> x::DOUBLE) AS cv
+              FROM (VALUES {cent_rows}) c(list_id, cv)),
+ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+dist AS (
+  SELECT vec_id, list_id,
+         list_sum(list_transform(list_zip(v, cv), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM ed CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id, row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+    FROM dist) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id, row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+    FROM dist) WHERE rn <= 3
+),
+nv AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS nvec
+  FROM ed
+),
+cand AS (
+  SELECT p.vec_id AS a, m.vec_id AS b
+  FROM probes p JOIN assign m USING (list_id)
+  WHERE m.vec_id <> p.vec_id
+),
+sims AS (
+  SELECT c.a, c.b,
+         list_sum(list_transform(list_zip(x.nvec, y.nvec), p -> p[1] * p[2])) AS sim
+  FROM cand c JOIN nv x ON x.vec_id = c.a JOIN nv y ON y.vec_id = c.b
+),
+r AS (SELECT a, b, sim,
+             row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rank
+      FROM sims)
+SELECT a::BIGINT AS vec_id, rank::BIGINT AS rank, b::BIGINT AS nb_id, round(sim, 4) AS sim
+FROM r WHERE rank <= 3
+"""
+
+
 def _semdedup_sql() -> str:
     """Replay SemDeDup in DuckDB: deterministic numpy k-means centroids
     carried as VALUES (same seed/sample as the Spark path — at the driver's
@@ -6160,6 +6238,7 @@ FROM d JOIN labels l ON l.node = d.doc_id AND l.component = d.doc_id
         "ann_ivfpq_topk": _ann_ivfpq_sql(),
         "ann_ivfpq_loaded": _ann_ivfpq_sql(),
         "ann_sq_topk": _SQ_SQL,
+        "ann_knn_join": _ann_knn_join_sql(),
         "semdedup_keep": _semdedup_sql(),
         "media_metadata": """
 SELECT doc_id::BIGINT AS media_id,

@@ -62,6 +62,7 @@ __all__ = [
     "SQIndex",
     "build_sq",
     "sq_cosine_topk",
+    "ivf_knn_join",
 ]
 
 
@@ -1022,4 +1023,114 @@ def sq_cosine_topk(
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "sim")
+    )
+
+
+def ivf_knn_join(
+    embeddings: DataFrame,
+    n_centroids: int = 10,
+    nprobe: int = 3,
+    k: int = 5,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ivf: IVFIndex | None = None,
+) -> DataFrame:
+    """-> (vec_id, rank, nb_id, sim): approximate kNN SIMILARITY JOIN —
+    every vector's k nearest neighbors (cosine, self excluded) among the
+    members of its ``nprobe`` nearest inverted lists.
+
+    The all-pairs matrix never materializes: each vector is shuffled to
+    its nprobe probe lists (nprobe x data movement, the IVF batch-join
+    trade), each list group does ONE members-x-visitors matmul with a
+    per-visitor partial top-k, and a global window reduces the <= k*nprobe
+    candidates per vector. This is the semantic near-dup GRAPH builder —
+    thresholded output feeds :func:`~.dedup.connected_components` exactly
+    like the MinHash pair stream. Skew bound: a list group holds
+    |members| + |visitors| rows; mega-list skew is the same upgrade point
+    as the IVF serving path (split hot lists by a secondary k-means).
+    """
+    if ivf is not None:
+        assigned, cent = ivf.assigned, ivf.centroids
+    else:
+        assigned, cent = ivf_assign(
+            embeddings, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    nprobe = min(nprobe, cent.shape[0])
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            pl = np.argsort(d, axis=1)[:, :nprobe]  # ties: lowest list_id first
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf[id_col].to_numpy(dtype=np.int64), nprobe),
+                    "list_id": pl.ravel(),
+                }
+            )
+
+    vecs = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    probes = spread_for_python_kernel(embeddings).mapInPandas(
+        _probe, schema="vec_id LONG, list_id LONG"
+    )
+    members = (
+        assigned.select(F.col("vec_id").cast("long").alias("vec_id"), "list_id")
+        .join(vecs, "vec_id")
+        .select("list_id", "vec_id", "v", F.lit(0).alias("role"))
+    )
+    visitors = probes.join(vecs, "vec_id").select(
+        "list_id", "vec_id", "v", F.lit(1).alias("role")
+    )
+    both = members.unionByName(visitors)
+
+    def _per_list(pdf: pd.DataFrame) -> pd.DataFrame:
+        mem = pdf[pdf["role"] == 0]
+        vis = pdf[pdf["role"] == 1]
+        if len(mem) == 0 or len(vis) == 0:
+            return pd.DataFrame({"vec_id": [], "nb_id": [], "sim": []}).astype(
+                {"vec_id": np.int64, "nb_id": np.int64, "sim": np.float64}
+            )
+        mm = np.array(mem["v"].tolist(), dtype=np.float64)
+        mm /= np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-30)
+        vm = np.array(vis["v"].tolist(), dtype=np.float64)
+        vm /= np.maximum(np.linalg.norm(vm, axis=1, keepdims=True), 1e-30)
+        mids = mem["vec_id"].to_numpy(dtype=np.int64)
+        vids = vis["vec_id"].to_numpy(dtype=np.int64)
+        sims = vm @ mm.T  # visitors x members
+        out_v, out_n, out_s = [], [], []
+        for i in range(len(vids)):
+            s = sims[i]
+            keep = mids != vids[i]
+            ids_k, s_k = mids[keep], s[keep]
+            take = min(k, ids_k.size)
+            idx = np.lexsort((ids_k, -s_k))[:take]
+            out_v.append(np.full(take, vids[i], dtype=np.int64))
+            out_n.append(ids_k[idx])
+            out_s.append(s_k[idx])
+        if not out_v:
+            return pd.DataFrame({"vec_id": [], "nb_id": [], "sim": []}).astype(
+                {"vec_id": np.int64, "nb_id": np.int64, "sim": np.float64}
+            )
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_v),
+                "nb_id": np.concatenate(out_n),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    partial = both.groupBy("list_id").applyInPandas(
+        _per_list, schema="vec_id LONG, nb_id LONG, sim DOUBLE"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("nb_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", F.col("rank").cast("long").alias("rank"), "nb_id", "sim")
     )

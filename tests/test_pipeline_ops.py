@@ -413,6 +413,37 @@ def test_sq_cosine_topk_matches_numpy(spark, emb_df, emb_np):
     assert sum(overlap) / 3 >= 0.9  # 8-bit reconstruction barely moves ranks
 
 
+def test_ivf_knn_join_matches_numpy(spark, emb_df, emb_np):
+    """kNN join: every vector's ranked neighbor list matches a numpy
+    replay of assignment + probe + candidate scoring, neighbors only come
+    from probed lists, and self never appears."""
+    ids, m = emb_np
+    nlist, nprobe, k = 10, 3, 3
+    cent = sim._kmeans(m, nlist, 10, 7)
+    d = ((m[:, None, :] - cent[None]) ** 2).sum(-1)
+    lists = d.argmin(axis=1)
+    probes = np.argsort(d, axis=1)[:, :nprobe]
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    exp = {}
+    for i in range(len(ids)):
+        mask = np.isin(lists, probes[i]) & (ids != ids[i])
+        cids, cs = ids[mask], sims[i][mask]
+        order = np.lexsort((cids, -cs))[:k]
+        exp[int(ids[i])] = [(int(cids[o]), r + 1) for r, o in enumerate(order)]
+    got: dict = {v: [] for v in exp}
+    for r in sim.ivf_knn_join(emb_df, n_centroids=nlist, nprobe=nprobe, k=k).collect():
+        got[r["vec_id"]].append((r["nb_id"], r["rank"]))
+    for v in got:
+        got[v].sort(key=lambda t: t[1])
+    assert got == exp
+    # neighbors only from probed lists, no self
+    for i, v in enumerate(ids):
+        for nb, _ in got[int(v)]:
+            assert nb != v
+            assert lists[np.where(ids == nb)[0][0]] in probes[i]
+
+
 # --- chunking ----------------------------------------------------------------
 
 
