@@ -2561,6 +2561,19 @@ def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline: BPE tokenizer training (Sennrich et al. 2016) —
+    learn the first 10 merge rules from the corpus word-frequency table.
+    Pure-integer output (rank, pair, weighted count), so the hash gate is
+    exact with no FP anywhere. The DuckDB oracle replays every round
+    independently: pair counting via shifted-slice unnest, argmax with the
+    (count desc, lhs, rhs) tie-break, and the left-to-right
+    non-overlapping rewrite via a doubled-separator string replace."""
+    from fulltextsearch_spark.operators.bpe import train_bpe
+
+    return train_bpe(_docs(spark, sf_dir), n_merges=10)
+
+
 def q_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES extended_stats aggregation: per-lang moments over n_chars.
     Variance/std are DERIVED from the integer moment sums (sumsq/n -
@@ -3001,6 +3014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extended_stats": q_extended_stats,
         "length_histogram": q_length_histogram,
         "phrase_suggest": q_phrase_suggest,
+        "bpe_merges": q_bpe_merges,
         "fuzzy_topk": q_fuzzy_topk,
         "boosting_topk": q_boosting_topk,
         "mix_weights": q_mix_weights,
@@ -4827,6 +4841,40 @@ s AS (
 )"""
 
 
+def _bpe_merges_sql(n_merges: int = 10) -> str:
+    """BPE oracle: every merge round unrolled as CTEs. State is the word's
+    symbol sequence as a padded doubled-separator string
+    (`` a  b  c ``): the rewrite ``replace(' l  r ', ' lr ')`` consumes
+    one space from each side of the doubled separator, so consecutive
+    matches keep their anchors and the replace reproduces BPE's
+    left-to-right non-overlapping rule exactly; symbol boundaries can
+    never false-match because symbols contain no spaces."""
+    parts = [
+        "w0 AS (SELECT ' ' || array_to_string(list_append(string_split(term, ''), '_'), '  ') || ' ' AS s,"
+        " count(*)::BIGINT AS cnt FROM tok GROUP BY term)"
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""sy{i} AS (SELECT string_split(trim(s), '  ') AS syms, cnt FROM w{i}),
+p{i} AS (
+  SELECT l, r, sum(cnt)::BIGINT AS c FROM (
+    SELECT unnest(syms[1:len(syms)-1]) AS l, unnest(syms[2:len(syms)]) AS r, cnt
+    FROM sy{i} WHERE len(syms) >= 2
+  ) GROUP BY 1, 2
+),
+b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
+w{i + 1} AS (
+  SELECT replace(s, ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS s, cnt
+  FROM w{i} CROSS JOIN b{i} b
+)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {i + 1}::BIGINT AS merge_rank, l AS lhs, r AS rhs, c AS pair_count FROM b{i}"
+        for i in range(n_merges)
+    )
+    return f"WITH {_tok_cte()},\n" + ",\n".join(parts) + "\n" + finals
+
+
 def _phrase_suggest_sql() -> str:
     """Phrase-suggester oracle: slots from the SAME tokenizer, candidate
     generation (levenshtein + length band + popularity window + source
@@ -6353,6 +6401,7 @@ FROM ranked WHERE rank <= {TOPK}
 """,
         "lm_perplexity": _lm_perplexity_sql(),
         "phrase_suggest": _phrase_suggest_sql(),
+        "bpe_merges": _bpe_merges_sql(),
         "vocab_stats": _vocab_stats_sql(),
         "top_hits_lang": _top_hits_sql(),
         "rare_terms": _rare_terms_sql(),
