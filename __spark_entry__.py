@@ -2574,6 +2574,27 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_bpe(_docs(spark, sf_dir), n_merges=10)
 
 
+def q_bpe_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline: apply the 10 learned BPE merges to segment every
+    document (train -> encode round trip). The oracle re-learns the same
+    merge chain in SQL and applies it per word with the same
+    doubled-separator replace, flattening in document token order; output
+    is (doc_id, count, joined segment stream) — FP-free."""
+    from fulltextsearch_spark.operators.bpe import bpe_encode, train_bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in train_bpe(docs, n_merges=10).orderBy("merge_rank").collect()
+    ]
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.concat_ws(" ", "bpe_tokens").alias("bpe_text"),
+    )
+
+
 def q_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES extended_stats aggregation: per-lang moments over n_chars.
     Variance/std are DERIVED from the integer moment sums (sumsq/n -
@@ -3015,6 +3036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": q_length_histogram,
         "phrase_suggest": q_phrase_suggest,
         "bpe_merges": q_bpe_merges,
+        "bpe_encoded": q_bpe_encoded,
         "fuzzy_topk": q_fuzzy_topk,
         "boosting_topk": q_boosting_topk,
         "mix_weights": q_mix_weights,
@@ -4875,6 +4897,36 @@ w{i + 1} AS (
     return f"WITH {_tok_cte()},\n" + ",\n".join(parts) + "\n" + finals
 
 
+def _bpe_encoded_sql(n_merges: int = 10) -> str:
+    """Encode oracle: re-learn the merge chain (same CTEs as the training
+    oracle), then apply all merges per word inside a list_transform over
+    each doc's ordered token list — nested doubled-separator replaces in
+    rank order — and flatten in document order."""
+    train = _bpe_merges_sql(n_merges)
+    # reuse everything up to the final UNION: cut at the first standalone SELECT
+    cte_part = train[: train.index("\nSELECT 1::BIGINT")]
+    bcols = ", ".join(f"b{i}.l AS l{i}, b{i}.r AS r{i}" for i in range(n_merges))
+    bfrom = ", ".join(f"b{i}" for i in range(n_merges))
+    expr = "' ' || array_to_string(list_append(string_split(w, ''), '_'), '  ') || ' '"
+    for i in range(n_merges):
+        expr = (
+            f"replace({expr}, ' ' || v.l{i} || '  ' || v.r{i} || ' ', "
+            f"' ' || v.l{i} || v.r{i} || ' ')"
+        )
+    return f"""{cte_part},
+bvals AS (SELECT {bcols} FROM {bfrom}),
+enc AS (
+  SELECT doc_id,
+         flatten(list_transform(tokens, w -> string_split(trim({expr}), '  '))) AS flat
+  FROM toks CROSS JOIN bvals v
+)
+SELECT doc_id::BIGINT AS doc_id,
+       len(flat)::BIGINT AS n_bpe_tokens,
+       array_to_string(flat, ' ') AS bpe_text
+FROM enc
+"""
+
+
 def _phrase_suggest_sql() -> str:
     """Phrase-suggester oracle: slots from the SAME tokenizer, candidate
     generation (levenshtein + length band + popularity window + source
@@ -6402,6 +6454,7 @@ FROM ranked WHERE rank <= {TOPK}
         "lm_perplexity": _lm_perplexity_sql(),
         "phrase_suggest": _phrase_suggest_sql(),
         "bpe_merges": _bpe_merges_sql(),
+        "bpe_encoded": _bpe_encoded_sql(),
         "vocab_stats": _vocab_stats_sql(),
         "top_hits_lang": _top_hits_sql(),
         "rare_terms": _rare_terms_sql(),

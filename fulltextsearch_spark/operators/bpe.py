@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from fulltextsearch_spark.functions.tokenizer import tokenize_udf
 
-__all__ = ["train_bpe", "END_MARK"]
+__all__ = ["train_bpe", "bpe_encode", "END_MARK"]
 
 # word-final marker symbol (its own symbol, not a suffix); '_' never occurs
 # inside engine tokens (it is a delimiter in the 67-char split whitelist)
@@ -131,4 +131,57 @@ def train_bpe(
     table.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank LONG, lhs STRING, rhs STRING, pair_count LONG"
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    end_mark: bool = True,
+) -> DataFrame:
+    """-> (doc_id, n_bpe_tokens, bpe_tokens): segment each doc's token
+    stream with a learned merge list (applied in rank order, each merge
+    left-to-right non-overlapping — the reference apply_bpe semantics).
+
+    The merge list is tokenizer-sized (tens of thousands of rules), so it
+    broadcasts with the kernel closure; encoding is one Arrow pass over
+    the corpus, zero shuffles. ``bpe_tokens`` is the flattened symbol
+    stream in document order (word-final units carry the ``_`` mark).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    rules = [(l, r) for l, r in merges]
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fulltextsearch_spark.functions.tokenizer import (  # noqa: PLC0415
+            tokenize,
+        )
+
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_tokens = []
+            for text in pdf[text_col]:
+                stream: list[str] = []
+                for w in tokenize(text if isinstance(text, str) else "", do_stem=False):
+                    seg = cache.get(w)
+                    if seg is None:
+                        syms = list(w) + ([END_MARK] if end_mark else [])
+                        for l, r in rules:
+                            syms = _merge_once(syms, l, r)
+                        cache[w] = seg = syms
+                    stream.extend(seg)
+                out_tokens.append(stream)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bpe_tokens": [len(t) for t in out_tokens],
+                    "bpe_tokens": out_tokens,
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        _encode, schema="doc_id LONG, n_bpe_tokens LONG, bpe_tokens ARRAY<STRING>"
     )

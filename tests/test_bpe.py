@@ -66,3 +66,36 @@ def test_train_bpe_early_stop(spark):
 def test_train_bpe_empty_corpus(spark):
     df = spark.createDataFrame([(0, "the and of")], "doc_id LONG, text STRING")
     assert train_bpe(df, n_merges=3).count() == 0  # stopword-only -> no words
+
+
+def test_bpe_encode_roundtrip_and_reconstruction(spark):
+    """Encoding with the learned merges: concatenated segments reconstruct
+    each word + end mark, merges reduce token count vs raw chars, and the
+    segment stream matches a direct per-word replay."""
+    from fulltextsearch_spark.functions.tokenizer import tokenize
+    from fulltextsearch_spark.operators.bpe import bpe_encode
+
+    docs = ["lower lowest" for _ in range(5)] + ["newest widest"] * 4
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id LONG, text STRING")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in train_bpe(df, n_merges=6).orderBy("merge_rank").collect()
+    ]
+    got = {r["doc_id"]: (r["n_bpe_tokens"], list(r["bpe_tokens"]))
+           for r in bpe_encode(df, merges).collect()}
+    for doc_id, text in enumerate(docs):
+        n, toks = got[doc_id]
+        assert n == len(toks)
+        # per-word replay
+        exp = []
+        for w in tokenize(text, do_stem=False):
+            syms = list(w) + ["_"]
+            for l, r in merges:
+                syms = _merge_once(syms, l, r)
+            exp.extend(syms)
+        assert toks == exp
+        # segments reconstruct the words exactly
+        assert "".join(toks) == "".join(w + "_" for w in tokenize(text, do_stem=False))
+        # merges compress vs raw chars+mark
+        raw = sum(len(w) + 1 for w in tokenize(text, do_stem=False))
+        assert n < raw
