@@ -2561,6 +2561,21 @@ def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream funnel over the events table: users reaching each step
+    of view -> click -> purchase -> signup in strict (ts, event_id) order
+    with a 1-day conversion horizon from the first view. Greedy earliest-
+    anchor matching; per step one min-struct aggregate + a join against
+    the shrinking survivor set. The oracle replays the anchors with
+    row_number windows and the same lexicographic/horizon predicates."""
+    from fulltextsearch_spark.operators.temporal import funnel_steps
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_steps(
+        ev, ["view", "click", "purchase", "signup"], window_seconds=86400
+    )
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-pipeline: BPE tokenizer training (Sennrich et al. 2016) —
     learn the first 10 merge rules from the corpus word-frequency table.
@@ -3037,6 +3052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_suggest": q_phrase_suggest,
         "bpe_merges": q_bpe_merges,
         "bpe_encoded": q_bpe_encoded,
+        "funnel_counts": q_funnel_counts,
         "fuzzy_topk": q_fuzzy_topk,
         "boosting_topk": q_boosting_topk,
         "mix_weights": q_mix_weights,
@@ -4863,6 +4879,46 @@ s AS (
 )"""
 
 
+_FUNNEL_SQL = """
+WITH ev AS (SELECT user_id AS u, ts AS t, event_id AS i, event_type AS e FROM events),
+s1 AS (
+  SELECT u, t AS t1, i AS i1 FROM (
+    SELECT u, t, i, row_number() OVER (PARTITION BY u ORDER BY t, i) AS rn
+    FROM ev WHERE e = 'view') WHERE rn = 1
+),
+s2 AS (
+  SELECT u, t AS t2, i AS i2, t1 FROM (
+    SELECT e.u, e.t, e.i, s.t1,
+           row_number() OVER (PARTITION BY e.u ORDER BY e.t, e.i) AS rn
+    FROM ev e JOIN s1 s ON s.u = e.u
+    WHERE e.e = 'click' AND (e.t > s.t1 OR (e.t = s.t1 AND e.i > s.i1))
+      AND e.t <= s.t1 + INTERVAL '86400 seconds') WHERE rn = 1
+),
+s3 AS (
+  SELECT u, t AS t3, i AS i3, t1 FROM (
+    SELECT e.u, e.t, e.i, s.t1,
+           row_number() OVER (PARTITION BY e.u ORDER BY e.t, e.i) AS rn
+    FROM ev e JOIN s2 s ON s.u = e.u
+    WHERE e.e = 'purchase' AND (e.t > s.t2 OR (e.t = s.t2 AND e.i > s.i2))
+      AND e.t <= s.t1 + INTERVAL '86400 seconds') WHERE rn = 1
+),
+s4 AS (
+  SELECT u FROM (
+    SELECT e.u, row_number() OVER (PARTITION BY e.u ORDER BY e.t, e.i) AS rn
+    FROM ev e JOIN s3 s ON s.u = e.u
+    WHERE e.e = 'signup' AND (e.t > s.t3 OR (e.t = s.t3 AND e.i > s.i3))
+      AND e.t <= s.t1 + INTERVAL '86400 seconds') WHERE rn = 1
+)
+SELECT 1::BIGINT AS step, 'view' AS step_name, (SELECT count(*) FROM s1)::BIGINT AS n_users
+UNION ALL
+SELECT 2::BIGINT, 'click', (SELECT count(*) FROM s2)::BIGINT
+UNION ALL
+SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM s3)::BIGINT
+UNION ALL
+SELECT 4::BIGINT, 'signup', (SELECT count(*) FROM s4)::BIGINT
+"""
+
+
 def _bpe_merges_sql(n_merges: int = 10) -> str:
     """BPE oracle: every merge round unrolled as CTEs. State is the word's
     symbol sequence as a padded doubled-separator string
@@ -6455,6 +6511,7 @@ FROM ranked WHERE rank <= {TOPK}
         "phrase_suggest": _phrase_suggest_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_encoded": _bpe_encoded_sql(),
+        "funnel_counts": _FUNNEL_SQL,
         "vocab_stats": _vocab_stats_sql(),
         "top_hits_lang": _top_hits_sql(),
         "rare_terms": _rare_terms_sql(),

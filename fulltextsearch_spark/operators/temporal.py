@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["range_join", "sessionize"]
+__all__ = ["funnel_steps", "range_join", "sessionize"]
 
 
 def sessionize(
@@ -115,3 +115,76 @@ def range_join(
         (F.col("_b_us") <= F.col("_p_us")) & (F.col("_p_us") < F.col("_e_us"))
     )
     return joined.drop("_bkt", "_p_us", "_b_us", "_e_us")
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    window_seconds: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """-> (step, step_name, n_users): strict-order funnel analysis.
+
+    A user reaches step i when an event of ``steps[i]`` exists STRICTLY
+    after their step-(i-1) event under the total (ts, event_id) order —
+    the deterministic tiebreak the whole events suite uses. The step-i
+    anchor is the EARLIEST such event (greedy matching, the standard
+    funnel semantics). With ``window_seconds``, later steps must also
+    fall within that horizon of the user's step-0 anchor.
+
+    Scale shape: per step one filtered min-struct hash aggregate (map-side
+    partial) plus a join against the previous step's per-user anchor —
+    each intermediate is one row per surviving user, monotonically
+    shrinking; no windows, no event-level shuffle beyond the per-step
+    aggregate. Counts are exact integers.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(id_col).alias("i"),
+        F.col(type_col).alias("e"),
+    )
+    spark = events.sparkSession
+    counts = []
+    reached: DataFrame | None = None
+    for idx, step in enumerate(steps):
+        cur = ev.filter(F.col("e") == step)
+        if reached is None:
+            agg = (
+                cur.groupBy("u")
+                .agg(F.min(F.struct("t", "i")).alias("_t"))
+                .withColumn("_t0", F.col("_t.t"))
+            )
+        else:
+            cond = F.struct("t", "i") > F.col("_t")
+            if window_seconds is not None:
+                cond = cond & (
+                    F.col("t")
+                    <= F.col("_t0") + F.expr(f"INTERVAL {int(window_seconds)} SECONDS")
+                )
+            agg = (
+                cur.join(reached.select("u", "_t", "_t0"), "u")
+                .filter(cond)
+                .groupBy("u")
+                .agg(
+                    F.min(F.struct("t", "i")).alias("_t"),
+                    F.min("_t0").alias("_t0"),
+                )
+            )
+        reached = agg
+        counts.append(
+            agg.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(idx + 1).cast("long").alias("step"),
+                F.lit(step).alias("step_name"),
+                F.col("n_users").cast("long"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

@@ -6,6 +6,8 @@ from __future__ import annotations
 import datetime as dt
 import random
 
+import pytest
+
 from fulltextsearch_spark.operators.temporal import range_join, sessionize
 
 EPOCH = dt.datetime(2024, 1, 1)
@@ -90,3 +92,42 @@ def test_range_join_bruteforce(spark):
         if b <= t < e
     )
     assert got == want
+
+
+def test_funnel_steps_strict_order_and_window(spark):
+    """Funnel: strict (ts, event_id) ordering, greedy earliest anchors,
+    optional conversion horizon from the step-0 anchor."""
+    from datetime import datetime as dt
+
+    from fulltextsearch_spark.operators.temporal import funnel_steps
+
+    T = lambda m: dt(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1 full funnel in order
+        (1, T(0), 1, "view"), (2, T(1), 1, "click"), (3, T(2), 1, "purchase"),
+        # u2 click BEFORE view -> stops after view
+        (4, T(1), 2, "click"), (5, T(2), 2, "view"),
+        # u3 equal ts: click same instant as view but higher event_id counts
+        (6, T(0), 3, "view"), (7, T(0), 3, "click"),
+        # u4 click arrives past the 30-min window
+        (8, T(0), 4, "view"), (9, T(40), 4, "click"),
+        # u5 never views
+        (10, T(0), 5, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING"
+    )
+    got = {
+        r["step_name"]: r["n_users"]
+        for r in funnel_steps(df, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {"view": 4, "click": 3, "purchase": 1}
+    gotw = {
+        r["step_name"]: r["n_users"]
+        for r in funnel_steps(
+            df, ["view", "click", "purchase"], window_seconds=1800
+        ).collect()
+    }
+    assert gotw == {"view": 4, "click": 2, "purchase": 1}
+    with pytest.raises(ValueError):
+        funnel_steps(df, [])
