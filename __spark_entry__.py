@@ -530,6 +530,73 @@ def q_pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph HITS (Kleinberg 1999): hub/authority mutual
+    reinforcement, L2-normalized per half-step, fixed 10 iterations over
+    the same deterministic synthetic link graph as pagerank_scores; the
+    oracle unrolls every half-step as chained CTEs with subquery norms."""
+    from fulltextsearch_spark.operators.linkgraph import hits
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    base = docs.select("doc_id")
+    e1 = base.select("doc_id", ((F.col("doc_id") * 7 + 3) % n).alias("dst"))
+    e2 = base.select("doc_id", ((F.col("doc_id") * 13 + 5) % n).alias("dst"))
+    edges = (
+        e1.unionByName(e2)
+        .withColumnRenamed("doc_id", "src")
+        .filter((F.col("src") % 17 != 0) & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    out = hits(edges, n, iters=PAGERANK_ITERS)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+def _hits_sql() -> str:
+    iters = PAGERANK_ITERS
+    parts = [
+        """
+WITH nn AS (SELECT (max(doc_id)+1)::BIGINT AS nb, (max(doc_id)+1)::DOUBLE AS nd
+            FROM documents),
+v AS (SELECT doc_id FROM documents),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id*7+3) % (SELECT nb FROM nn) AS dst FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id*13+5) % (SELECT nb FROM nn) FROM documents
+  ) WHERE src % 17 <> 0 AND src <> dst
+),
+h0 AS MATERIALIZED (SELECT doc_id, 1.0/sqrt((SELECT nd FROM nn)) AS h FROM v)"""
+    ]
+    for k in range(iters):
+        parts.append(
+            f""",
+araw{k} AS MATERIALIZED (
+  SELECT e.dst, sum(h.h) AS ar FROM edges e JOIN h{k} h ON h.doc_id = e.src GROUP BY 1),
+an{k} AS MATERIALIZED (SELECT coalesce(sqrt(sum(ar*ar)), 1.0) AS nrm FROM araw{k}),
+a{k} AS MATERIALIZED (
+  SELECT v.doc_id, coalesce(r.ar, 0) / (SELECT nrm FROM an{k}) AS a
+  FROM v LEFT JOIN araw{k} r ON r.dst = v.doc_id),
+hraw{k} AS MATERIALIZED (
+  SELECT e.src, sum(a.a) AS hr FROM edges e JOIN a{k} a ON a.doc_id = e.dst GROUP BY 1),
+hn{k} AS MATERIALIZED (SELECT coalesce(sqrt(sum(hr*hr)), 1.0) AS nrm FROM hraw{k}),
+h{k + 1} AS MATERIALIZED (
+  SELECT v.doc_id, coalesce(r.hr, 0) / (SELECT nrm FROM hn{k}) AS h
+  FROM v LEFT JOIN hraw{k} r ON r.src = v.doc_id)"""
+        )
+    parts.append(
+        f"""
+SELECT h.doc_id::BIGINT AS doc_id, round(h.h, 6) AS hub, round(a.a, 6) AS authority
+FROM h{iters} h JOIN a{iters - 1} a ON a.doc_id = h.doc_id
+"""
+    )
+    return "".join(parts)
+
+
 def _pagerank_sql() -> str:
     d, iters = PAGERANK_D, PAGERANK_ITERS
     parts = [
@@ -3071,6 +3138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "index_stats": q_index_stats,
         "pagerank_scores": q_pagerank_scores,
+        "hits_scores": q_hits_scores,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "facet_counts": q_facet_counts,
         "mlt_topk": q_mlt_topk,
@@ -5512,6 +5580,7 @@ FROM ranked WHERE rank <= {TOPK}
         "bm25_topk_deleted": _scored_sql(bm25, src_where="doc_id % 5 <> 0"),
         "index_stats": _index_stats_sql(),
         "pagerank_scores": _pagerank_sql(),
+        "hits_scores": _hits_sql(),
         "score_explain": f"""
 WITH {_tok_cte()},
 stats AS (

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["hits", "pagerank"]
 
 
 def pagerank(
@@ -86,4 +86,78 @@ def pagerank(
     # frame must not re-derive from the unpersisted join input)
     out = ranks.select("doc_id", F.col("r").alias("pagerank")).localCheckpoint()
     edges_deg.unpersist()
+    return out
+
+
+def hits(
+    edges: DataFrame,
+    n_docs: int,
+    iters: int = 10,
+) -> DataFrame:
+    """edges(src, dst) -> (doc_id, hub, authority): Kleinberg's HITS after
+    ``iters`` mutual-reinforcement steps, L2-normalized each half-step —
+    the hub/authority complement to :func:`pagerank` (Kleinberg, JACM
+    1999). Fixed iteration count for the same determinism reason.
+
+    Per iteration: two skinny joins of the score vector with the edge
+    list (reusing one persisted partitioning) + two groupBy aggregates +
+    two scalar norms; nodes without in/out links hold score 0 after the
+    first step. Every half-step eagerly localCheckpoints its raw sums so
+    the norm collects never replay prior iterations.
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").repartition("src").persist()
+    e.count()
+    init = 1.0 / (float(n_docs) ** 0.5)
+    hubs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.lit(init).alias("h")
+    )
+    auths = None
+    for i in range(iters):
+        # eager localCheckpoint: the norm collect below would otherwise
+        # recompute the whole growing lineage, making iteration k cost
+        # O(k) recomputes (observed 4 min for a 6-node graph) — with the
+        # checkpoint every half-step is O(1) over a 1-row-per-node frame
+        a_raw = (
+            e.join(hubs, e["src"] == hubs["doc_id"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("_a"))
+            .localCheckpoint()
+        )
+        an = float(
+            a_raw.agg(F.sqrt(F.sum(F.col("_a") * F.col("_a")))).collect()[0][0] or 1.0
+        ) or 1.0
+        auths = (
+            spark.range(n_docs)
+            .select(F.col("id").alias("doc_id"))
+            .join(a_raw, F.col("doc_id") == F.col("dst"), "left")
+            .select(
+                "doc_id",
+                (F.coalesce(F.col("_a"), F.lit(0.0)) / F.lit(an)).alias("a"),
+            )
+        )
+        h_raw = (
+            e.join(auths, e["dst"] == auths["doc_id"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("_h"))
+            .localCheckpoint()
+        )
+        hn = float(
+            h_raw.agg(F.sqrt(F.sum(F.col("_h") * F.col("_h")))).collect()[0][0] or 1.0
+        ) or 1.0
+        hubs = (
+            spark.range(n_docs)
+            .select(F.col("id").alias("doc_id"))
+            .join(h_raw, F.col("doc_id") == F.col("src"), "left")
+            .select(
+                "doc_id",
+                (F.coalesce(F.col("_h"), F.lit(0.0)) / F.lit(hn)).alias("h"),
+            )
+        )
+    out = (
+        hubs.join(auths, "doc_id")
+        .select("doc_id", F.col("h").alias("hub"), F.col("a").alias("authority"))
+        .localCheckpoint()
+    )
+    e.unpersist()
     return out

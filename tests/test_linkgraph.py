@@ -57,3 +57,37 @@ def test_pagerank_no_edges_uniform(spark):
     assert len(got) == 5
     for v in got:
         assert v == pytest.approx(0.2, rel=1e-12)  # all dangling -> uniform
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    """HITS matches a numpy replay of the same L2-normalized half-steps,
+    and a pure-hub / pure-authority star ranks as expected."""
+    import numpy as np
+
+    from fulltextsearch_spark.operators.linkgraph import hits
+
+    # node 0 links to 1,2,3 (hub); 4 also links to 1 (1 = top authority);
+    # node 5 isolated
+    edges = [(0, 1), (0, 2), (0, 3), (4, 1)]
+    n = 6
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {
+        r["doc_id"]: (r["hub"], r["authority"])
+        for r in hits(df, n, iters=10).collect()
+    }
+    A = np.zeros((n, n))
+    for s, d in edges:
+        A[s, d] = 1.0
+    h = np.full(n, 1.0 / np.sqrt(n))
+    for _ in range(10):
+        a = A.T @ h
+        a /= np.linalg.norm(a) or 1.0
+        h = A @ a
+        h /= np.linalg.norm(h) or 1.0
+    for v in range(n):
+        assert got[v][0] == pytest.approx(h[v], abs=1e-9)
+        assert got[v][1] == pytest.approx(a[v], abs=1e-9)
+    # structure: 0 is the dominant hub, 1 the dominant authority, 5 zero
+    assert got[0][0] == max(x[0] for x in got.values())
+    assert got[1][1] == max(x[1] for x in got.values())
+    assert got[5] == (0.0, 0.0)
