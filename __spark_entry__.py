@@ -2233,6 +2233,52 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous exact dedup (applyInPandasWithState): the documents
+    table plus deterministic clones (doc_id%7==0 re-arrives as doc_id+N)
+    streams through the file source; exactly one canonical
+    (text_hash, kept_doc_id) row is emitted per distinct md5(text), the
+    clone always losing to the original. Oracle: plain min(doc_id) per
+    hash over the same unioned batch world."""
+    import hashlib as _hl
+    import os as _os
+    import uuid as _uuid
+
+    from fulltextsearch_spark.streaming.sessions import streaming_dedup_first
+
+    land = f"/tmp/fts_entry_sdedup_land_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    marker = _os.path.join(land, "_STAGED")
+    src_size = _os.path.getsize(f"{sf_dir}/documents.parquet")
+    if not (_os.path.exists(marker) and open(marker).read() == str(src_size)):
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        n = docs.count()
+        clones = docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + n).alias("doc_id"), "text"
+        )
+        docs.unionByName(clones).coalesce(1).write.mode("overwrite").parquet(land)
+        with open(marker, "w") as f:
+            f.write(str(src_size))
+    name = f"fts_entry_sdedup_{_uuid.uuid4().hex[:10]}"
+    stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(land)
+    q = (
+        streaming_dedup_first(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"/tmp/{name}_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_dedup query did not finish in 300s")
+    if q.exception() is not None:
+        raise q.exception()
+    return spark.table(name).select(
+        "text_hash", F.col("kept_doc_id").cast("long").alias("kept_doc_id")
+    )
+
+
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI collocation mining (Church & Hanks): top-20 adjacent bigrams of
     the engine token stream by pointwise mutual information, support >= 5.
@@ -3133,6 +3179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram": q_date_histogram,
         "cms_term_counts": q_cms_term_counts,
         "streaming_sessions": q_streaming_sessions,
+        "streaming_dedup": q_streaming_dedup,
         "collocations_topk": q_collocations,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_topk_deleted": q_bm25_topk_deleted,
@@ -5680,6 +5727,16 @@ scored AS (
 )
 SELECT w1, w2, n, round(pmi, 4) AS pmi FROM scored
 ORDER BY pmi DESC, w1, w2 LIMIT 20
+""",
+        "streaming_dedup": """
+WITH n AS (SELECT count(*)::BIGINT AS nb FROM documents),
+world AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT nb FROM n), text FROM documents WHERE doc_id % 7 = 0
+)
+SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS kept_doc_id
+FROM world GROUP BY 1
 """,
         "streaming_sessions": f"""
 WITH {_SESSIONS_CTE_SQL},

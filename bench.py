@@ -200,6 +200,12 @@ def main() -> None:
     timed("sig_terms", lambda: entrymod.q_sig_terms(spark, sf_dir).collect())
     # percolator: one full-corpus tokenize pass against the broadcast registry
     timed("percolate_matches", lambda: entrymod.q_percolate_matches(spark, sf_dir).count())
+    # document chunking: tokenize + window slice, zero shuffles (map ceiling)
+    timed("chunk_docs", lambda: entrymod.q_chunk_docs(spark, sf_dir).count())
+    # BPE training: 1 corpus aggregate + 10 small-table merge rounds
+    timed("bpe_merges", lambda: entrymod.q_bpe_merges(spark, sf_dir).count())
+    # IVF-PQ: build (sample + encode pass) + 3-query ADC probe
+    timed("ann_ivfpq_topk", lambda: entrymod.q_ann_ivfpq_topk(spark, sf_dir).collect())
 
     # segment-merge compaction: two half-corpus segment indexes merged
     # through the partial-combine reduce (builds untimed — the merge is the

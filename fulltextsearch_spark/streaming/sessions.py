@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["streaming_sessionize", "windowed_term_counts"]
+__all__ = ["streaming_dedup_first", "streaming_sessionize", "windowed_term_counts"]
 
 _OUT_SCHEMA = (
     "user_id BIGINT, session_start_us BIGINT, session_end_us BIGINT, "
@@ -137,4 +137,49 @@ def windowed_term_counts(
             "term",
             "n",
         )
+    )
+
+
+_DEDUP_OUT_SCHEMA = "text_hash STRING, kept_doc_id BIGINT"
+_DEDUP_STATE_SCHEMA = "kept_doc_id BIGINT"
+
+
+def _dedup_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (text_hash,) = key
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if state.exists:
+        # hash already canonicalized in an earlier batch: drop silently
+        return
+    winner = int(rows["doc_id"].min())
+    state.update((winner,))
+    yield pd.DataFrame({"text_hash": [text_hash], "kept_doc_id": [winner]})
+
+
+def streaming_dedup_first(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Continuous exact dedup of a document stream: emit exactly ONE
+    canonical ``(text_hash, kept_doc_id)`` row per distinct md5(text)
+    across the whole stream — the first-arrival batch wins, min doc_id
+    within a batch. Under the ingest contract the incremental indexer
+    already enforces (doc_ids assigned monotonically per batch), the
+    winner equals the batch-world ``min(doc_id) per hash``, which is what
+    makes the driver's SQL oracle possible.
+
+    State is one long per distinct hash (the canonical id), sharded by
+    key hash across the state store — the streaming twin of
+    :func:`~fulltextsearch_spark.operators.dedup.exact_dedup`. Later
+    duplicates update nothing and emit nothing, so downstream sees an
+    append-only stream of canonical docs.
+    """
+    hashed = docs.select(
+        F.md5(F.col(text_col)).alias("text_hash"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+    return hashed.groupBy("text_hash").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=_DEDUP_OUT_SCHEMA,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

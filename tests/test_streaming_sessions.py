@@ -133,3 +133,37 @@ def test_windowed_term_counts_watermark_and_finalization(spark, tmp_path):
         for op in (p.get("stateOperators") or [])
     )
     assert dropped == 1  # the late cats row, and only it
+
+
+def test_streaming_dedup_first_cross_batch(spark, tmp_path):
+    """Exactly one canonical row per distinct text across micro-batches:
+    first-arrival batch wins, min doc_id within a batch; later duplicates
+    emit nothing."""
+    from fulltextsearch_spark.streaming.sessions import streaming_dedup_first
+
+    land = str(tmp_path / "docs")
+    os.makedirs(land, exist_ok=True)
+    now = time.time()
+    # batch 1: A twice (ids 2, 5), B once
+    _write_file(
+        spark, land, "b1",
+        [(5, "text a"), (2, "text a"), (3, "text b")],
+        "doc_id LONG, text STRING", now - 20,
+    )
+    # batch 2: A again (id 10, must NOT re-emit), C new
+    _write_file(
+        spark, land, "b2",
+        [(10, "text a"), (11, "text c")],
+        "doc_id LONG, text STRING", now - 10,
+    )
+    reader = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land + "/*")  # each batch file is a parquet DIRECTORY
+    )
+    out, _ = _run_stream(spark, reader, streaming_dedup_first, f"sd_{uuid.uuid4().hex[:8]}")
+    rows = {r["text_hash"]: r["kept_doc_id"] for r in out.collect()}
+    import hashlib
+
+    h = lambda t: hashlib.md5(t.encode()).hexdigest()  # noqa: E731
+    assert rows == {h("text a"): 2, h("text b"): 3, h("text c"): 11}
