@@ -239,6 +239,33 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_topk(spark, sf_dir, "bm25", stem=False)
 
 
+def q_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft 2001 / Anserini):
+    BM25 pass 1 -> top-5 feedback docs -> top-10 feedback terms by integer
+    occurrence count (FP-free selection) -> alpha=0.5 interpolated weights
+    -> BM25 pass 2. The oracle replays both passes, the feedback-term
+    window, and the interpolation in SQL."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.query import search_rm3
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    docs = _docs(spark, sf_dir)
+    idx = build_index(spark, docs, cfg, persist=False)
+    queries = spark.createDataFrame(
+        [(qid, " ".join(t for q, t in QUERY_TOKENS if q == qid)) for qid in
+         sorted({q for q, _ in QUERY_TOKENS})],
+        ["query_id", "content"],
+    )
+    res = search_rm3(idx, queries, docs, cfg, fb_docs=5, fb_terms=10, alpha=0.5)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3: end-to-end TF-IDF top-k (unstemmed)."""
     return _q_topk(spark, sf_dir, "tfidf", stem=False)
@@ -3137,6 +3164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "df_table": q_df_table,
         "postings_summary": q_postings_summary,
         "bm25_topk": q_bm25_topk,
+        "rm3_topk": q_rm3_topk,
         "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_topk_serve": q_bm25_topk_serve,
         "bm25_topk_pfor": q_bm25_topk_pfor,
@@ -5493,6 +5521,65 @@ def oracle_sql() -> dict[str, str]:
         "ln((s.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0) * "
         f"(tf.tf * ({K1} + 1.0)) / (tf.tf + {K1} * (1.0 - {B} + {B} * dls.dl / s.avgdl))"
     )
+    rm3_sql = f"""
+WITH {_tok_cte()},
+stats AS (
+  SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+         sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl
+  FROM dls
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qt AS (SELECT * FROM (VALUES {_values_query_tokens()}) AS v(query_id, term)),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qt GROUP BY 1, 2),
+s1 AS (
+  SELECT q.query_id, tf.doc_id, sum(q.qtf * {bm25}) AS score
+  FROM qtf q JOIN tf ON tf.term = q.term JOIN dft ON dft.term = q.term
+  JOIN dls ON dls.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+fb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+    FROM s1) WHERE rn <= 5
+),
+fw AS (
+  SELECT f.query_id, t.term, count(*)::BIGINT AS fw
+  FROM tok t JOIN fb f ON f.doc_id = t.doc_id GROUP BY 1, 2
+),
+sel AS (
+  SELECT query_id, term, fw FROM (
+    SELECT query_id, term, fw,
+           row_number() OVER (PARTITION BY query_id ORDER BY fw DESC, term) AS rn
+    FROM fw) WHERE rn <= 10
+),
+tot AS (SELECT query_id, sum(fw)::DOUBLE AS tot FROM sel GROUP BY 1),
+wfb AS (SELECT s.query_id, s.term, s.fw / t.tot AS wfb
+        FROM sel s JOIN tot t ON t.query_id = s.query_id),
+nq AS (SELECT query_id, sum(qtf) AS nq FROM qtf GROUP BY 1),
+worig AS (SELECT q.query_id, q.term, q.qtf / n.nq AS wo
+          FROM qtf q JOIN nq n ON n.query_id = q.query_id),
+final AS (
+  SELECT coalesce(o.query_id, b.query_id) AS query_id,
+         coalesce(o.term, b.term) AS term,
+         0.5 * coalesce(o.wo, 0) + 0.5 * coalesce(b.wfb, 0) AS w
+  FROM worig o FULL OUTER JOIN wfb b ON b.query_id = o.query_id AND b.term = o.term
+),
+s2 AS (
+  SELECT f.query_id, tf.doc_id, sum(f.w * {bm25}) AS score
+  FROM final f JOIN tf ON tf.term = f.term JOIN dft ON dft.term = f.term
+  JOIN dls ON dls.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+r2 AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM s2
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM r2 WHERE rank <= {TOPK}
+"""
     tfidf = (
         "(tf.tf::DOUBLE / dls.dl) * ln((s.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0)"
     )
@@ -5525,6 +5612,7 @@ FROM tf GROUP BY 1
 """,
         "trigram_topk": _trigram_sql(),
         "bm25_topk": _scored_sql(bm25),
+        "rm3_topk": rm3_sql,
         "bm25_topk_wand": _scored_sql(bm25),
         "bm25_topk_serve": _scored_sql(bm25),
         "bm25_topk_pfor": _scored_sql(bm25),

@@ -38,6 +38,7 @@ __all__ = [
     "search_expanded",
     "search_filtered",
     "search_lm_dirichlet",
+    "search_rm3",
     "topk",
 ]
 
@@ -416,3 +417,72 @@ def search_filtered(
     scored = _scored_candidates(index, q_terms, cfg, scoring)
     kept = scored.join(allowed_docs.select("doc_id"), "doc_id", "left_semi")
     return topk(kept, k if k is not None else cfg.k)
+
+
+def search_rm3(
+    index: IndexTables,
+    queries: DataFrame,
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    fb_docs: int = 5,
+    fb_terms: int = 10,
+    alpha: float = 0.5,
+    scoring: str = "bm25",
+    k: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance feedback (RM3, Lavrenko & Croft 2001 as shipped in
+    Lucene/Anserini): run the query, take the top ``fb_docs`` documents as
+    implicit relevance evidence, expand the query with their most frequent
+    ``fb_terms`` terms, interpolate with the original query at ``alpha``,
+    and re-run.
+
+    Feedback-term selection uses INTEGER occurrence counts over the
+    feedback docs with a total (count desc, term asc) tie-break, so the
+    expanded term SET is a pure function of the corpus (no FP boundary can
+    flip it); the interpolated weights
+    ``alpha * qtf/|q| + (1-alpha) * fw/sum(fw)`` only scale scores after
+    that, which is what keeps the whole two-pass pipeline SQL-replayable.
+
+    Scale shape: pass 1 is the ordinary broadcast-probe search; feedback
+    tokenization touches ONLY the fb docs (queries x fb_docs rows semi-join
+    the corpus scan — column-pruned, never a full re-read); pass 2 is the
+    same search with <= fb_terms + |q| weighted terms. The index is probed
+    twice, the corpus text once, for a handful of rows.
+    """
+    from fulltextsearch_spark.functions.tokenizer import tokenize_udf  # noqa: PLC0415
+
+    q_terms = query_terms(queries, stem=cfg.stem)
+    first = topk(_scored_candidates(index, q_terms, cfg, scoring), fb_docs)
+    fb_ids = first.select("query_id", "doc_id")
+    fb_text = docs.join(
+        F.broadcast(fb_ids.select("doc_id").distinct()), "doc_id"
+    ).select("doc_id", F.explode(tokenize_udf(cfg.stem)(F.col(text_col))).alias("term"))
+    fw = (
+        fb_text.join(F.broadcast(fb_ids), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("fw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("fw"), "term")
+    sel = (
+        fw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= fb_terms)
+        .drop("_rn")
+    )
+    tot = sel.groupBy("query_id").agg(F.sum("fw").alias("_tot"))
+    w_fb = sel.join(tot, "query_id").select(
+        "query_id", "term", (F.col("fw") / F.col("_tot")).alias("_wfb")
+    )
+    nq = q_terms.groupBy("query_id").agg(F.sum("qtf").alias("_nq"))
+    w_orig = q_terms.join(nq, "query_id").select(
+        "query_id", "term", (F.col("qtf") / F.col("_nq")).alias("_wo")
+    )
+    final = w_orig.join(w_fb, ["query_id", "term"], "full").select(
+        "query_id",
+        "term",
+        (
+            F.lit(float(alpha)) * F.coalesce("_wo", F.lit(0.0))
+            + F.lit(1.0 - float(alpha)) * F.coalesce("_wfb", F.lit(0.0))
+        ).alias("qtf"),
+    )
+    return topk(_scored_candidates(index, final, cfg, scoring), k if k is not None else cfg.k)

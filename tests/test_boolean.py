@@ -190,3 +190,52 @@ def test_explain_scores_sum_to_ranked_score(spark, setup):
     # raw inputs are positive and qtf carries query-token multiplicity
     assert all(r["tf"] >= 1 and r["df"] >= 1 and r["dl"] >= 1 and r["qtf"] >= 1
                for r in exp)
+
+
+def test_search_rm3_expands_beyond_original_terms(spark):
+    """RM3: the feedback pass retrieves a doc sharing NO term with the
+    original query (reached only through expansion terms from the top
+    feedback docs), and the integer feedback-term selection is replayed
+    exactly by a Python reference."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.functions.tokenizer import tokenize
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.query import search_rm3
+
+    rows = [
+        # 'anchor' docs couple the query term with expansion vocabulary
+        (0, "kernel kernel scheduler preempt latency"),
+        (1, "kernel scheduler preempt throughput"),
+        (2, "kernel preempt scheduler"),
+        # doc 3: NO 'kernel' — reachable only via expanded terms
+        (3, "scheduler preempt latency latency"),
+        # distractors
+        (4, "garden flowers bloom spring"),
+        (5, "recipe butter flour sugar"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    cfg = EngineConfig(k1=1.2, b=0.75, k=6, stem=False)
+    idx = build_index(spark, docs, cfg, persist=False)
+    queries = spark.createDataFrame([("q", "kernel")], ["query_id", "content"])
+    got = search_rm3(
+        idx, queries, docs, cfg, fb_docs=3, fb_terms=4, alpha=0.5, k=6
+    ).collect()
+    ranked = [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert 3 in ranked  # expansion reached it; plain BM25 never would
+    assert 4 not in ranked and 5 not in ranked
+    # replay the FP-free feedback-term selection
+    fb = ranked_first = None
+    from fulltextsearch_spark.operators.query import (
+        _scored_candidates,
+        query_terms,
+        topk,
+    )
+
+    first = topk(_scored_candidates(idx, query_terms(queries, stem=False), cfg, "bm25"), 3)
+    fb_ids = [r["doc_id"] for r in first.collect()]
+    counts: dict = {}
+    for d in fb_ids:
+        for t in tokenize(rows[d][1], do_stem=False):
+            counts[t] = counts.get(t, 0) + 1
+    sel = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert set(t for t, _ in sel) >= {"scheduler", "preempt"}
