@@ -266,6 +266,30 @@ def q_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-difficulty prediction: Clarity (Cronen-Townsend 2002) — KL
+    divergence (bits) of the top-5 feedback docs' uniform-mixture language
+    model from the collection model. Deterministic fb-doc selection via
+    the engine rank path; everything else is ratios of integer counts,
+    replayed term-for-term in SQL."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.query import clarity_scores
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    docs = _docs(spark, sf_dir)
+    idx = build_index(spark, docs, cfg, persist=False)
+    queries = spark.createDataFrame(
+        [(qid, " ".join(t for q, t in QUERY_TOKENS if q == qid)) for qid in
+         sorted({q for q, _ in QUERY_TOKENS})],
+        ["query_id", "content"],
+    )
+    res = clarity_scores(idx, queries, docs, cfg, fb_docs=5)
+    return res.select(
+        "query_id", "n_fb_terms", F.round("clarity", 4).alias("clarity")
+    )
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3: end-to-end TF-IDF top-k (unstemmed)."""
     return _q_topk(spark, sf_dir, "tfidf", stem=False)
@@ -3165,6 +3189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_summary": q_postings_summary,
         "bm25_topk": q_bm25_topk,
         "rm3_topk": q_rm3_topk,
+        "clarity": q_clarity,
         "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_topk_serve": q_bm25_topk_serve,
         "bm25_topk_pfor": q_bm25_topk_pfor,
@@ -5580,6 +5605,48 @@ r2 AS (
 SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id, round(score, 4) AS score
 FROM r2 WHERE rank <= {TOPK}
 """
+    clarity_sql = f"""
+WITH {_tok_cte()},
+stats AS (
+  SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+         sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl
+  FROM dls
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qt AS (SELECT * FROM (VALUES {_values_query_tokens()}) AS v(query_id, term)),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qt GROUP BY 1, 2),
+s1 AS (
+  SELECT q.query_id, tf.doc_id, sum(q.qtf * {bm25}) AS score
+  FROM qtf q JOIN tf ON tf.term = q.term JOIN dft ON dft.term = q.term
+  JOIN dls ON dls.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+fb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+    FROM s1) WHERE rn <= 5
+),
+nfb AS (SELECT query_id, count(*)::DOUBLE AS nfb FROM fb GROUP BY 1),
+ftf AS (
+  SELECT t.doc_id, t.term, count(*)::DOUBLE AS tf FROM tok t
+  WHERE t.doc_id IN (SELECT doc_id FROM fb) GROUP BY 1, 2
+),
+fdl AS (SELECT doc_id, sum(tf) AS dl FROM ftf GROUP BY 1),
+pwq AS (
+  SELECT f.query_id, x.term, sum(x.tf / d.dl) / max(n.nfb) AS pwq
+  FROM fb f JOIN ftf x ON x.doc_id = f.doc_id
+  JOIN fdl d ON d.doc_id = x.doc_id
+  JOIN nfb n ON n.query_id = f.query_id
+  GROUP BY 1, 2
+),
+coll AS (SELECT term, count(*)::DOUBLE AS cf FROM tok GROUP BY 1),
+ct AS (SELECT count(*)::DOUBLE AS ct FROM tok)
+SELECT p.query_id, count(*)::BIGINT AS n_fb_terms,
+       round(sum(p.pwq * log2(p.pwq / (c.cf / (SELECT ct FROM ct)))), 4) AS clarity
+FROM pwq p JOIN coll c ON c.term = p.term GROUP BY 1
+"""
     tfidf = (
         "(tf.tf::DOUBLE / dls.dl) * ln((s.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0)"
     )
@@ -5613,6 +5680,7 @@ FROM tf GROUP BY 1
         "trigram_topk": _trigram_sql(),
         "bm25_topk": _scored_sql(bm25),
         "rm3_topk": rm3_sql,
+        "clarity": clarity_sql,
         "bm25_topk_wand": _scored_sql(bm25),
         "bm25_topk_serve": _scored_sql(bm25),
         "bm25_topk_pfor": _scored_sql(bm25),

@@ -30,6 +30,7 @@ from fulltextsearch_spark.functions.tokenizer import tokenize_udf
 from fulltextsearch_spark.operators.index_build import IndexTables
 
 __all__ = [
+    "clarity_scores",
     "expand_query_terms",
     "explain_scores",
     "query_terms",
@@ -486,3 +487,68 @@ def search_rm3(
         ).alias("qtf"),
     )
     return topk(_scored_candidates(index, final, cfg, scoring), k if k is not None else cfg.k)
+
+
+def clarity_scores(
+    index: IndexTables,
+    queries: DataFrame,
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    fb_docs: int = 5,
+    scoring: str = "bm25",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (query_id, n_fb_terms, clarity): query-difficulty prediction
+    (Cronen-Townsend, Zhou & Croft, SIGIR 2002). The query language model
+    is the uniform mixture of the top ``fb_docs`` result docs'
+    maximum-likelihood models; clarity is its KL divergence (bits) from
+    the collection model:
+
+        clarity = sum_w P(w|Q) * log2( P(w|Q) / P_coll(w) )
+
+    High clarity = the result set's language is far from the collection's
+    (a focused, well-performing query); low = the query retrieves
+    background noise. Deterministic because the feedback doc SET comes
+    from the engine's deterministic rank path; the remaining arithmetic
+    is pure ratios over integer counts.
+
+    Scale: pass 1 is the ordinary search; the mixture model touches only
+    the fb docs (pruned semi-joined scan); the collection model is the
+    corpus unigram aggregate the other LM surfaces already use.
+    """
+    from fulltextsearch_spark.functions.tokenizer import tokenize_udf  # noqa: PLC0415
+
+    q_terms = query_terms(queries, stem=cfg.stem)
+    first = topk(_scored_candidates(index, q_terms, cfg, scoring), fb_docs)
+    fb_ids = first.select("query_id", "doc_id")
+    n_fb = fb_ids.groupBy("query_id").agg(F.count(F.lit(1)).alias("_nfb"))
+    tok = docs.select(
+        "doc_id", F.explode(tokenize_udf(cfg.stem)(F.col(text_col))).alias("term")
+    )
+    coll = tok.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("cf"))
+    total = tok.agg(F.count(F.lit(1)).cast("double").alias("ct"))
+    fb_tf = (
+        tok.join(F.broadcast(fb_ids.select("doc_id").distinct()), "doc_id")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dl = fb_tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    pwq = (
+        fb_tf.join(dl, "doc_id")
+        .join(F.broadcast(fb_ids), "doc_id")
+        .join(F.broadcast(n_fb), "query_id")
+        .groupBy("query_id", "term", "_nfb")
+        .agg(F.sum(F.col("tf") / F.col("dl")).alias("_s"))
+        .select("query_id", "term", (F.col("_s") / F.col("_nfb")).alias("pwq"))
+    )
+    return (
+        pwq.join(coll, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fb_terms"),
+            F.sum(
+                F.col("pwq") * F.log2(F.col("pwq") / (F.col("cf") / F.col("ct")))
+            ).alias("clarity"),
+        )
+    )

@@ -239,3 +239,46 @@ def test_search_rm3_expands_beyond_original_terms(spark):
             counts[t] = counts.get(t, 0) + 1
     sel = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
     assert set(t for t, _ in sel) >= {"scheduler", "preempt"}
+
+
+def test_clarity_focused_beats_diffuse(spark):
+    """Clarity: a query whose results use focused vocabulary scores higher
+    than one retrieving collection-typical docs; values match a Python
+    replay of the KL formula."""
+    import math
+
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.functions.tokenizer import tokenize
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.query import clarity_scores
+
+    common = "data table row value scan merge sort hash"
+    rows = [(i, common) for i in range(8)]
+    rows += [(8, "zyzzyva quagga axolotl zyzzyva"), (9, "zyzzyva quagga wombat")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    cfg = EngineConfig(k1=1.2, b=0.75, k=5, stem=False)
+    idx = build_index(spark, docs, cfg, persist=False)
+    qs = spark.createDataFrame(
+        [("focused", "zyzzyva"), ("diffuse", "table")], ["query_id", "content"]
+    )
+    got = {
+        r["query_id"]: (r["n_fb_terms"], r["clarity"])
+        for r in clarity_scores(idx, qs, docs, cfg, fb_docs=5).collect()
+    }
+    assert got["focused"][1] > got["diffuse"][1] > -1e-9
+
+    # python replay for the focused query: fb docs = the 2 zyzzyva docs
+    toks = {d: tokenize(t, do_stem=False) for d, t in rows}
+    coll: dict = {}
+    for ts in toks.values():
+        for t in ts:
+            coll[t] = coll.get(t, 0) + 1
+    ct = sum(coll.values())
+    fb = [8, 9]
+    pwq: dict = {}
+    for d in fb:
+        dl = len(toks[d])
+        for t in toks[d]:
+            pwq[t] = pwq.get(t, 0.0) + (1.0 / dl) / len(fb)
+    exp = sum(p * math.log2(p / (coll[t] / ct)) for t, p in pwq.items())
+    assert got["focused"] == (len(pwq), pytest.approx(exp, rel=1e-9))
