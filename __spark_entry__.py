@@ -1755,6 +1755,25 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup quality gate: recall/precision of the MinHash-LSH candidate
+    pipeline against exact 8-shingle Jaccard ground truth at the same 0.3
+    threshold — the sample-audit a production pipeline runs before
+    trusting the approximate path at full scale. Counts are integers; the
+    oracle composes the (already hash-gated) exact and MinHash replays
+    and intersects them."""
+    from fulltextsearch_spark.operators.dedup import lsh_recall_eval
+
+    res = lsh_recall_eval(_docs(spark, sf_dir), shingle_k=8, threshold=0.3)
+    return res.select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        F.round("recall", 4).alias("recall"),
+        F.round("precision", 4).alias("precision"),
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup: SimHash hamming<=3 pairs via exact 4x16 banding. Banding is
     exact for hamming<=3 (pigeonhole; proven vs brute force in tests), so the
@@ -3273,6 +3292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "dedup_canonical": q_dedup_canonical,
         "minhash_pairs": q_minhash_pairs,
+        "neardup_recall": q_neardup_recall,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -4346,19 +4366,20 @@ def _kr_sql(expr: str) -> str:
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(src_where: str | None = None) -> str:
     """Recompute MinHash-LSH pairs end-to-end in DuckDB: shingle hashes,
     128 permutations, 32 bands x 4 rows, bucket-size guard, est_jaccard."""
     from fulltextsearch_spark.operators.dedup import _perm_params
 
     a, b = _perm_params(128, seed=1)
     perm_rows = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(128))
+    src_filter = f"WHERE {src_where}" if src_where else ""
     return f"""
 WITH perms AS (SELECT * FROM (VALUES {perm_rows}) p(pid, a, b)),
 sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
       range(1, greatest(length(text) - 8, 0) + 2), i -> substr(text, i::INT, 8)))) AS s
-  FROM documents
+  FROM documents {src_filter}
 ),
 hs AS (SELECT doc_id, {_kr_sql('s')} AS h FROM sh),
 sigs AS (
@@ -4387,6 +4408,44 @@ est AS (
 )
 SELECT da::BIGINT AS doc_id_a, db::BIGINT AS doc_id_b, round(ej, 4) AS est_jaccard
 FROM est WHERE ej >= 0.3
+"""
+
+
+def _neardup_recall_sql() -> str:
+    """Compose the exact-Jaccard and MinHash replays at threshold 0.3 and
+    intersect: integer counts + two single-division ratios."""
+    mh = _minhash_sql()
+    return f"""
+WITH mh AS ({mh}),
+ex AS (
+  WITH d AS (SELECT doc_id, text FROM documents),
+  sh2 AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(length(text) - 7, 1) + 1), i -> substr(text, i::INT, 8)))) AS shingle
+    FROM d
+  ),
+  sizes AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY 1),
+  inter AS (
+    SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+    FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT ia AS doc_id_a, ib AS doc_id_b
+  FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+  WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.3
+),
+hit AS (
+  SELECT doc_id_a, doc_id_b FROM ex
+  INTERSECT
+  SELECT doc_id_a, doc_id_b FROM mh
+),
+c AS (SELECT (SELECT count(*) FROM ex)::BIGINT AS n_true,
+             (SELECT count(*) FROM mh)::BIGINT AS n_cand,
+             (SELECT count(*) FROM hit)::BIGINT AS n_hit)
+SELECT n_true, n_cand, n_hit,
+       round(CASE WHEN n_true > 0 THEN n_hit::DOUBLE / n_true ELSE 0.0 END, 4) AS recall,
+       round(CASE WHEN n_cand > 0 THEN n_hit::DOUBLE / n_cand ELSE 0.0 END, 4) AS precision
+FROM c
 """
 
 
@@ -6757,6 +6816,7 @@ SELECT doc_id::BIGINT AS media_id,
 FROM v
 """,
         "minhash_pairs": _minhash_sql(),
+        "neardup_recall": _neardup_recall_sql(),
         "simhash_pairs": _simhash_sql(),
         "winnow_fingerprints": _winnow_sql(),
         "embedding_neardup": """

@@ -46,6 +46,7 @@ from fulltextsearch_spark.operators.util import spread_for_python_kernel
 __all__ = [
     "exact_dedup",
     "minhash_signatures",
+    "lsh_recall_eval",
     "minhash_lsh_pairs",
     "simhash_signatures",
     "simhash_neardup_pairs",
@@ -455,3 +456,60 @@ def dedup_by_components(
         F.col("node").alias(id_col)
     )
     return docs.join(keep, id_col, "semi")
+
+
+def lsh_recall_eval(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 8,
+    threshold: float = 0.3,
+    num_perm: int = 128,
+    bands: int = 32,
+    seed: int = 1,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """-> one row (n_true, n_cand, n_hit, recall, precision): measure the
+    MinHash-LSH candidate pipeline against exact shingle-Jaccard ground
+    truth at the same threshold — the quality gate a production dedup
+    pipeline runs on a sample before trusting the approximate path at
+    full scale (where the exact join is unaffordable).
+
+    ``n_true`` counts exact-Jaccard >= threshold pairs, ``n_cand`` the
+    LSH pipeline's emitted pairs (banding + estimator filter), ``n_hit``
+    their intersection; recall = hit/true, precision = hit/cand (0 when
+    the denominator is 0). All three counts are integers, so only the two
+    final ratios are FP — and they are single divisions.
+    """
+    exact = ngram_jaccard_pairs(
+        docs, text_col=text_col, shingle_k=shingle_k, threshold=threshold
+    ).select("doc_id_a", "doc_id_b")
+    cand = minhash_lsh_pairs(
+        docs,
+        text_col=text_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        threshold=threshold,
+        seed=seed,
+        max_bucket=max_bucket,
+    ).select("doc_id_a", "doc_id_b")
+    n_true = exact.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    n_hit = exact.join(cand, ["doc_id_a", "doc_id_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.when(F.col("n_true") > 0, F.col("n_hit") / F.col("n_true"))
+            .otherwise(F.lit(0.0))
+            .alias("recall"),
+            F.when(F.col("n_cand") > 0, F.col("n_hit") / F.col("n_cand"))
+            .otherwise(F.lit(0.0))
+            .alias("precision"),
+        )
+    )

@@ -709,3 +709,23 @@ def test_curate_corpus(spark):
     exchange_lines = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert exchange_lines and all("_text_hash" in l for l in exchange_lines), plan[:3000]
     assert not any("md5(text" in l for l in exchange_lines)
+
+
+def test_lsh_recall_eval_counts(spark, dup_docs):
+    """Recall eval: counts match a direct composition of the two ops, the
+    intersection is bounded by both sides, and ratios derive exactly."""
+    df, _rows = dup_docs
+    out = dd.lsh_recall_eval(df, shingle_k=8, threshold=0.3).collect()[0]
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dd.ngram_jaccard_pairs(df, shingle_k=8, threshold=0.3).collect()
+    }
+    cand = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dd.minhash_lsh_pairs(df, shingle_k=8, threshold=0.3).collect()
+    }
+    assert out["n_true"] == len(exact) > 0
+    assert out["n_cand"] == len(cand)
+    assert out["n_hit"] == len(exact & cand)
+    assert out["recall"] == out["n_hit"] / out["n_true"]
+    assert out["precision"] == (out["n_hit"] / out["n_cand"] if out["n_cand"] else 0.0)
