@@ -1955,6 +1955,17 @@ def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: 8x8 average-hash perceptual fingerprint over the FTSB
+    image payloads — pure integer arithmetic (cross-multiplied block-mean
+    test, no division), rendered as 16 hex chars, so the oracle replays
+    every bit from character codes alone."""
+    from fulltextsearch_spark.operators.multimodal import image_ahash, media_from_docs
+
+    media = media_from_docs(_docs(spark, sf_dir).filter(F.col("doc_id") < 30))
+    return image_ahash(media)
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: FTSB container header parse. The media table derives
     deterministically from the documents table (media_from_docs), so the
@@ -3306,6 +3317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_knn_join": q_ann_knn_join,
         "semdedup_keep": q_semdedup_keep,
         "media_metadata": q_media_metadata,
+        "image_ahash": q_image_ahash,
         "image_stats": q_image_stats,
         "audio_features": q_audio_features,
         "resize_meta": q_resize_meta,
@@ -6767,6 +6779,41 @@ SELECT doc_id::BIGINT AS media_id,
        f.fi::BIGINT AS frame_idx,
        (16 + 16*16*3)::BIGINT AS frame_bytes
 FROM vid, LATERAL (SELECT unnest(range(0, nf, 2)) AS fi) f
+""",
+        "image_ahash": """
+WITH img AS (
+  SELECT doc_id, text,
+         8 + doc_id % 56 AS w,
+         8 + (doc_id * 7) % 56 AS h,
+         greatest(length(text), 1) AS L
+  FROM documents WHERE doc_id < 30 AND doc_id % 3 = 0
+),
+px AS (
+  SELECT doc_id, w, h, u.j,
+         (ascii(substr(text, ((3*u.j    ) % L)::INT + 1, 1))
+        + ascii(substr(text, ((3*u.j + 1) % L)::INT + 1, 1))
+        + ascii(substr(text, ((3*u.j + 2) % L)::INT + 1, 1)))::BIGINT AS gr
+  FROM img, LATERAL (SELECT unnest(range(0, w*h)) AS j) u
+),
+blks AS (
+  SELECT doc_id, (((j // w) * 8) // h) * 8 + (((j % w) * 8) // w) AS blk,
+         sum(gr)::BIGINT AS bsum, count(*)::BIGINT AS bc
+  FROM px GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, sum(bsum)::BIGINT AS ts, sum(bc)::BIGINT AS tp FROM blks GROUP BY 1),
+bits AS (
+  SELECT b.doc_id, b.blk,
+         CASE WHEN b.bsum * t.tp > t.ts * b.bc THEN 1 ELSE 0 END AS bit
+  FROM blks b JOIN tot t USING (doc_id)
+),
+nib AS (
+  SELECT doc_id, blk // 4 AS g,
+         sum(bit * (CASE blk % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END))::INT AS v
+  FROM bits GROUP BY 1, 2
+)
+SELECT doc_id::BIGINT AS media_id,
+       string_agg(CASE WHEN v < 10 THEN chr(48 + v) ELSE chr(87 + v) END, '' ORDER BY g) AS ahash
+FROM nib GROUP BY 1
 """,
         "image_stats": """
 WITH img AS (

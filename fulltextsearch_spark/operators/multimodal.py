@@ -40,6 +40,7 @@ __all__ = [
     "generate_media",
     "media_from_docs",
     "media_metadata",
+    "image_ahash",
     "image_stats",
     "resize_images",
     "sample_frames",
@@ -304,3 +305,51 @@ def decode_image_real(payload: bytes):
     import io  # pragma: no cover
 
     return np.asarray(Image.open(io.BytesIO(payload)))  # pragma: no cover
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """(media_id, ahash): 8x8 average-hash perceptual fingerprint — THE
+    standard image near-dup signal (the visual analogue of SimHash; pairs
+    within small hamming distance feed the same banded join machinery).
+
+    Entirely INTEGER arithmetic so the fingerprint is bit-exact under any
+    execution order (and SQL-replayable): per-pixel gray = r+g+b (no /3),
+    pixel (y, x) belongs to block (y*8//h, x*8//w), and a block's bit is
+    set iff ``block_sum * total_pixels > total_sum * block_pixels`` — the
+    cross-multiplied form of "block mean above image mean" with no
+    division anywhere. The 64 bits render as a 16-hex-char string
+    (nibble = 4 bits, earlier block index = more significant bit), which
+    sidesteps signed-64 overflow portability.
+    """
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, pay in zip(pdf["media_id"], pdf["payload"]):
+                arr = _image_array(bytes(pay)).astype(np.int64)
+                frames, h, w, _c = arr.shape
+                gray = arr[0].sum(axis=2)  # h x w integer r+g+b
+                by = (np.arange(h) * 8) // h
+                bx = (np.arange(w) * 8) // w
+                blk = (by[:, None] * 8 + bx[None, :]).ravel()
+                bs = np.bincount(blk, weights=None, minlength=64).astype(np.int64)
+                bsum = np.bincount(blk, weights=gray.ravel(), minlength=64).astype(
+                    np.int64
+                )
+                total, tp = int(gray.sum()), h * w
+                bits = (bsum * tp) > (total * bs)
+                nibbles = bits.reshape(16, 4)
+                vals = (
+                    nibbles[:, 0] * 8 + nibbles[:, 1] * 4 + nibbles[:, 2] * 2 + nibbles[:, 3]
+                )
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "ahash": "".join(format(int(v), "x") for v in vals),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.filter("modality = 'image'").mapInPandas(
+        _hash, schema="media_id LONG, ahash STRING"
+    )

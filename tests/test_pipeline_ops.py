@@ -729,3 +729,38 @@ def test_lsh_recall_eval_counts(spark, dup_docs):
     assert out["n_hit"] == len(exact & cand)
     assert out["recall"] == out["n_hit"] / out["n_true"]
     assert out["precision"] == (out["n_hit"] / out["n_cand"] if out["n_cand"] else 0.0)
+
+
+def test_image_ahash_deterministic_and_discriminative(spark):
+    """aHash: identical images hash identically, a structurally different
+    image differs, and the 16-hex format/integer block rule match a numpy
+    replay."""
+    rows = [
+        (0, "abcdefgh" * 40),
+        (3, "abcdefgh" * 40),  # same text -> same image -> same hash? only
+        # if w/h match: w,h depend on doc_id, so use ids with equal formulas
+        (168, "abcdefgh" * 40),  # 168%56 == 0%56 and (168*7)%56 == 0 -> same dims
+        (6, "zzzzyyyyxxxxwwww" * 30),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["media_id"]: r["ahash"]
+        for r in mm.image_ahash(mm.media_from_docs(df)).collect()
+    }
+    # ids 0, 3, 6, 168 are all %3==0 -> images
+    assert set(got) == {0, 3, 6, 168}
+    assert all(len(h) == 16 and set(h) <= set("0123456789abcdef") for h in got.values())
+    assert got[0] == got[168]  # same pixels, same dims
+    assert got[0] != got[6]
+    # numpy replay for id 0: w=8, h=8 -> blocks are single pixels
+    text = rows[0][1].encode()
+    w = h = 8
+    need = w * h * 3
+    data = (text * (need // len(text) + 1))[:need]
+    px = np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3).astype(np.int64)
+    gray = px.sum(axis=2)
+    total, tp = gray.sum(), w * h
+    bits = (gray.ravel() * tp > total) .astype(int)  # bc == 1 per block here
+    nib = bits.reshape(16, 4)
+    vals = nib[:, 0] * 8 + nib[:, 1] * 4 + nib[:, 2] * 2 + nib[:, 3]
+    assert got[0] == "".join(format(int(v), "x") for v in vals)
