@@ -52,11 +52,37 @@ def _merge_once(syms: list[str], left: str, right: str) -> list[str]:
     return out
 
 
+def _driver_merges(
+    word_counts: list[tuple[str, int]], n_merges: int, end_mark: bool
+) -> list[tuple[int, str, str, int]]:
+    """In-process merge loop over a collected word table — bit-identical
+    semantics to the distributed loop (same counting convention, same
+    (count desc, lhs, rhs) argmax, same rewrite)."""
+    table: list[tuple[list[str], int]] = [
+        (list(w) + ([END_MARK] if end_mark else []), int(c)) for w, c in word_counts
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        stats: dict[tuple[str, str], int] = {}
+        for syms, c in table:
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] = stats.get((a, b), 0) + c
+        if not stats:
+            break
+        (left, right), cnt = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, cnt))
+        table = [(_merge_once(s, left, right), c) for s, c in table]
+    return merges
+
+
 def train_bpe(
     docs: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
     end_mark: bool = True,
+    driver_vocab_limit: int = 200_000,
 ) -> DataFrame:
     """-> (merge_rank, lhs, rhs, pair_count): the learned merge table.
 
@@ -66,6 +92,14 @@ def train_bpe(
     if no adjacent pair remains. Words tokenize through the engine's
     unstemmed analyzer; with ``end_mark`` each word carries a final ``_``
     symbol so merges can distinguish word-final units.
+
+    When the distinct-word table fits the driver (``<= driver_vocab_limit``
+    rows — the :func:`~.similarity._bounded_sample` pattern; every real
+    BPE trainer is single-node over the word table), the merge loop runs
+    in-process after the one distributed aggregate, saving ~2 Spark jobs
+    per round. The distributed small-table loop remains the unbounded-
+    vocabulary path (force it with ``driver_vocab_limit=0``) and computes
+    the identical table by construction.
     """
     spark = docs.sparkSession
     words = (
@@ -73,6 +107,15 @@ def train_bpe(
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    if driver_vocab_limit > 0:
+        head = words.limit(driver_vocab_limit + 1).collect()
+        if len(head) <= driver_vocab_limit:
+            merges = _driver_merges(
+                [(r["w"], r["cnt"]) for r in head], n_merges, end_mark
+            )
+            return spark.createDataFrame(
+                merges, "merge_rank LONG, lhs STRING, rhs STRING, pair_count LONG"
+            )
 
     def _init(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

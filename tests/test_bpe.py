@@ -51,6 +51,14 @@ def test_train_bpe_matches_reference_replay(spark):
         for r in train_bpe(df, n_merges=8).orderBy("merge_rank").collect()
     ]
     assert got == exp
+    # the distributed (unbounded-vocab) loop computes the identical table
+    got_dist = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in train_bpe(df, n_merges=8, driver_vocab_limit=0)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got_dist == exp
     # sanity: the most frequent pair in this corpus wins round 1
     assert got[0][1:3] == exp[0][1:3]
 
