@@ -607,6 +607,76 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph communities: deterministic synchronous label propagation
+    (most-frequent neighbor label, ties -> smallest, 5 fixed rounds) over
+    the symmetrized synthetic link graph. Pure integer output; the oracle
+    unrolls each round's vote/rank/update as CTEs."""
+    from fulltextsearch_spark.operators.linkgraph import label_propagation
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    base = docs.select("doc_id")
+    e1 = base.select("doc_id", ((F.col("doc_id") * 7 + 3) % n).alias("dst"))
+    e2 = base.select("doc_id", ((F.col("doc_id") * 13 + 5) % n).alias("dst"))
+    edges = (
+        e1.unionByName(e2)
+        .withColumnRenamed("doc_id", "src")
+        .filter((F.col("src") % 17 != 0) & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    out = label_propagation(edges, n, iters=5)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("community").cast("long").alias("community"),
+    )
+
+
+def _lpa_sql() -> str:
+    iters = 5
+    parts = [
+        """
+WITH nn AS (SELECT (max(doc_id)+1)::BIGINT AS nb FROM documents),
+v AS (SELECT doc_id FROM documents),
+edges0 AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id*7+3) % (SELECT nb FROM nn) AS dst FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id*13+5) % (SELECT nb FROM nn) FROM documents
+  ) WHERE src % 17 <> 0 AND src <> dst
+),
+sym AS MATERIALIZED (
+  SELECT DISTINCT u, v2 AS nbr FROM (
+    SELECT src AS u, dst AS v2 FROM edges0
+    UNION ALL
+    SELECT dst, src FROM edges0
+  )
+),
+l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM v)"""
+    ]
+    for k in range(iters):
+        parts.append(
+            f""",
+vt{k} AS MATERIALIZED (
+  SELECT s.u, l.lbl, count(*) AS n
+  FROM sym s JOIN l{k} l ON l.doc_id = s.nbr GROUP BY 1, 2),
+wn{k} AS MATERIALIZED (
+  SELECT u, lbl FROM (
+    SELECT u, lbl, row_number() OVER (PARTITION BY u ORDER BY n DESC, lbl) AS rn
+    FROM vt{k}) WHERE rn = 1),
+l{k + 1} AS MATERIALIZED (
+  SELECT v.doc_id, coalesce(w.lbl, p.lbl) AS lbl
+  FROM v JOIN l{k} p ON p.doc_id = v.doc_id
+  LEFT JOIN wn{k} w ON w.u = v.doc_id)"""
+        )
+    parts.append(
+        f"""
+SELECT doc_id::BIGINT AS doc_id, lbl::BIGINT AS community FROM l{iters}
+"""
+    )
+    return "".join(parts)
+
+
 def _hits_sql() -> str:
     iters = PAGERANK_ITERS
     parts = [
@@ -3269,6 +3339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_stats": q_index_stats,
         "pagerank_scores": q_pagerank_scores,
         "hits_scores": q_hits_scores,
+        "lpa_communities": q_lpa_communities,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "facet_counts": q_facet_counts,
         "mlt_topk": q_mlt_topk,
@@ -5855,6 +5926,7 @@ FROM ranked WHERE rank <= {TOPK}
         "index_stats": _index_stats_sql(),
         "pagerank_scores": _pagerank_sql(),
         "hits_scores": _hits_sql(),
+        "lpa_communities": _lpa_sql(),
         "score_explain": f"""
 WITH {_tok_cte()},
 stats AS (

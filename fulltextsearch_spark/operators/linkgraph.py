@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hits", "pagerank"]
+__all__ = ["hits", "label_propagation", "pagerank"]
 
 
 def pagerank(
@@ -160,4 +160,68 @@ def hits(
         .localCheckpoint()
     )
     e.unpersist()
+    return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_docs: int,
+    iters: int = 5,
+) -> DataFrame:
+    """edges(src, dst) -> (doc_id, community): synchronous label
+    propagation (Raghavan et al. 2007) with a fully deterministic update —
+    each round every node adopts the label most frequent among its
+    neighbors (ties -> smallest label); isolated nodes keep their own.
+    Labels start as node ids. Fixed iteration count and a total tie-break
+    make the output a pure (integer!) function of the graph, hence
+    SQL-replayable; synchronous updates can oscillate on bipartite
+    structures — the standard caveat of the synchronous variant (as in
+    GraphFrames' LPA) — which a fixed iteration count turns into a
+    deterministic snapshot rather than a hang.
+
+    Per round: one join of the label table with the symmetrized edge list
+    + one (node, label) count aggregate + one rank-1 window; label tables
+    are localCheckpoint-truncated exactly like pagerank/HITS so round k
+    never replays rounds 0..k-1.
+    """
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col("src").cast("long").alias("u"), F.col("dst").cast("long").alias("v"))
+        .unionByName(
+            edges.select(
+                F.col("dst").cast("long").alias("u"), F.col("src").cast("long").alias("v")
+            )
+        )
+        .distinct()
+        .repartition("v")
+        .persist()
+    )
+    sym.count()
+    labels = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("lbl")
+    )
+    from pyspark.sql import Window as _W  # noqa: PLC0415
+
+    w = _W.partitionBy("u").orderBy(F.desc("_n"), F.asc("lbl"))
+    for _ in range(iters):
+        votes = (
+            sym.join(labels, sym["v"] == labels["doc_id"])
+            .groupBy("u", "lbl")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        winner = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("u").alias("doc_id"), F.col("lbl").alias("_new"))
+        )
+        labels = (
+            spark.range(n_docs)
+            .select(F.col("id").alias("doc_id"))
+            .join(labels.select("doc_id", "lbl"), "doc_id")
+            .join(winner, "doc_id", "left")
+            .select("doc_id", F.coalesce("_new", "lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    out = labels.select("doc_id", F.col("lbl").alias("community")).localCheckpoint()
+    sym.unpersist()
     return out

@@ -91,3 +91,40 @@ def test_hits_matches_numpy_power_iteration(spark):
     assert got[0][0] == max(x[0] for x in got.values())
     assert got[1][1] == max(x[1] for x in got.values())
     assert got[5] == (0.0, 0.0)
+
+
+def test_label_propagation_two_cliques(spark):
+    """LPA: two cliques joined by one weak edge resolve to two communities
+    (each labeled by its min member), isolated node keeps its own label,
+    and the result matches a Python replay of the synchronous rule."""
+    from fulltextsearch_spark.operators.linkgraph import label_propagation
+
+    # clique A = {0,1,2}, clique B = {3,4,5}, bridge 2-3, isolated 6
+    edges = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)]
+    n, iters = 7, 5
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {
+        r["doc_id"]: r["community"]
+        for r in label_propagation(df, n, iters=iters).collect()
+    }
+    # python replay
+    nbrs: dict = {u: set() for u in range(n)}
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    lbl = {u: u for u in range(n)}
+    for _ in range(iters):
+        new = {}
+        for u in range(n):
+            if not nbrs[u]:
+                new[u] = lbl[u]
+                continue
+            cnt: dict = {}
+            for v in nbrs[u]:
+                cnt[lbl[v]] = cnt.get(lbl[v], 0) + 1
+            new[u] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lbl = new
+    assert got == lbl
+    assert got[6] == 6
+    assert len({got[0], got[1], got[2]}) == 1
+    assert len({got[3], got[4], got[5]}) == 1
