@@ -2840,6 +2840,22 @@ def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream cohort retention: users bucketed by calendar week of
+    first event; cell (cohort, k) counts distinct cohort members active k
+    weeks later. FP-free (distinct counts + calendar arithmetic)."""
+    from fulltextsearch_spark.operators.temporal import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = cohort_retention(ev)
+    # Spark date_trunc yields TIMESTAMP, DuckDB DATE — align the driver type
+    return out.select(
+        F.col("cohort_week").cast("date").alias("cohort_week"),
+        "week_offset",
+        "n_users",
+    )
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-pipeline: BPE tokenizer training (Sennrich et al. 2016) —
     learn the first 10 merge rules from the corpus word-frequency table.
@@ -3319,6 +3335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_encoded": q_bpe_encoded,
         "funnel_counts": q_funnel_counts,
+        "cohort_retention": q_cohort_retention,
         "fuzzy_topk": q_fuzzy_topk,
         "boosting_topk": q_boosting_topk,
         "mix_weights": q_mix_weights,
@@ -6973,6 +6990,15 @@ FROM ranked WHERE rank <= {TOPK}
         "bpe_merges": _bpe_merges_sql(),
         "bpe_encoded": _bpe_encoded_sql(),
         "funnel_counts": _FUNNEL_SQL,
+        "cohort_retention": """
+WITH ev AS (SELECT user_id AS u, date_trunc('week', ts) AS w FROM events),
+first AS (SELECT u, min(w) AS w0 FROM ev GROUP BY 1)
+SELECT f.w0 AS cohort_week,
+       (date_diff('day', f.w0, e.w) // 7)::BIGINT AS week_offset,
+       count(DISTINCT e.u)::BIGINT AS n_users
+FROM ev e JOIN first f ON f.u = e.u
+GROUP BY 1, 2
+""",
         "vocab_stats": _vocab_stats_sql(),
         "top_hits_lang": _top_hits_sql(),
         "rare_terms": _rare_terms_sql(),

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps", "range_join", "sessionize"]
+__all__ = ["cohort_retention", "funnel_steps", "range_join", "sessionize"]
 
 
 def sessionize(
@@ -188,3 +188,37 @@ def funnel_steps(
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """-> (cohort_week, week_offset, n_users): classic cohort retention —
+    users grouped by the calendar week of their FIRST event; cell
+    (c, k) counts how many of cohort c were active k weeks later
+    (week_offset 0 is the cohort size). Distinct-user counts are exact
+    integers and week truncation is calendar arithmetic, so the whole
+    table is FP-free and SQL-replayable.
+
+    Scale shape: one min-aggregate per user (map-side partials), one
+    broadcast-or-shuffle join of the skinny (user, cohort) table back to
+    events, one distinct-count aggregate over (cohort, offset) — bounded
+    by users, then by weeks^2, never by raw event volume after the first
+    aggregate.
+    """
+    ev = events.select(
+        F.col(user_col).alias("u"), F.date_trunc("week", F.col(ts_col)).alias("w")
+    )
+    first = ev.groupBy("u").agg(F.min("w").alias("w0"))
+    joined = ev.join(first, "u")
+    return (
+        joined.select(
+            F.col("w0").alias("cohort_week"),
+            (F.datediff(F.col("w"), F.col("w0")) / 7).cast("long").alias("week_offset"),
+            "u",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("u").cast("long").alias("n_users"))
+    )

@@ -131,3 +131,31 @@ def test_funnel_steps_strict_order_and_window(spark):
     assert gotw == {"view": 4, "click": 2, "purchase": 1}
     with pytest.raises(ValueError):
         funnel_steps(df, [])
+
+
+def test_cohort_retention_week_buckets(spark):
+    """Retention: cohorts keyed by first-event week, offsets count distinct
+    returning users; a user active twice in one week counts once."""
+    from fulltextsearch_spark.operators.temporal import cohort_retention
+
+    T = lambda d, h=0: dt.datetime(2024, 1, d, h)  # noqa: E731  (2024-01-01 = Monday)
+    rows = [
+        # u1: cohort wk0, active wk0 twice, wk1
+        (1, T(1)), (1, T(3)), (1, T(9)),
+        # u2: cohort wk0, only wk0
+        (2, T(2)),
+        # u3: cohort wk1, active wk1 and wk3
+        (3, T(8)), (3, T(23)),
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP")
+    got = {
+        (r["cohort_week"].strftime("%Y-%m-%d") if hasattr(r["cohort_week"], "strftime") else str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+        for r in cohort_retention(df).collect()
+    }
+    exp = {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 2): 1,
+    }
+    assert {(k[0][:10], k[1]): v for k, v in got.items()} == exp
