@@ -4466,20 +4466,19 @@ def _kr_sql(expr: str) -> str:
     )
 
 
-def _minhash_sql(src_where: str | None = None) -> str:
+def _minhash_sql() -> str:
     """Recompute MinHash-LSH pairs end-to-end in DuckDB: shingle hashes,
     128 permutations, 32 bands x 4 rows, bucket-size guard, est_jaccard."""
     from fulltextsearch_spark.operators.dedup import _perm_params
 
     a, b = _perm_params(128, seed=1)
     perm_rows = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(128))
-    src_filter = f"WHERE {src_where}" if src_where else ""
     return f"""
 WITH perms AS (SELECT * FROM (VALUES {perm_rows}) p(pid, a, b)),
 sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
       range(1, greatest(length(text) - 8, 0) + 2), i -> substr(text, i::INT, 8)))) AS s
-  FROM documents {src_filter}
+  FROM documents
 ),
 hs AS (SELECT doc_id, {_kr_sql('s')} AS h FROM sh),
 sigs AS (
@@ -5877,8 +5876,8 @@ WITH base AS (
 )
 SELECT lang, n, min_v, max_v, sum_v,
        sum_v / n AS avg_v, sumsq_v,
-       sumsq_v / n - (sum_v / n) * (sum_v / n) AS variance,
-       sqrt(sumsq_v / n - (sum_v / n) * (sum_v / n)) AS std_dev
+       greatest(sumsq_v / n - (sum_v / n) * (sum_v / n), 0.0) AS variance,
+       sqrt(greatest(sumsq_v / n - (sum_v / n) * (sum_v / n), 0.0)) AS std_dev
 FROM base
 """,
         "length_histogram": """

@@ -312,7 +312,11 @@ def extended_stats(
         F.sum(v * v).alias("sumsq_v"),
     )
     mean = F.col("sum_v") / F.col("n")
-    var = F.col("sumsq_v") / F.col("n") - mean * mean
+    # clamp at 0: FP cancellation on non-integral columns can yield a tiny
+    # negative raw variance -> NaN std (ES clamps the same way)
+    var = F.greatest(
+        F.col("sumsq_v") / F.col("n") - mean * mean, F.lit(0.0)
+    )
     return base.select(
         *keys,
         "n",

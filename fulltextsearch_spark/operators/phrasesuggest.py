@@ -74,15 +74,16 @@ def suggest_phrases(
     )
 
     toks = docs.select(tokenize_udf(do_stem=False)(F.col(text_col)).alias("toks"))
-    vocab = (
+    vocab_all = (
         toks.select(F.explode("toks").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
-        .filter(F.col("n_occ") >= min_occ)
     )
-    totals = toks.select(F.explode("toks").alias("term")).agg(
-        F.count(F.lit(1)).cast("double").alias("n_tokens"),
-        F.countDistinct("term").cast("double").alias("v"),
+    vocab = vocab_all.filter(F.col("n_occ") >= min_occ)
+    # scalar totals derive from the vocab aggregate — no second corpus pass
+    totals = vocab_all.agg(
+        F.sum("n_occ").cast("double").alias("n_tokens"),
+        F.count(F.lit(1)).cast("double").alias("v"),
     )
     n = F.size("toks")
     big = (

@@ -522,13 +522,20 @@ def clarity_scores(
     first = topk(_scored_candidates(index, q_terms, cfg, scoring), fb_docs)
     fb_ids = first.select("query_id", "doc_id")
     n_fb = fb_ids.groupBy("query_id").agg(F.count(F.lit(1)).alias("_nfb"))
-    tok = docs.select(
-        "doc_id", F.explode(tokenize_udf(cfg.stem)(F.col(text_col))).alias("term")
+    # ONE corpus tokenize pass: collection term counts; the scalar total is
+    # an aggregate OVER that table, and the fb-doc side joins the corpus
+    # BEFORE tokenizing so only the handful of feedback docs re-tokenize
+    coll = (
+        docs.select(F.explode(tokenize_udf(cfg.stem)(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("cf"))
     )
-    coll = tok.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("cf"))
-    total = tok.agg(F.count(F.lit(1)).cast("double").alias("ct"))
+    total = coll.agg(F.sum("cf").alias("ct"))
     fb_tf = (
-        tok.join(F.broadcast(fb_ids.select("doc_id").distinct()), "doc_id")
+        docs.join(F.broadcast(fb_ids.select("doc_id").distinct()), "doc_id")
+        .select(
+            "doc_id", F.explode(tokenize_udf(cfg.stem)(F.col(text_col))).alias("term")
+        )
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )

@@ -418,7 +418,7 @@ def ivf_cosine_topk(
             [], "query_id LONG, rank LONG, vec_id LONG, sim DOUBLE"
         )
     d = ((qm[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-    probe_lists = np.argsort(d, axis=1)[:, :nprobe]
+    probe_lists = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
     probes = [
         (int(q), int(l)) for q, row in zip(qids, probe_lists) for l in row
     ]
@@ -510,13 +510,17 @@ def semdedup_keep(
         embeddings, n_centroids, None, iters, seed, id_col, vec_col
     )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    norm = F.sqrt(
-        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    # zero-norm guard (failed/padded embeddings): without it nv is NaN and
+    # Spark's NaN > threshold is TRUE, silently dropping innocent cluster-mates
+    norm = F.greatest(
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)),
+        F.lit(1e-30),
     )
+    # ivf_assign's output columns are always (vec_id, list_id) regardless of id_col
     pts = embeddings.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.transform(v, lambda x: x / norm).alias("nv"),
-    ).join(assigned.select(F.col(id_col).cast("long").alias("vec_id"), "list_id"), "vec_id")
+    ).join(assigned.select("vec_id", "list_id"), "vec_id")
 
     a = pts.alias("a")
     b = pts.alias("b")
@@ -797,7 +801,7 @@ def ivfpq_adc_topk(
     m_sub, n_codes, dsub = books.shape
     nlist = cent.shape[0]
     d = ((qm[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-    probe_lists = np.argsort(d, axis=1)[:, : min(nprobe, nlist)]
+    probe_lists = np.argsort(d, axis=1, kind="stable")[:, : min(nprobe, nlist)]
     spark = index.assigned_codes.sparkSession
     probe_df = spark.createDataFrame(
         [(int(q), int(l)) for q, row in zip(qids, probe_lists) for l in row],
@@ -940,7 +944,10 @@ def build_sq(
     reduction of 2*dim values per partition.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    dim = len(embeddings.select(vec_col).first()[0])
+    head = embeddings.select(vec_col).first()
+    if head is None:
+        raise ValueError("build_sq: embeddings DataFrame is empty")
+    dim = len(head[0])
     agg = embeddings.select(v.alias("v")).agg(
         *[F.min(F.element_at("v", i + 1)).alias(f"mn{i}") for i in range(dim)],
         *[F.max(F.element_at("v", i + 1)).alias(f"mx{i}") for i in range(dim)],
@@ -1064,7 +1071,7 @@ def ivf_knn_join(
                 continue
             m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            pl = np.argsort(d, axis=1)[:, :nprobe]  # ties: lowest list_id first
+            pl = np.argsort(d, axis=1, kind="stable")[:, :nprobe]  # ties: lowest list_id first (stable sort keeps index order, matching the oracle's ORDER BY d, list_id)
             yield pd.DataFrame(
                 {
                     "vec_id": np.repeat(pdf[id_col].to_numpy(dtype=np.int64), nprobe),

@@ -149,7 +149,6 @@ def funnel_steps(
         F.col(id_col).alias("i"),
         F.col(type_col).alias("e"),
     )
-    spark = events.sparkSession
     counts = []
     reached: DataFrame | None = None
     for idx, step in enumerate(steps):
@@ -176,7 +175,9 @@ def funnel_steps(
                     F.min("_t0").alias("_t0"),
                 )
             )
-        reached = agg
+        # truncate lineage: each survivor frame is one skinny row per user;
+        # without this every counts[i] replays all prior steps' event scans
+        reached = agg.localCheckpoint()
         counts.append(
             agg.agg(F.count(F.lit(1)).alias("n_users")).select(
                 F.lit(idx + 1).cast("long").alias("step"),

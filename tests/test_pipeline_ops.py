@@ -764,3 +764,21 @@ def test_image_ahash_deterministic_and_discriminative(spark):
     nib = bits.reshape(16, 4)
     vals = nib[:, 0] * 8 + nib[:, 1] * 4 + nib[:, 2] * 2 + nib[:, 3]
     assert got[0] == "".join(format(int(v), "x") for v in vals)
+
+
+def test_semdedup_zero_vector_and_custom_id_col(spark):
+    """Review regressions: a zero embedding must not NaN-drop its
+    cluster-mates, and a non-default id column works."""
+    rows = [(10, [1.0, 0.0]), (11, [1.0, 0.001]), (12, [0.0, 0.0]), (13, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "eid LONG, emb ARRAY<DOUBLE>")
+    got = {
+        r["vec_id"]: r["kept"]
+        for r in sim.semdedup_keep(
+            df, n_centroids=2, threshold=0.9, id_col="eid", vec_col="emb"
+        ).collect()
+    }
+    assert set(got) == {10, 11, 12, 13}
+    assert got[10]  # min id always kept
+    assert not got[11]  # true near-dup of 10 dropped
+    # the zero vector's cosine is 0/clamped, never NaN: 12 and 13 survive
+    assert got[12] and got[13]

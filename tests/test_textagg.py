@@ -173,3 +173,15 @@ def test_value_histogram_gap_fill(spark):
         for r in value_histogram(df, "v", 10, min_doc_count=2).collect()
     }
     assert trimmed == {10: 2, 50: 2}
+
+
+def test_extended_stats_variance_clamped_nonnegative(spark):
+    """Review regression: near-constant double columns must not produce a
+    negative variance (and NaN std) from FP cancellation."""
+    from fulltextsearch_spark.operators.facets import extended_stats
+
+    df = spark.createDataFrame([(0.1,)] * 10, ["v"])
+    row = extended_stats(df, "v").collect()[0]
+    assert row["variance"] >= 0.0
+    assert row["std_dev"] == row["std_dev"]  # not NaN
+    assert row["std_dev"] < 1e-8
