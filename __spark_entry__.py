@@ -2507,6 +2507,109 @@ FROM est e LEFT JOIN cnt c USING (term)
 """
 
 
+def q_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline aggregations (derivative / cumulative_sum / moving_fn
+    unweighted avg, window 3) over the per-(day, event_type) date_histogram.
+    deriv and cum are pure integer window math; mov_avg is one exact-operand
+    IEEE division rounded to 4 dp, so all three replay in SQL."""
+    from fulltextsearch_spark.operators.facets import date_histogram, pipeline_aggs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("ts", "event_type")
+    h = date_histogram(ev, ts="ts", interval="day", keys=("event_type",))
+    out = pipeline_aggs(h, metric="n", keys=("event_type",), window=3)
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("deriv").cast("long").alias("deriv"),
+        F.col("cum").cast("long").alias("cum"),
+        "mov_avg",
+    )
+
+
+_PIPELINE_AGGS_SQL = """
+WITH h AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT day, event_type, n,
+       (n - lag(n) OVER w)::BIGINT AS deriv,
+       sum(n) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+       round((sum(n) OVER t)::DOUBLE / (count(*) OVER t)::DOUBLE, 4) AS mov_avg
+FROM h
+WINDOW w AS (PARTITION BY event_type ORDER BY day),
+       t AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+HLL_P, HLL_SEED = 6, 11  # m=64 registers — the reference's exact layout
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-term estimate (reference hyperloglog.hpp:7-53,
+    64 registers) next to the exact cardinality. The sketch CONTENTS replay
+    in SQL: exact-M61 hashing, 48-bit truncation so floor(log2) and the
+    scaled harmonic sum are exact integers in both engines, and the raw
+    Flajolet estimator is a fixed dag of correctly-rounded IEEE ops on
+    exactly-representable operands (constant folded driver-side)."""
+    from fulltextsearch_spark.operators.sketches import hll_build, hll_estimate
+
+    terms = q_tf_table(spark, sf_dir).select("term")
+    regs = hll_build(terms, p=HLL_P, seed=HLL_SEED, value_col="term")
+    est = hll_estimate(regs, p=HLL_P)
+    exact = terms.agg(F.countDistinct("term").cast("long").alias("exact_distinct"))
+    return est.crossJoin(exact).select(
+        "m", "v_zero", "harmonic_scaled", "hll_est", "exact_distinct"
+    )
+
+
+def _hll_sql() -> str:
+    from fulltextsearch_spark.operators.dedup import _perm_params
+
+    a, b = _perm_params(1, HLL_SEED)
+    m = 1 << HLL_P
+    w = 48 - HLL_P
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    const = alpha * m * m * float(1 << (w + 1))
+    return f"""
+WITH {_tok_cte()},
+dt AS (SELECT DISTINCT term FROM tok),
+h AS (
+  SELECT (({int(a[0])}::HUGEINT * {_kr_sql('term')} + {int(b[0])}::HUGEINT)
+          % {_M61_SQL}) // {1 << (61 - 48)} AS h48
+  FROM dt
+),
+ir AS (
+  SELECT (h48 // {1 << w})::BIGINT AS idx, (h48 % {1 << w})::BIGINT AS rest
+  FROM h
+),
+rho AS (
+  SELECT idx,
+         max(CASE WHEN rest = 0 THEN {w + 1}
+                  ELSE {w} - floor(log2(rest::DOUBLE))::BIGINT END) AS rho
+  FROM ir GROUP BY idx
+),
+grid AS (SELECT unnest(range(0, {m})) AS idx),
+full_regs AS (
+  SELECT coalesce(r.rho, 0) AS rho
+  FROM grid g LEFT JOIN rho r USING (idx)
+),
+agg AS (
+  SELECT {m}::BIGINT AS m,
+         sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END)::BIGINT AS v_zero,
+         sum(pow(2.0, ({w + 1} - rho)::DOUBLE))::BIGINT AS harmonic_scaled
+  FROM full_regs
+),
+ex AS (SELECT count(DISTINCT term)::BIGINT AS exact_distinct FROM tok)
+SELECT m, v_zero, harmonic_scaled,
+       round({const!r} / harmonic_scaled::DOUBLE, 4) AS hll_est,
+       exact_distinct
+FROM agg CROSS JOIN ex
+"""
+
+
 def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion (rrf_k=60) of the per-query
     BM25 top-k with the global PageRank authority top-k — the classic
@@ -3348,6 +3451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "campaign_attribution": q_campaign_attribution,
         "date_histogram": q_date_histogram,
         "cms_term_counts": q_cms_term_counts,
+        "hll_distinct": q_hll_distinct,
+        "pipeline_aggs": q_pipeline_aggs,
         "streaming_sessions": q_streaming_sessions,
         "streaming_dedup": q_streaming_dedup,
         "collocations_topk": q_collocations,
@@ -6020,6 +6125,8 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
 FROM events GROUP BY 1, 2
 """,
         "cms_term_counts": _cms_sql(),
+        "hll_distinct": _hll_sql(),
+        "pipeline_aggs": _PIPELINE_AGGS_SQL,
         "collocations_topk": f"""
 WITH {_tok_cte()},
 big AS (

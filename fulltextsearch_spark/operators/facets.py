@@ -26,6 +26,7 @@ __all__ = [
     "field_percentiles",
     "matrix_stats",
     "percentile_ranks",
+    "pipeline_aggs",
     "rare_terms",
     "top_hits",
     "value_histogram",
@@ -53,6 +54,54 @@ def date_histogram(
     if value is not None:
         aggs.append(F.sum(value).alias(f"sum_{value}"))
     return df.groupBy(b, *[F.col(k) for k in keys]).agg(*aggs)
+
+
+def pipeline_aggs(
+    buckets: DataFrame,
+    metric: str = "n",
+    keys: tuple[str, ...] = (),
+    bucket_col: str = "bucket",
+    window: int = 3,
+) -> DataFrame:
+    """Elasticsearch pipeline aggregations over a bucketed series: the
+    second-pass aggs (`derivative`, `cumulative_sum`, `moving_fn` with the
+    unweighted-average function) that ES runs over a parent
+    ``date_histogram``'s buckets.
+
+    Input is the OUTPUT of :func:`date_histogram` (or any
+    ``(bucket, *keys, metric)`` series); returns it with three new columns:
+
+    * ``deriv``   — ``metric - lag(metric)`` per key, NULL on each series'
+      first bucket (exact ES derivative semantics over present buckets;
+      ES's ``min_doc_count=0`` gap-filling is the caller's concern).
+    * ``cum``     — running sum up to and including the bucket.
+    * ``mov_avg`` — trailing-``window`` unweighted mean (the ES
+      ``moving_fn: MovingFunctions.unweightedAvg`` shape over a window of
+      the current + previous ``window-1`` buckets), rounded to 4 dp; on an
+      integer metric the pre-round value is a single exact-operand IEEE
+      division, so it replays bit-for-bit in SQL.
+
+    Scale shape: the windows partition by ``keys`` and order by the bucket —
+    per-key bucket counts are time-bounded (days x key cardinality), never
+    row-count-bounded, so each partition's window state is small however
+    large the raw table was. With ``keys=()`` the series is global and the
+    single-partition window is exactly as big as the histogram itself.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(bucket_col)
+    m = F.col(metric)
+    trail = w.rowsBetween(-(window - 1), 0)
+    return buckets.select(
+        "*",
+        (m - F.lag(metric).over(w)).alias("deriv"),
+        F.sum(metric).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.round(
+            F.sum(metric).over(trail).cast("double")
+            / F.count(F.lit(1)).over(trail).cast("double"),
+            4,
+        ).alias("mov_avg"),
+    )
 
 
 def facet_counts(results: DataFrame, doc_meta: DataFrame, facet_col: str) -> DataFrame:

@@ -92,6 +92,34 @@ def test_date_histogram_buckets_and_metric(spark):
     assert got == {(1, "a"): (2, 15), (2, "a"): (1, 7), (1, "b"): (1, 1)}
 
 
+def test_pipeline_aggs_derivative_cum_moving(spark):
+    """ES pipeline aggs: deriv = bucket-over-bucket delta (NULL first),
+    cum = running sum, mov_avg = trailing-3 unweighted mean, per key."""
+    import datetime as dt
+
+    from fulltextsearch_spark.operators.facets import date_histogram, pipeline_aggs
+
+    rows = []
+    for day, n in [(1, 3), (2, 5), (3, 2), (4, 10)]:
+        rows += [(dt.datetime(2024, 1, day, h), "a") for h in range(n)]
+    rows += [(dt.datetime(2024, 1, 1, 0), "b"), (dt.datetime(2024, 1, 3, 0), "b")]
+    df = spark.createDataFrame(rows, ["ts", "etype"])
+    h = date_histogram(df, ts="ts", interval="day", keys=("etype",))
+    out = pipeline_aggs(h, metric="n", keys=("etype",), window=3)
+    got = {
+        (r["bucket"].day, r["etype"]): (r["deriv"], r["cum"], r["mov_avg"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, "a"): (None, 3, 3.0),
+        (2, "a"): (2, 8, 4.0),
+        (3, "a"): (-3, 10, round(10 / 3, 4)),
+        (4, "a"): (8, 20, round(17 / 3, 4)),
+        (1, "b"): (None, 1, 1.0),
+        (3, "b"): (0, 2, 1.0),  # derivative over PRESENT buckets (no gap fill)
+    }
+
+
 def test_collocations_pmi_bruteforce(spark):
     """PMI and top-k ordering vs a Python recomputation over the engine
     tokenizer's own stream."""

@@ -58,3 +58,66 @@ def test_absent_term_estimates_zero_on_empty_cells(spark):
     probe = spark.createDataFrame([("missing",)], ["term"])
     rows = cms_estimate(cms, probe, depth=3, width=4096, seed=1).collect()
     assert rows[0]["cms_est"] == 0  # 4096 buckets, 3 cells: empty-cell min
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (reference hyperloglog.hpp:7-53 — m=64 registers)
+# ---------------------------------------------------------------------------
+
+def _values(spark, n=5000, dupes=3, seed=9):
+    rng = random.Random(seed)
+    rows = [(f"v{i:05d}",) for i in range(n)] * dupes
+    rng.shuffle(rows)
+    return spark.createDataFrame(rows, ["term"])
+
+
+def test_hll_duplicates_do_not_change_registers(spark):
+    from fulltextsearch_spark.operators.sketches import hll_build
+
+    once = spark.createDataFrame([(f"v{i:05d}",) for i in range(500)], ["term"])
+    thrice = _values(spark, n=500, dupes=3)
+    key = lambda r: (r["idx"], r["rho"])  # noqa: E731
+    assert sorted(map(key, hll_build(once).collect())) == sorted(
+        map(key, hll_build(thrice).collect())
+    )
+
+
+def test_hll_merge_is_partition_invariant(spark):
+    from fulltextsearch_spark.operators.sketches import hll_build
+
+    df = _values(spark, n=2000, dupes=1)
+    key = lambda r: (r["idx"], r["rho"])  # noqa: E731
+    assert sorted(map(key, hll_build(df.coalesce(1)).collect())) == sorted(
+        map(key, hll_build(df.repartition(17)).collect())
+    )
+
+
+def test_hll_estimate_within_theory_bounds(spark):
+    from fulltextsearch_spark.operators.sketches import hll_build, hll_estimate
+
+    n = 5000
+    est = hll_estimate(hll_build(_values(spark, n=n))).collect()[0]
+    assert est["m"] == 64 and est["v_zero"] == 0
+    # sigma = 1.04/sqrt(64) = 13% — 4 sigma is a generous deterministic bound
+    assert abs(est["hll_est"] - n) / n < 0.52
+    # harmonic_scaled is the exact integer 2^43 * sum(2^-rho)
+    regs = {r["idx"]: r["rho"] for r in hll_build(_values(spark, n=n)).collect()}
+    expect = sum(1 << (43 - regs.get(i, 0)) for i in range(64))
+    assert est["harmonic_scaled"] == expect
+
+
+def test_hll_union_semantics(spark):
+    """Sketching A union B == register-wise max of sketch(A), sketch(B)."""
+    from fulltextsearch_spark.operators.sketches import hll_build
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(800)], ["term"])
+    b = spark.createDataFrame([(f"b{i}",) for i in range(800)], ["term"])
+    both = hll_build(a.union(b))
+    merged = (
+        hll_build(a)
+        .union(hll_build(b))
+        .groupBy("idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    key = lambda r: (r["idx"], r["rho"])  # noqa: E731
+    assert sorted(map(key, both.collect())) == sorted(map(key, merged.collect()))
