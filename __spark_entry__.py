@@ -1215,6 +1215,43 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir), chunk_size=32, overlap=8)
 
 
+SEQ_LEN = 64
+
+
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline: GPT-style sequence packing — the corpus token
+    stream concatenated in doc_id order and cut into fixed 64-token training
+    sequences, docs spanning boundaries. Pure-integer pack map (seq_id,
+    doc_id, doc_start, seq_pos, n_toks); the two-level offset decomposition
+    is value-identical to the oracle's single cumulative window."""
+    from fulltextsearch_spark.operators.chunking import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=SEQ_LEN, bucket_span=64)
+
+
+_PACKED_SQL = f"""
+WITH {{tok_cte}},
+n AS (SELECT doc_id, len(tokens)::BIGINT AS n FROM toks WHERE len(tokens) > 0),
+offs AS (
+  SELECT doc_id, n,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+  FROM n
+),
+spans AS (
+  SELECT doc_id, n, off,
+         unnest(range(off // {SEQ_LEN}, (off + n - 1) // {SEQ_LEN} + 1)) AS seq_id
+  FROM offs
+)
+SELECT seq_id::BIGINT AS seq_id, doc_id,
+       (greatest(seq_id * {SEQ_LEN}, off) - off)::BIGINT AS doc_start,
+       (greatest(seq_id * {SEQ_LEN}, off) - seq_id * {SEQ_LEN})::BIGINT AS seq_pos,
+       (least((seq_id + 1) * {SEQ_LEN}, off + n)
+        - greatest(seq_id * {SEQ_LEN}, off))::BIGINT AS n_toks
+FROM spans
+"""
+
+
 def q_decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-pipeline: benchmark decontamination (published exact
     n-gram-overlap rule, GPT-3 App. C style; n=8 over the engine's
@@ -3476,6 +3513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "chunk_docs": q_chunk_docs,
+        "packed_sequences": q_packed_sequences,
         "quality_score": q_quality_score,
         "gopher_rules": q_gopher_rules,
         "gopher_repetition": q_gopher_repetition,
@@ -6850,6 +6888,7 @@ SELECT doc_id::BIGINT AS doc_id,
        array_to_string(w, ' ') AS chunk_text
 FROM win WHERE len(w) >= 1
 """,
+        "packed_sequences": _PACKED_SQL.format(tok_cte=_tok_cte()),
         "ngram_jaccard": """
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
 sh AS (

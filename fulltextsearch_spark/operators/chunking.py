@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from fulltextsearch_spark.functions.tokenizer import tokenize_udf
 
-__all__ = ["chunk_documents"]
+__all__ = ["chunk_documents", "pack_sequences"]
 
 
 def chunk_documents(
@@ -73,4 +73,80 @@ def chunk_documents(
             F.concat_ws(" ", window).alias("chunk_text"),
         )
         .where(F.col("n_tokens") >= F.lit(min_tokens))
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 256,
+    bucket_span: int = 65536,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate every document's token stream
+    in ``doc_id`` order and split it into fixed ``seq_len`` training windows,
+    documents spanning window boundaries (Brown et al. 2020 §2.3 / the
+    standard "concat-and-chunk" pretraining layout — no padding waste, in
+    contrast to per-doc truncation).
+
+    Returns the pack MAP — one row per (sequence, document) overlap:
+    ``(seq_id, doc_id, doc_start, seq_pos, n_toks)``: tokens
+    ``[doc_start, doc_start + n_toks)`` of ``doc_id`` land in sequence
+    ``seq_id`` at offset ``seq_pos``. Every sequence except the last holds
+    exactly ``seq_len`` tokens; 0-token docs appear in no sequence. All
+    columns are integers, so the layout replays exactly in SQL.
+
+    Scale shape: the global token offset per doc is NOT a corpus-wide
+    single-partition window — it is decomposed two-level exactly like the
+    ingest id assignment (sources/ingest.py): per-bucket token totals
+    (bucket = doc_id // bucket_span, order-preserving) cumulate in one
+    bucket-count-sized window, then the intra-bucket cumulative sum windows
+    partition by bucket. With bucket_span ~ sqrt(corpus) both levels stay
+    far from the driver and no partition sees more than span rows. The rest
+    is a narrow projection + bounded explode (a doc overlaps
+    ceil(n/seq_len)+1 sequences at most).
+    """
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    from pyspark.sql import Window
+
+    from fulltextsearch_spark.functions.tokenizer import tokenize_udf
+
+    n_toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(tokenize_udf(do_stem=False)(F.col(text_col))).cast("long").alias("n"),
+    ).where(F.col("n") > 0)
+    n_toks = n_toks.withColumn("bucket", F.expr(f"doc_id div {bucket_span}"))
+    # level 1: cumulative total BEFORE each bucket (bucket-count-sized window)
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    b_off = (
+        n_toks.groupBy("bucket")
+        .agg(F.sum("n").alias("b_tot"))
+        .select("bucket", F.coalesce(F.sum("b_tot").over(wb), F.lit(0)).alias("b_off"))
+    )
+    # level 2: intra-bucket running sum before each doc
+    wd = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = n_toks.join(F.broadcast(b_off), "bucket").select(
+        "doc_id",
+        "n",
+        (F.col("b_off") + F.coalesce(F.sum("n").over(wd), F.lit(0))).alias("off"),
+    )
+    # integer div (not double /) — token offsets can exceed 2^53 at corpus scale
+    first = F.expr(f"off div {seq_len}")
+    last = F.expr(f"(off + n - 1) div {seq_len}")
+    spans = offs.select(
+        "doc_id", "n", "off", F.explode(F.sequence(first, last)).alias("seq_id")
+    )
+    lo = F.greatest(F.col("seq_id") * seq_len, F.col("off"))
+    hi = F.least((F.col("seq_id") + 1) * seq_len, F.col("off") + F.col("n"))
+    return spans.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "doc_id",
+        (lo - F.col("off")).cast("long").alias("doc_start"),
+        (lo - F.col("seq_id") * seq_len).cast("long").alias("seq_pos"),
+        (hi - lo).cast("long").alias("n_toks"),
     )

@@ -782,3 +782,61 @@ def test_semdedup_zero_vector_and_custom_id_col(spark):
     assert not got[11]  # true near-dup of 10 dropped
     # the zero vector's cosine is 0/clamped, never NaN: 12 and 13 survive
     assert got[12] and got[13]
+
+
+def test_pack_sequences_matches_python_replay(spark):
+    """Concat-and-chunk packing == an independent Python replay: offsets by
+    doc_id-order cumulation, per-sequence token totals exactly seq_len except
+    the last, docs spanning boundaries split correctly, 0-token docs absent.
+    Result is invariant to bucket_span and input partitioning."""
+    from fulltextsearch_spark.functions.tokenizer import tokenize
+    from fulltextsearch_spark.operators.chunking import pack_sequences
+
+    words = [f"w{i:03d}" for i in range(80)]
+    rows = [
+        (3, " ".join(words[:7])),
+        (10, ""),  # 0 tokens -> absent
+        (11, " ".join(words[:29])),  # spans several sequences
+        (12, "the and of"),  # stopwords-only -> 0 tokens -> absent
+        (20, " ".join(words[:16])),  # exact multiple of seq_len
+        (21, " ".join(words[:1])),
+        (40, " ".join(words[:13])),
+    ]
+    L = 8
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    exp = []
+    off = 0
+    for doc_id, text in sorted(rows):
+        n = len(tokenize(text, do_stem=False))
+        if n == 0:
+            continue
+        for seq_id in range(off // L, (off + n - 1) // L + 1):
+            lo = max(seq_id * L, off)
+            hi = min((seq_id + 1) * L, off + n)
+            exp.append((seq_id, doc_id, lo - off, lo - seq_id * L, hi - lo))
+        off += n
+    for span, parts in [(4, 1), (64, 3), (1, 7)]:
+        got = sorted(
+            tuple(r)
+            for r in pack_sequences(
+                df.repartition(parts), seq_len=L, bucket_span=span
+            ).collect()
+        )
+        assert got == sorted(exp), (span, parts)
+    # every sequence except the highest-numbered packs exactly L tokens
+    per_seq = {}
+    for seq_id, _d, _ds, _sp, k in exp:
+        per_seq[seq_id] = per_seq.get(seq_id, 0) + k
+    last = max(per_seq)
+    assert all(v == L for s, v in per_seq.items() if s != last)
+    assert set(per_seq) == set(range(last + 1))  # no empty sequence holes
+
+
+def test_pack_sequences_rejects_bad_seq_len(spark):
+    from fulltextsearch_spark.operators.chunking import pack_sequences
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id LONG, text STRING")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pack_sequences(df, seq_len=0)
