@@ -1215,6 +1215,60 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir), chunk_size=32, overlap=8)
 
 
+def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline: model-based quality filter (the CCNet / LLaMA
+    fastText-classifier stage) as closed-form multinomial Naive Bayes over
+    the engine token stream — trained on source='src0' (target domain) vs
+    'src1' (background), scoring every doc. Counts are integers and the
+    log-ratio dag is fixed, so model weights AND scores replay in SQL."""
+    from fulltextsearch_spark.operators.qualityclf import nb_score, nb_train
+
+    docs = _docs(spark, sf_dir)
+    labels = docs.where(F.col("source").isin("src0", "src1")).select(
+        "doc_id", (F.col("source") == "src0").cast("int").alias("label")
+    )
+    model = nb_train(docs, labels, alpha=0.5)
+    return nb_score(docs, model)
+
+
+_NB_QUALITY_SQL = """
+WITH {tok_cte},
+lab AS (
+  SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS label
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+sdt AS (SELECT l.label, t.term FROM tok t JOIN lab l USING (doc_id)),
+cnt AS (
+  SELECT term,
+         sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+         sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)::BIGINT AS c0
+  FROM sdt GROUP BY 1
+),
+tot AS (SELECT sum(c1)::BIGINT AS n1, sum(c0)::BIGINT AS n0,
+               count(*)::BIGINT AS v FROM cnt),
+dc AS (SELECT sum(label)::BIGINT AS d1, sum(1 - label)::BIGINT AS d0 FROM lab),
+wts AS (
+  SELECT term, ln((c1 + 0.5) / (n1 + 0.5 * v)) - ln((c0 + 0.5) / (n0 + 0.5 * v)) AS llr
+  FROM cnt CROSS JOIN tot
+),
+consts AS (
+  SELECT ln(d1::DOUBLE / d0::DOUBLE) AS prior_llr,
+         ln(0.5 / (n1 + 0.5 * v)) - ln(0.5 / (n0 + 0.5 * v)) AS oov_llr
+  FROM tot CROSS JOIN dc
+),
+per AS (
+  SELECT t.doc_id, count(*)::BIGINT AS n_toks,
+         sum(coalesce(w.llr, c.oov_llr)) AS s
+  FROM tok t LEFT JOIN wts w USING (term) CROSS JOIN consts c
+  GROUP BY 1
+)
+SELECT d.doc_id, coalesce(p.n_toks, 0)::BIGINT AS n_toks,
+       round(c.prior_llr + coalesce(p.s, 0.0), 4) AS nb_llr,
+       (CASE WHEN c.prior_llr + coalesce(p.s, 0.0) > 0 THEN 1 ELSE 0 END)::INT AS pred
+FROM documents d LEFT JOIN per p USING (doc_id) CROSS JOIN consts c
+"""
+
+
 SEQ_LEN = 64
 
 
@@ -3514,6 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "chunk_docs": q_chunk_docs,
         "packed_sequences": q_packed_sequences,
+        "nb_quality": q_nb_quality,
         "quality_score": q_quality_score,
         "gopher_rules": q_gopher_rules,
         "gopher_repetition": q_gopher_repetition,
@@ -6889,6 +6944,7 @@ SELECT doc_id::BIGINT AS doc_id,
 FROM win WHERE len(w) >= 1
 """,
         "packed_sequences": _PACKED_SQL.format(tok_cte=_tok_cte()),
+        "nb_quality": _NB_QUALITY_SQL.format(tok_cte=_tok_cte()),
         "ngram_jaccard": """
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
 sh AS (
