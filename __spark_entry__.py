@@ -239,6 +239,41 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_topk(spark, sf_dir, "bm25", stem=False)
 
 
+CHAMP_M = 5  # per-term champion list length — small so pruning is exercised
+
+
+def q_champion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Champion-list retrieval (IIR §7.1.3 static pruning): build-time
+    top-m=5 docs per term by exact BM25 contribution (impact DESC, doc_id
+    tiebreak), query-time exact scoring restricted to the union of the
+    query terms' champion lists. The testdata's head terms have df ~80% of
+    the corpus, so m=5 prunes hard and the result provably differs from
+    the exhaustive bm25_topk ranking; the oracle replays selection AND
+    scoring."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.champions import (
+        build_champions,
+        search_champions,
+    )
+    from fulltextsearch_spark.operators.index_build import build_index
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    idx = build_index(spark, _docs(spark, sf_dir), cfg, persist=False)
+    champs = build_champions(idx, m=CHAMP_M, cfg=cfg)
+    queries = spark.createDataFrame(
+        [(qid, " ".join(t for q, t in QUERY_TOKENS if q == qid)) for qid in
+         sorted({q for q, _ in QUERY_TOKENS})],
+        ["query_id", "content"],
+    )
+    res = search_champions(idx, champs, queries, cfg)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3 pseudo-relevance feedback (Lavrenko & Croft 2001 / Anserini):
     BM25 pass 1 -> top-5 feedback docs -> top-10 feedback terms by integer
@@ -3498,6 +3533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "df_table": q_df_table,
         "postings_summary": q_postings_summary,
         "bm25_topk": q_bm25_topk,
+        "champion_topk": q_champion_topk,
         "rm3_topk": q_rm3_topk,
         "clarity": q_clarity,
         "bm25_topk_wand": q_bm25_topk_wand,
@@ -6035,6 +6071,50 @@ FROM tf GROUP BY 1
 """,
         "trigram_topk": _trigram_sql(),
         "bm25_topk": _scored_sql(bm25),
+        "champion_topk": f"""
+WITH {_tok_cte()},
+stats AS (
+  SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+         sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl
+  FROM dls
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+imp AS (
+  SELECT tf.term, tf.doc_id, {bm25} AS imp
+  FROM tf JOIN dft ON dft.term = tf.term
+  JOIN dls ON dls.doc_id = tf.doc_id CROSS JOIN stats s
+),
+champ AS (
+  SELECT term, doc_id FROM (
+    SELECT term, doc_id,
+           row_number() OVER (PARTITION BY term ORDER BY imp DESC, doc_id ASC) AS rn
+    FROM imp) WHERE rn <= {CHAMP_M}
+),
+qt AS (SELECT * FROM (VALUES {_values_query_tokens()}) AS v(query_id, term)),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qt GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT q.query_id, c.doc_id
+  FROM (SELECT DISTINCT query_id, term FROM qt) q
+  JOIN champ c ON c.term = q.term
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id, sum(q.qtf * {bm25}) AS score
+  FROM qtf q JOIN tf ON tf.term = q.term JOIN dft ON dft.term = q.term
+  JOIN dls ON dls.doc_id = tf.doc_id
+  JOIN cand ON cand.query_id = q.query_id AND cand.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= {TOPK}
+""",
         "rm3_topk": rm3_sql,
         "clarity": clarity_sql,
         "bm25_topk_wand": _scored_sql(bm25),
