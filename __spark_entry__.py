@@ -2920,6 +2920,31 @@ def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LTR_L2 = 0.1
+
+
+def q_ltr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning-to-rank: pointwise linear model over (bm25, dl/avgdl,
+    intercept) fit by closed-form ridge (explicit 3x3 adjugate — no LAPACK,
+    no iterations) against the percolator-derived graded labels, then
+    re-ranking the candidates by w·f. The nine Gram sums, the cofactor
+    solve, and the re-scoring are the SAME arithmetic dag in Spark and the
+    oracle, so the learned weights themselves replay across engines."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.ltr import search_ltr
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    idx = build_index(spark, _docs(spark, sf_dir), cfg, persist=False)
+    res = search_ltr(idx, _query_frame(spark), cfg, l2=LTR_L2)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Disjunction-max retrieval (Lucene DisjunctionMaxQuery): best-clause
     score plus tie_breaker x the rest — same broadcast probe as search, the
@@ -3554,6 +3579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_vectors": q_term_vectors,
         "search_after_topk": q_search_after_topk,
         "rank_eval": q_rank_eval,
+        "ltr_topk": q_ltr_topk,
         "dismax_topk": q_dismax_topk,
         "pii_scrub": q_pii_scrub,
         "doc_keywords": q_doc_keywords,
@@ -6110,6 +6136,69 @@ ranked AS (
   SELECT query_id, doc_id, score,
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
   FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= {TOPK}
+""",
+        "ltr_topk": f"""
+WITH {_tok_cte()},
+stats AS (
+  SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+         sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl
+  FROM dls
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qt AS (SELECT * FROM (VALUES {_values_query_tokens()}) AS v(query_id, term)),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qt GROUP BY 1, 2),
+scored AS (
+  SELECT q.query_id, tf.doc_id, sum(q.qtf * {bm25}) AS f_bm25,
+         count(*)::DOUBLE AS label
+  FROM qtf q JOIN tf ON tf.term = q.term JOIN dft ON dft.term = q.term
+  JOIN dls ON dls.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+feats AS (
+  SELECT sc.query_id, sc.doc_id, sc.f_bm25,
+         dls.dl::DOUBLE / s.avgdl AS f_dlr, sc.label
+  FROM scored sc JOIN dls ON dls.doc_id = sc.doc_id CROSS JOIN stats s
+),
+g AS (
+  SELECT sum(f_bm25*f_bm25) AS s11, sum(f_bm25*f_dlr) AS s12, sum(f_bm25) AS s1,
+         sum(f_dlr*f_dlr) AS s22, sum(f_dlr) AS s2, count(*)::DOUBLE AS n,
+         sum(f_bm25*label) AS p, sum(f_dlr*label) AS q, sum(label) AS r
+  FROM feats
+),
+w AS (
+  SELECT ((c11*p + c12*q + c13*r) / det) AS w1,
+         ((c12*p + c22*q + c23*r) / det) AS w2,
+         ((c13*p + c23*q + c33*r) / det) AS w0
+  FROM (
+    SELECT p, q, r, c11, c12, c13, c22, c23, c33,
+           a*c11 + b*c12 + c*c13 AS det
+    FROM (
+      SELECT p, q, r, a, b, c,
+             d*f - e*e AS c11, -(b*f - e*c) AS c12, b*e - d*c AS c13,
+             a*f - c*c AS c22, -(a*e - c*b) AS c23, a*d - b*b AS c33
+      FROM (
+        SELECT s11 + {LTR_L2} AS a, s12 AS b, s1 AS c,
+               s22 + {LTR_L2} AS d, s2 AS e, n + {LTR_L2} AS f,
+               p, q, r
+        FROM g
+      )
+    )
+  )
+),
+rescored AS (
+  SELECT f.query_id, f.doc_id,
+         w.w1*f.f_bm25 + w.w2*f.f_dlr + w.w0 AS score
+  FROM feats f CROSS JOIN w
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM rescored
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
        round(score, 4) AS score
