@@ -2920,6 +2920,66 @@ def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- html extraction entry: deterministic page synthesized around each doc's
+# text; both engines build the SAME html and run the SAME regex chain.
+_XH_PRE1 = "<html><head><title>Ignored "
+_XH_PRE2 = (
+    '</title><style>p{color:red}</style></head><body>'
+    '<script type="text/javascript">var x = 1 < 2 && doc;</script><p id="main">'
+)
+_XH_SUF = "</p><ul><li>nav</li><li>menu</li></ul><!-- note --></body></html>"
+
+
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (the jusText/trafilatura slot of the web
+    pipelines, as a fixed RE2-safe rule chain — one codegen projection,
+    zero shuffles): each doc's text is wrapped in a deterministic page
+    (head/title, style, script with stray '<' and '&&', entity-encoded
+    body, nav list, comment) and the extractor must strip boilerplate,
+    restore entities, and normalize whitespace identically in both
+    engines; gated on md5 of the full extracted string."""
+    from fulltextsearch_spark.operators.extract import extract_text_col
+
+    docs = _docs(spark, sf_dir)
+    enc = F.replace(F.col("text"), F.lit("&"), F.lit("&amp;"))
+    html = F.concat(
+        F.lit(_XH_PRE1),
+        F.col("doc_id").cast("string"),
+        F.lit(_XH_PRE2),
+        enc,
+        F.lit(_XH_SUF),
+    )
+    ext = extract_text_col(html, binary=False)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length(ext).cast("long").alias("n_chars"),
+        F.md5(ext).alias("text_md5"),
+    )
+
+
+def _extract_sql() -> str:
+    from fulltextsearch_spark.operators.extract import _ENTITIES, _HWS, EXTRACT_STEPS
+
+    x = (
+        f"'{_XH_PRE1}' || doc_id || '{_XH_PRE2}' || "
+        "replace(text, '&', '&amp;') || "
+        f"'{_XH_SUF}'"
+    )
+    for pat, rep in EXTRACT_STEPS:
+        rep_sql = "chr(10)" if rep == "\n" else f"'{rep}'"
+        x = f"regexp_replace({x}, $rx${pat}$rx$, {rep_sql}, 'g')"
+    for ent, ch in _ENTITIES:
+        ch_sql = "''''" if ch == "'" else f"'{ch}'"
+        x = f"replace({x}, '{ent}', {ch_sql})"
+    x = f"regexp_replace({x}, $rx${_HWS}+$rx$, ' ', 'g')"
+    x = f"regexp_replace({x}, $rx${_HWS}*\\n({_HWS}|\\n)*$rx$, chr(10), 'g')"
+    x = f"regexp_replace({x}, $rx$^[ \\n]+|[ \\n]+$$rx$, '', 'g')"
+    return f"""
+SELECT doc_id, length(ext)::BIGINT AS n_chars, md5(ext) AS text_md5
+FROM (SELECT doc_id, {x} AS ext FROM documents)
+"""
+
+
 LTR_L2 = 0.1
 
 
@@ -3580,6 +3640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_topk": q_search_after_topk,
         "rank_eval": q_rank_eval,
         "ltr_topk": q_ltr_topk,
+        "extract_text": q_extract_text,
         "dismax_topk": q_dismax_topk,
         "pii_scrub": q_pii_scrub,
         "doc_keywords": q_doc_keywords,
@@ -7114,6 +7175,7 @@ FROM win WHERE len(w) >= 1
 """,
         "packed_sequences": _PACKED_SQL.format(tok_cte=_tok_cte()),
         "nb_quality": _NB_QUALITY_SQL.format(tok_cte=_tok_cte()),
+        "extract_text": _extract_sql(),
         "ngram_jaccard": """
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
 sh AS (
