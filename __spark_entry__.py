@@ -1080,6 +1080,41 @@ def q_bm25_topk_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_topk(spark, sf_dir, "bm25", stem=True)
 
 
+ROCCHIO_FB_DOCS, ROCCHIO_FB_TERMS = 5, 10
+ROCCHIO_ALPHA, ROCCHIO_BETA = 1.0, 0.75
+
+
+def q_rocchio_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback over the VSM engine (Rocchio 1971,
+    IIR §9.1.1) — the vector-space twin of rm3_topk: cosine pass 1, top-5
+    fb docs, q' = alpha*q + (beta/|Dr|)*centroid truncated to the 10
+    highest-weight terms, cosine pass 2 with the norm recomputed from q'.
+    The oracle replays both passes, the centroid, and the truncation."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.vsm import build_vsm, search_rocchio
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    docs = _docs(spark, sf_dir)
+    idx = build_vsm(build_index(spark, docs, cfg, persist=False), persist=False)
+    res = search_rocchio(
+        idx,
+        _query_frame(spark),
+        docs,
+        cfg,
+        fb_docs=ROCCHIO_FB_DOCS,
+        fb_terms=ROCCHIO_FB_TERMS,
+        alpha=ROCCHIO_ALPHA,
+        beta=ROCCHIO_BETA,
+    )
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6/A8/A10/F5/J3: trigram engine end-to-end. The DuckDB oracle replays
     the reference parser (whitelist runs, 3-byte windows with word offsets,
@@ -3683,6 +3718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_topk_loaded": q_trigram_topk_loaded,
         "tfidf_topk": q_tfidf_topk,
         "vsm_topk": q_vsm_topk,
+        "rocchio_topk": q_rocchio_topk,
         "bm25_topk_stemmed": q_bm25_topk_stemmed,
         "trigram_topk": q_trigram_topk,
         "stop_prune": q_stop_prune,
@@ -6559,6 +6595,77 @@ dots AS (
 scored AS (
   SELECT d.query_id, d.doc_id, d.dot / (n.norm * qn.qnorm) AS score
   FROM dots d JOIN norms n USING (doc_id) JOIN qnorm qn USING (query_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= {TOPK}
+""",
+        "rocchio_topk": f"""
+WITH {_tok_cte()},
+stats AS (SELECT (max(doc_id)+1)::BIGINT AS n_docs FROM dls),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         (tf.tf::DOUBLE / dls.dl) *
+         ln((s.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0) AS w
+  FROM tf JOIN dft USING (term) JOIN dls USING (doc_id) CROSS JOIN stats s
+),
+norms AS (SELECT doc_id, sqrt(sum(w*w)) AS norm FROM w GROUP BY 1),
+qt AS (SELECT * FROM (VALUES {_values_query_tokens()}) AS v(query_id, term)),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qt GROUP BY 1, 2),
+qw AS (
+  SELECT q.query_id, q.term,
+         q.qtf * ln((s.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0) AS qw
+  FROM qtf q JOIN dft USING (term) CROSS JOIN stats s
+),
+qnorm1 AS (SELECT query_id, sqrt(sum(qw*qw)) AS qnorm FROM qw GROUP BY 1),
+dots1 AS (
+  SELECT qw.query_id, w.doc_id, sum(w.w * qw.qw) AS dot
+  FROM qw JOIN w USING (term) GROUP BY 1, 2
+),
+fb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT d.query_id, d.doc_id,
+           row_number() OVER (PARTITION BY d.query_id
+               ORDER BY d.dot / (n.norm * qn.qnorm) DESC, d.doc_id ASC) AS rn
+    FROM dots1 d JOIN norms n USING (doc_id) JOIN qnorm1 qn USING (query_id)
+  ) WHERE rn <= {ROCCHIO_FB_DOCS}
+),
+nfb AS (SELECT query_id, count(*)::DOUBLE AS n_fb FROM fb GROUP BY 1),
+centroid AS (
+  SELECT f.query_id, w.term, sum(w.w) / max(nf.n_fb) AS cw
+  FROM fb f JOIN w ON w.doc_id = f.doc_id JOIN nfb nf ON nf.query_id = f.query_id
+  GROUP BY 1, 2
+),
+combined AS (
+  SELECT coalesce(q.query_id, c.query_id) AS query_id,
+         coalesce(q.term, c.term) AS term,
+         {ROCCHIO_ALPHA} * coalesce(q.qw, 0.0)
+         + {ROCCHIO_BETA} * coalesce(c.cw, 0.0) AS qw
+  FROM qw q FULL JOIN centroid c ON q.query_id = c.query_id AND q.term = c.term
+),
+expanded AS (
+  SELECT query_id, term, qw FROM (
+    SELECT query_id, term, qw,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY qw DESC, term ASC) AS rn
+    FROM combined
+  ) WHERE rn <= {ROCCHIO_FB_TERMS}
+),
+qnorm2 AS (SELECT query_id, sqrt(sum(qw*qw)) AS qnorm FROM expanded GROUP BY 1),
+dots2 AS (
+  SELECT e.query_id, w.doc_id, sum(w.w * e.qw) AS dot
+  FROM expanded e JOIN w USING (term) GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.doc_id, d.dot / (n.norm * qn.qnorm) AS score
+  FROM dots2 d JOIN norms n USING (doc_id) JOIN qnorm2 qn USING (query_id)
 ),
 ranked AS (
   SELECT query_id, doc_id, score,

@@ -151,3 +151,67 @@ def test_vsm_cosine_matches_numpy_oracle(spark, corpus):
         have = sorted(got.get(qid, []))
         assert [(r, d) for r, d, _ in have] == [(r, d) for r, d, _ in want], qid
         assert all(abs(a[2] - b[2]) < 1e-6 for a, b in zip(have, want)), qid
+
+
+def test_rocchio_matches_python_replay(spark, corpus):
+    """Rocchio PRF vs a full Python replay of both cosine passes, the fb
+    centroid, alpha/beta interpolation, and the fb_terms truncation."""
+    import math
+    from collections import Counter, defaultdict
+
+    from fulltextsearch_spark.functions.tokenizer import tokenize
+    from fulltextsearch_spark.operators.vsm import build_vsm, search_rocchio
+
+    docs, rows = corpus
+    cfg = EngineConfig(k=K, stem=True)
+    vidx = build_vsm(build_index(spark, docs, cfg), persist=False)
+    qdf = spark.createDataFrame(QUERY_SET, ["query_id", "content"])
+    FB_D, FB_T, AL, BE = 4, 8, 1.0, 0.75
+    got = {}
+    for r in search_rocchio(
+        vidx, qdf, docs, cfg, fb_docs=FB_D, fb_terms=FB_T, alpha=AL, beta=BE
+    ).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+
+    toks = {d: tokenize(t, do_stem=True) for d, t in rows}
+    n_docs = max(toks) + 1
+    df = Counter()
+    tf = {d: Counter(ts) for d, ts in toks.items()}
+    for d, c in tf.items():
+        df.update(c.keys())
+    idf = {t: math.log((n_docs - v + 0.5) / (v + 0.5) + 1.0) for t, v in df.items()}
+    w = {
+        d: {t: (c / len(toks[d])) * idf[t] for t, c in cnt.items()}
+        for d, cnt in tf.items()
+        if toks[d]
+    }
+    norm = {d: math.sqrt(sum(x * x for x in ws.values())) for d, ws in w.items()}
+
+    def cosine_rank(qw, k):
+        qn = math.sqrt(sum(x * x for x in qw.values()))
+        scores = defaultdict(float)
+        for d, ws in w.items():
+            dot = sum(ws.get(t, 0.0) * v for t, v in qw.items())
+            if dot:
+                scores[d] = dot / (norm[d] * qn)
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    for qid, content in QUERY_SET:
+        qtf = Counter(t for t in tokenize(content, do_stem=True) if t in df)
+        qw0 = {t: c * idf[t] for t, c in qtf.items()}
+        if not qw0:
+            assert qid not in got, qid
+            continue
+        fb = [d for d, _ in cosine_rank(qw0, FB_D)]
+        cent = defaultdict(float)
+        for d in fb:
+            for t, v in w[d].items():
+                cent[t] += v / len(fb)
+        comb = {
+            t: AL * qw0.get(t, 0.0) + BE * cent.get(t, 0.0)
+            for t in set(qw0) | set(cent)
+        }
+        keep = sorted(comb.items(), key=lambda kv: (-kv[1], kv[0]))[:FB_T]
+        q2 = dict(keep)
+        want = [(i + 1, d) for i, (d, _) in enumerate(cosine_rank(q2, K))]
+        assert sorted(got.get(qid, [])) == want, qid
