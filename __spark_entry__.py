@@ -1809,6 +1809,66 @@ def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_filters(_lineful_docs(spark, sf_dir))
 
 
+BOIL_MIN_DF = 3
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus boilerplate-line removal (CCNet §3.1 / Dolma common-line
+    rule): lines appearing in >= 3 distinct docs are stripped everywhere.
+    Two deterministic footer lines ('all rights reserved' on every doc,
+    'cookie notice' on even ids) are injected on top of the lineful text so
+    the rule provably fires; gated on md5 of each rebuilt doc."""
+    from fulltextsearch_spark.operators.webfilters import boilerplate_lines
+
+    base = _lineful_docs(spark, sf_dir)
+    docs = base.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nall rights reserved"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("\ncookie notice")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    out = boilerplate_lines(docs, min_df=BOIL_MIN_DF)
+    return out.select(
+        "doc_id", "n_lines", "n_removed", F.md5("text").alias("text_md5")
+    )
+
+
+_BOIL_SQL = f"""
+WITH lineful AS ({{lineful}}),
+docs2 AS (
+  SELECT doc_id,
+         text || chr(10) || 'all rights reserved' ||
+         CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'cookie notice' ELSE '' END AS text
+  FROM lineful
+),
+lines AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS ls
+  FROM docs2
+),
+pairs AS (SELECT DISTINCT doc_id, md5(lower(unnest(ls))) AS h FROM lines),
+boil AS (
+  SELECT h FROM (SELECT h, count(*) AS df FROM pairs GROUP BY 1)
+  WHERE df >= {BOIL_MIN_DF}
+),
+barr AS (SELECT coalesce(list(h), []) AS bl FROM boil),
+kept AS (
+  SELECT l.doc_id, l.ls,
+         list_filter(l.ls, x -> NOT list_contains(b.bl, md5(lower(x)))) AS ks
+  FROM lines l CROSS JOIN barr b
+)
+SELECT doc_id, len(ls)::BIGINT AS n_lines,
+       (len(ls) - len(ks))::BIGINT AS n_removed,
+       md5(array_to_string(ks, chr(10))) AS text_md5
+FROM kept
+"""
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-pipeline op: paragraph-granularity exact dedup stats
     (keep-first policy of Lee et al. 2022) — one bounded shuffle on the
@@ -3733,6 +3793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "c4_filters": q_c4_filters,
         "paragraph_dedup": q_paragraph_dedup,
+        "boilerplate_lines": q_boilerplate_lines,
         "url_dedup": q_url_dedup,
         "domain_caps": q_domain_caps,
         "curate_web": q_curate_web,
@@ -6900,6 +6961,7 @@ SELECT doc_id::BIGINT AS doc_id, n_lines::BIGINT AS n_lines,
         THEN 1 ELSE 0 END)::BIGINT AS passes
 FROM m
 """,
+        "boilerplate_lines": _BOIL_SQL.format(lineful=_LINEFUL_SQL),
         "paragraph_dedup": r"""
 WITH t AS (
   SELECT doc_id, replace(replace(text, ' the ', chr(10)), ' value ', '. ') AS text

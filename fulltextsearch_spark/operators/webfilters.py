@@ -39,6 +39,7 @@ __all__ = [
     "GOPHER_REQUIRED_STOPS",
     "gopher_quality",
     "gopher_repetition",
+    "boilerplate_lines",
     "c4_line_filters",
     "paragraph_dedup_stats",
 ]
@@ -386,4 +387,69 @@ def paragraph_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             / F.greatest(F.count("_ph"), F.lit(1)),
             4,
         ).alias("dup_ratio"),
+    )
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    min_df: int = 3,
+    text_col: str = "text",
+    max_boilerplate: int = 1_000_000,
+) -> DataFrame:
+    """Cross-corpus boilerplate-line removal (the CCNet §3.1 / Dolma
+    "common line" rule): a line whose normalized form (lower + trim)
+    appears in at least ``min_df`` DISTINCT documents is boilerplate —
+    cookie banners, nav text, "enable javascript" — and every instance is
+    removed from every document.
+
+    Returns ``(doc_id, text, n_lines, n_removed)`` with ``text`` rebuilt
+    from the surviving lines joined by newlines (empty-after-trim lines
+    are neither counted nor removable; they survive reassembly trimmed
+    away with the split/join round trip, matching the SQL replay).
+
+    Scale shape: the ONLY wide operation is the line-hash document-
+    frequency aggregate — (16-byte hash, doc_id) pairs, never line text,
+    cross that exchange. The boilerplate set itself is tiny by
+    construction (lines repeated across >= min_df docs are the head of
+    the line-frequency Zipf), so it returns to every task as ONE
+    broadcast array row and the removal is a per-row array filter with
+    zero further shuffles — document text never leaves its input
+    partition. ``max_boilerplate`` guards the broadcast: exceeding it
+    raises rather than silently shipping an unexpectedly huge set (the
+    bloom-filter variant is the documented upgrade if a corpus ever
+    legitimately crosses it).
+    """
+    norm = lambda c: F.md5(F.lower(F.trim(c)))  # noqa: E731
+    ln = F.explode(_lines(text_col))
+    pairs = docs.select(F.col("doc_id").cast("long").alias("doc_id"), ln.alias("l"))
+    dfreq = (
+        pairs.select("doc_id", norm(F.col("l")).alias("h"))
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    boil = dfreq.where(F.col("df") >= min_df).select("h")
+    n_boil = boil.count()
+    if n_boil > max_boilerplate:
+        raise ValueError(
+            f"boilerplate set has {n_boil} lines (> max_boilerplate="
+            f"{max_boilerplate}); raise the cap or switch to the bloom path"
+        )
+    boil_row = boil.agg(
+        F.coalesce(F.collect_set("h"), F.array()).alias("boil")
+    )
+    lines_col = _lines(text_col)
+    out = docs.crossJoin(F.broadcast(boil_row)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.filter(
+            lines_col,
+            lambda x: ~F.array_contains(F.col("boil"), F.md5(F.lower(x))),
+        ).alias("_keep"),
+        F.size(lines_col).alias("_n"),
+    )
+    return out.select(
+        "doc_id",
+        F.array_join("_keep", "\n").alias("text"),
+        F.col("_n").cast("long").alias("n_lines"),
+        (F.col("_n") - F.size("_keep")).cast("long").alias("n_removed"),
     )

@@ -177,3 +177,54 @@ def test_paragraph_dedup_plan_prunes_text_before_exchange(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "para#" not in line and "text#" not in line, line
+
+
+# --- cross-corpus boilerplate line removal -----------------------------------
+
+
+def test_boilerplate_removed_everywhere_unique_kept(spark):
+    from fulltextsearch_spark.operators.webfilters import boilerplate_lines
+
+    rows = [
+        (0, "alpha one\nAll Rights Reserved\nbeta two"),
+        (1, "gamma\nall rights reserved \nunique line one"),
+        (2, "  ALL RIGHTS RESERVED\ndelta"),
+        (3, "epsilon\nzeta"),
+        (4, "twice here\nrepeated pair"),
+        (5, "twice here\nother"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in boilerplate_lines(df, min_df=3).collect()}
+    # normalization: lower + trim -> the three footer variants are one line
+    assert out[0]["text"] == "alpha one\nbeta two" and out[0]["n_removed"] == 1
+    assert out[1]["text"] == "gamma\nunique line one"
+    assert out[2]["text"] == "delta" and out[2]["n_lines"] == 2
+    assert out[3]["text"] == "epsilon\nzeta" and out[3]["n_removed"] == 0
+    # df=2 < min_df -> kept (threshold exercised, not keep-first semantics)
+    assert out[4]["text"] == "twice here\nrepeated pair"
+    assert out[5]["text"] == "twice here\nother"
+
+
+def test_boilerplate_counts_docs_not_instances(spark):
+    """A line repeated 5x inside ONE doc has df=1 — within-doc repetition is
+    gopher_repetition's job, not boilerplate removal."""
+    from fulltextsearch_spark.operators.webfilters import boilerplate_lines
+
+    df = spark.createDataFrame(
+        [(0, "same\nsame\nsame\nsame\nsame"), (1, "x"), (2, "y")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in boilerplate_lines(df, min_df=3).collect()}
+    assert out[0]["n_removed"] == 0 and out[0]["n_lines"] == 5
+
+
+def test_boilerplate_cap_guard(spark):
+    from fulltextsearch_spark.operators.webfilters import boilerplate_lines
+
+    df = spark.createDataFrame(
+        [(i, "common line") for i in range(5)], "doc_id LONG, text STRING"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        boilerplate_lines(df, min_df=2, max_boilerplate=0)
