@@ -274,6 +274,31 @@ def q_champion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tiered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered retrieval (IIR §7.2.1): champion tier answers queries it can
+    fill to k; queries whose candidate union is too small (q4's single
+    rare term yields only m=5 champions < k=10) fall back per-query to the
+    exhaustive tier — the fallback provably fires at sf0.01. The oracle
+    CASEs between the two rankings on the same fill test."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.champions import (
+        build_champions,
+        search_tiered,
+    )
+    from fulltextsearch_spark.operators.index_build import build_index
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    idx = build_index(spark, _docs(spark, sf_dir), cfg, persist=False)
+    champs = build_champions(idx, m=CHAMP_M, cfg=cfg)
+    res = search_tiered(idx, champs, _query_frame(spark), cfg)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3 pseudo-relevance feedback (Lavrenko & Croft 2001 / Anserini):
     BM25 pass 1 -> top-5 feedback docs -> top-10 feedback terms by integer
@@ -3714,6 +3739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_summary": q_postings_summary,
         "bm25_topk": q_bm25_topk,
         "champion_topk": q_champion_topk,
+        "tiered_topk": q_tiered_topk,
         "rm3_topk": q_rm3_topk,
         "clarity": q_clarity,
         "bm25_topk_wand": q_bm25_topk_wand,
@@ -6361,6 +6387,61 @@ ranked AS (
 SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
        round(score, 4) AS score
 FROM ranked WHERE rank <= {TOPK}
+""",
+        "tiered_topk": f"""
+WITH {_tok_cte()},
+stats AS (
+  SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+         sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl
+  FROM dls
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+imp AS (
+  SELECT tf.term, tf.doc_id, {bm25} AS imp
+  FROM tf JOIN dft ON dft.term = tf.term
+  JOIN dls ON dls.doc_id = tf.doc_id CROSS JOIN stats s
+),
+champ AS (
+  SELECT term, doc_id FROM (
+    SELECT term, doc_id,
+           row_number() OVER (PARTITION BY term ORDER BY imp DESC, doc_id ASC) AS rn
+    FROM imp) WHERE rn <= {CHAMP_M}
+),
+qt AS (SELECT * FROM (VALUES {_values_query_tokens()}) AS v(query_id, term)),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qt GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT q.query_id, c.doc_id
+  FROM (SELECT DISTINCT query_id, term FROM qt) q
+  JOIN champ c ON c.term = q.term
+),
+full_scored AS (
+  SELECT q.query_id, tf.doc_id, sum(q.qtf * {bm25}) AS score
+  FROM qtf q JOIN tf ON tf.term = q.term JOIN dft ON dft.term = q.term
+  JOIN dls ON dls.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+t1_scored AS (
+  SELECT f.* FROM full_scored f
+  JOIN cand ON cand.query_id = f.query_id AND cand.doc_id = f.doc_id
+),
+fill AS (
+  SELECT query_id FROM t1_scored GROUP BY 1 HAVING count(*) >= {TOPK}
+),
+t1 AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM t1_scored WHERE query_id IN (SELECT query_id FROM fill)
+),
+t2 AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM full_scored WHERE query_id NOT IN (SELECT query_id FROM fill)
+),
+unioned AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 4) AS score
+FROM unioned WHERE rank <= {TOPK}
 """,
         "rm3_topk": rm3_sql,
         "clarity": clarity_sql,

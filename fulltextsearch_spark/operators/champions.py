@@ -46,7 +46,7 @@ from fulltextsearch_spark.operators.query import (
     topk,
 )
 
-__all__ = ["build_champions", "search_champions"]
+__all__ = ["build_champions", "search_champions", "search_tiered"]
 
 
 def build_champions(
@@ -132,3 +132,38 @@ def search_champions(
         .agg(F.sum("_s").alias("score"))
     )
     return topk(scored, k if k is not None else cfg.k)
+
+
+def search_tiered(
+    index: IndexTables,
+    champions: DataFrame,
+    queries: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    scoring: str = "bm25",
+    k: int | None = None,
+) -> DataFrame:
+    """Tiered retrieval (IIR §7.2.1): answer from the champion tier when it
+    can fill the page, fall back to the exhaustive tier per query when it
+    cannot.
+
+    A query whose champion-tier ranking has fewer than ``k`` rows (its
+    candidate union was too small — short queries over pruned head terms)
+    is re-run through the exhaustive path; every other query is served
+    entirely from tier 1. The result therefore always has as many rows per
+    query as the exhaustive path would produce (up to ``k``), while the
+    common case touches only ``m x |q|`` candidates.
+
+    Scale shape: tier-1 cost as :func:`search_champions`; the fallback
+    re-runs ONLY the under-filled queries (an anti-join keeps the tier-2
+    query frame tiny — typically a few percent), so the exhaustive plan's
+    broadcast probe carries a reduced query set, not the full batch.
+    """
+    from fulltextsearch_spark.operators.query import search
+
+    kk = k if k is not None else cfg.k
+    t1 = search_champions(index, champions, queries, cfg, scoring=scoring, k=kk)
+    full = t1.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"))
+    served = full.where(F.col("_n") >= kk).select("query_id")
+    t2_queries = queries.join(served, "query_id", "left_anti")
+    t2 = search(index, t2_queries, cfg, scoring=scoring, k=kk)
+    return t1.join(F.broadcast(served), "query_id", "left_semi").unionByName(t2)

@@ -87,3 +87,28 @@ def test_build_plan_uses_window_group_limit(spark, index):
 def test_rejects_bad_m(spark, index):
     with pytest.raises(ValueError):
         build_champions(index, m=0, cfg=CFG)
+
+
+def test_tiered_fallback_fills_short_queries(spark, index, queries):
+    """Queries tier 1 cannot fill to k are served by the exhaustive path;
+    filled queries are answered from tier 1 verbatim."""
+    from fulltextsearch_spark.operators.champions import search_tiered
+
+    champs = build_champions(index, m=2, cfg=CFG)
+    k = 8
+    tiered = {}
+    for r in search_tiered(index, champs, queries, CFG, k=k).collect():
+        tiered.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    t1 = {}
+    for r in search_champions(index, champs, queries, CFG, k=k).collect():
+        t1.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    full = {}
+    for r in search(index, queries, CFG, k=k).collect():
+        full.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    assert any(len(v) < k for v in t1.values()), "m=2 must under-fill something"
+    for qid, rows in full.items():
+        want = t1[qid] if len(t1.get(qid, [])) >= k else full[qid]
+        assert sorted(tiered.get(qid, [])) == sorted(want), qid
+    # per-query row counts now match the exhaustive page size
+    for qid in full:
+        assert len(tiered[qid]) == len(full[qid]), qid
