@@ -24,6 +24,8 @@ __all__ = [
     "varint_decode",
     "pfor_encode",
     "pfor_decode",
+    "ef_encode",
+    "ef_decode",
     "encode_postings",
     "decode_postings",
     "block_metadata",
@@ -205,6 +207,129 @@ def _pfor_decode_block(arr: np.ndarray, off: int) -> tuple[np.ndarray, int]:
         vals[pos] |= high << np.uint64(w)
         p = high_end
     return vals, p
+
+
+
+
+# ---------------------------------------------------------------------------
+# Elias-Fano — the quasi-succinct monotone-sequence codec (Elias 1974;
+# Vigna, "Quasi-succinct indices", WSDM 2013) that modern engines (Lucene's
+# "indexed DISI", PISA, ClueWeb tooling) use for posting lists. Per value it
+# spends ~2 + ceil(log2(u/n)) bits — within a fraction of a bit of the
+# information-theoretic minimum for an n-subset of a u-universe — and, unlike
+# varint/PFor, its cost tracks DENSITY: the Zipf-head terms whose postings
+# cover most of the corpus compress toward 2 bits/doc, exactly the lists
+# that dominate a web-scale index's bytes.
+#
+# Stream layout mirrors the PFor section so the codec seam stays uniform:
+# independently decodable per-block units, byte offsets per block, and the
+# SAME input representation as the other codecs (block-restart deltas for
+# the doc stream, raw values for tf/dl). Internally each block stores the
+# block's running sum — for the doc stream that running sum IS the absolute
+# doc_id sequence (the textbook EF use-case); for tf/dl it is the in-block
+# prefix sum, strictly increasing since postings carry tf, dl >= 1. Decode
+# returns the input representation via a per-block diff, so every call site
+# treats "ef" exactly like "pfor".
+#
+# Block wire format (self-delimiting):
+#   [1B l][2B n LE][varint v0][varint u][n*l low bits][(u>>l)+n high bits]
+# with x_i = cumsum_i - v0, u = x_{n-1}, l = max(0, floor(log2(u/n))), low
+# bits little-endian packed (shared _pack_low_bits), high bits the unary
+# bitmap with bit (x_i >> l) + i set.
+# ---------------------------------------------------------------------------
+
+_EF_HDR = 3  # l byte + 2-byte count; v0/u varints follow
+
+
+def _ef_encode_block(vals: np.ndarray) -> bytes:
+    """EF-encode one block given in the stream's input representation
+    (first value absolute, i.e. cumsum starts at vals[0])."""
+    n = vals.size
+    if n > 0xFFFF:
+        raise ValueError("EF block larger than 65535 values")
+    cs = np.cumsum(vals.astype(np.uint64, copy=False), dtype=np.uint64)
+    v0 = int(cs[0])
+    x = cs - np.uint64(v0)
+    u = int(x[-1])
+    l = max(0, (u // n).bit_length() - 1) if u > 0 else 0
+    low = _pack_low_bits(x & np.uint64((1 << l) - 1), l)
+    nbits = (u >> l) + n
+    bitmap = np.zeros(nbits, dtype=np.uint8)
+    pos = (x >> np.uint64(l)).astype(np.int64) + np.arange(n, dtype=np.int64)
+    bitmap[pos] = 1
+    high = np.packbits(bitmap, bitorder="little").tobytes()
+    return (
+        bytes([l])
+        + int(n).to_bytes(2, "little")
+        + varint_encode(np.array([v0], dtype=np.uint64))
+        + varint_encode(np.array([u], dtype=np.uint64))
+        + low
+        + high
+    )
+
+
+def _ef_decode_block(arr: np.ndarray, off: int) -> tuple[np.ndarray, int]:
+    """Decode one block -> (values in input representation, end offset)."""
+    l = int(arr[off])
+    n = int.from_bytes(arr[off + 1 : off + 3].tobytes(), "little")
+    p = off + _EF_HDR
+    e = _varint_section_end(arr, p, 1)
+    v0 = int(varint_decode(arr[p:e].tobytes(), 1)[0])
+    p = e
+    e = _varint_section_end(arr, p, 1)
+    u = int(varint_decode(arr[p:e].tobytes(), 1)[0])
+    p = e
+    low_len = (n * l + 7) // 8
+    lows = _unpack_low_bits(arr[p : p + low_len].tobytes(), n, l)
+    p += low_len
+    nbits = (u >> l) + n
+    nb = (nbits + 7) // 8
+    bits = np.unpackbits(arr[p : p + nb], count=nbits, bitorder="little")
+    pos = np.flatnonzero(bits)
+    high = (pos - np.arange(n, dtype=np.int64)).astype(np.uint64)
+    cs = np.uint64(v0) + ((high << np.uint64(l)) | lows)
+    vals = np.diff(cs, prepend=np.uint64(0))
+    return vals, p + nb
+
+
+def ef_encode(values: np.ndarray, block_size: int = 128) -> tuple[bytes, np.ndarray]:
+    """Encode a stream in the shared codec representation (per-block cumsum
+    internally). Returns (bytes, int64 byte offset per block)."""
+    v = np.asarray(values, dtype=np.uint64)
+    parts: list[bytes] = []
+    offs: list[int] = []
+    pos = 0
+    for s in range(0, v.size, block_size):
+        blk = _ef_encode_block(v[s : s + block_size])
+        offs.append(pos)
+        parts.append(blk)
+        pos += len(blk)
+    return b"".join(parts), np.asarray(offs, dtype=np.int64)
+
+
+def ef_decode(
+    buf: bytes, count: int, offsets: np.ndarray | None = None
+) -> np.ndarray:
+    """Decode a whole stream back to the input representation. Blocks are
+    self-delimiting, so ``offsets`` is optional (sequential parse)."""
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    out: list[np.ndarray] = []
+    got = 0
+    pos = 0
+    i = 0
+    while got < count:
+        if offsets is not None and i < len(offsets):
+            pos = int(offsets[i])
+        vals, pos = _ef_decode_block(arr, pos)
+        out.append(vals)
+        got += vals.size
+        i += 1
+    if not out:
+        return np.empty(0, dtype=np.uint64)
+    res = np.concatenate(out)
+    if res.size != count:
+        raise ValueError(f"EF stream decoded {res.size} values, expected {count}")
+    return res
 
 
 def pfor_encode(values: np.ndarray, block_size: int = 128) -> tuple[bytes, np.ndarray]:
@@ -432,7 +557,7 @@ class EncodedPostings:
     block_off_dl: np.ndarray
     block_max_tf: np.ndarray  # int64 per block
     block_max_tfpart: np.ndarray  # float64: max tf*(k1+1)/(tf+k1*(1-b+b*dl/avgdl))
-    codec: str = "varint"  # "varint" (LEB128, build default) or "pfor" (NewPFD)
+    codec: str = "varint"  # "varint" (LEB128, build default), "pfor" (NewPFD), or "ef" (Elias-Fano)
 
 
 def _block_byte_offsets(values: np.ndarray, block_size: int) -> np.ndarray:
@@ -480,6 +605,10 @@ def encode_postings(
         enc_doc, off_doc = pfor_encode(deltas, block_size)
         enc_tf, off_tf = pfor_encode(tfs, block_size)
         enc_dl, off_dl = pfor_encode(dls, block_size)
+    elif codec == "ef":
+        enc_doc, off_doc = ef_encode(deltas, block_size)
+        enc_tf, off_tf = ef_encode(tfs, block_size)
+        enc_dl, off_dl = ef_encode(dls, block_size)
     elif codec == "varint":
         enc_doc = varint_encode(deltas)
         enc_tf = varint_encode(tfs)
@@ -516,9 +645,13 @@ def encode_postings(
 def decode_postings(enc: EncodedPostings, block_size: int = 128) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full decode -> (doc_ids, tfs, dls). Blocks can also be decoded
     individually via the byte-offset arrays (see wand.py)."""
-    if enc.codec == "pfor":
-        def dec(buf, cnt, _offs=None):
-            return pfor_decode(buf, cnt, offsets=_offs)
+    if enc.codec in ("pfor", "ef"):
+        if enc.codec == "pfor":
+            def dec(buf, cnt, _offs=None):
+                return pfor_decode(buf, cnt, offsets=_offs)
+        else:
+            def dec(buf, cnt, _offs=None):
+                return ef_decode(buf, cnt, offsets=_offs)
 
         deltas = dec(enc.doc_ids_enc, enc.count, enc.block_off_doc).astype(np.int64)
         tfs = dec(enc.tfs_enc, enc.count, enc.block_off_tf).astype(np.int64)
@@ -555,15 +688,16 @@ def decode_block(
     do = enc.block_off_doc
     to = enc.block_off_tf
     dlo = enc.block_off_dl
-    if enc.codec == "pfor":
-        deltas = _pfor_decode_block(
+    if enc.codec in ("pfor", "ef"):
+        blk = _pfor_decode_block if enc.codec == "pfor" else _ef_decode_block
+        deltas = blk(
             np.frombuffer(enc.doc_ids_enc, dtype=np.uint8), int(do[block_idx])
         )[0].astype(np.int64)
         doc_ids = np.cumsum(deltas)
-        tfs = _pfor_decode_block(
+        tfs = blk(
             np.frombuffer(enc.tfs_enc, dtype=np.uint8), int(to[block_idx])
         )[0].astype(np.int64)
-        dls = _pfor_decode_block(
+        dls = blk(
             np.frombuffer(enc.dls_enc, dtype=np.uint8), int(dlo[block_idx])
         )[0].astype(np.int64)
         return doc_ids, tfs, dls

@@ -43,7 +43,9 @@ from pyspark.sql import functions as F
 from fulltextsearch_spark.config import DEFAULT_CONFIG, EngineConfig
 from fulltextsearch_spark.operators.compressed_index import CompressedIndex
 from fulltextsearch_spark.operators.compression import (
+    _ef_decode_block,
     _pfor_decode_block,
+    ef_decode,
     pfor_decode,
     varint_decode,
 )
@@ -57,6 +59,8 @@ def _decode_all(
 ) -> np.ndarray:
     if codec == "pfor":
         return pfor_decode(bytes(enc), n, offsets=offsets).astype(np.int64)
+    if codec == "ef":
+        return ef_decode(bytes(enc), n, offsets=offsets).astype(np.int64)
     return varint_decode(bytes(enc), n).astype(np.int64)
 
 
@@ -82,15 +86,17 @@ def _decode_blocks(
     n = term["count"]
     off_d, off_t, off_l = term["block_off_doc"], term["block_off_tf"], term["block_off_dl"]
     docs_parts, tf_parts, dl_parts = [], [], []
-    if term.get("codec", "varint") == "pfor":
+    cdc = term.get("codec", "varint")
+    if cdc in ("pfor", "ef"):
+        blk = _pfor_decode_block if cdc == "pfor" else _ef_decode_block
         arr_d = np.frombuffer(term["doc_ids_enc"], dtype=np.uint8)
         arr_t = np.frombuffer(term["tfs_enc"], dtype=np.uint8)
         arr_l = np.frombuffer(term["dls_enc"], dtype=np.uint8)
         for j in blocks:
-            deltas = _pfor_decode_block(arr_d, int(off_d[j]))[0].astype(np.int64)
+            deltas = blk(arr_d, int(off_d[j]))[0].astype(np.int64)
             docs_parts.append(np.cumsum(deltas))
-            tf_parts.append(_pfor_decode_block(arr_t, int(off_t[j]))[0].astype(np.int64))
-            dl_parts.append(_pfor_decode_block(arr_l, int(off_l[j]))[0].astype(np.int64))
+            tf_parts.append(blk(arr_t, int(off_t[j]))[0].astype(np.int64))
+            dl_parts.append(blk(arr_l, int(off_l[j]))[0].astype(np.int64))
         if not docs_parts:
             z = np.empty(0, dtype=np.int64)
             return z, z.copy(), z.copy()

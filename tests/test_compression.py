@@ -119,7 +119,7 @@ def test_pfor_roundtrip_value_styles(seed):
             assert np.array_equal(pfor_decode(stream, n), v)
 
 
-@pytest.mark.parametrize("codec", ["varint", "pfor"])
+@pytest.mark.parametrize("codec", ["varint", "pfor", "ef"])
 def test_postings_codec_dispatch(codec):
     """encode_postings/decode_postings/decode_block agree across codecs,
     and the skip/block-max metadata is codec-independent."""
@@ -180,3 +180,81 @@ def test_pfor_oversize_block_raises_on_both_paths():
         pfor_encode(np.arange(big, dtype=np.uint64) % 50, block_size=big)  # scalar
     with _pytest.raises(ValueError, match="65535"):
         pfor_encode(np.arange(3 * big, dtype=np.uint64) % 50, block_size=big)  # batched
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_ef_roundtrip_value_styles(seed):
+    """Batched encode == per-block scalar encode byte-for-byte; both decode
+    paths (offsets and sequential) invert it — uniform, Zipf, all-zero, and
+    sorted-doc-delta styles. (EF stores per-block running sums, so the one
+    documented constraint vs PFor is that a block's sum must fit uint64 —
+    always true for doc_ids and token counts.)"""
+    from fulltextsearch_spark.operators.compression import (
+        _ef_encode_block,
+        ef_decode,
+        ef_encode,
+    )
+
+    rng = np.random.default_rng(seed)
+
+    def doc_deltas(n):
+        if n == 0:
+            return np.empty(0, np.uint64)
+        ids = np.sort(rng.choice(1 << 30, n, replace=False)).astype(np.int64)
+        d = np.diff(ids, prepend=0)
+        starts = np.arange(0, n, 128)
+        d[starts] = ids[starts]
+        return d.astype(np.uint64)
+
+    styles = [
+        lambda n: rng.integers(0, 1 << 40, n).astype(np.uint64),
+        lambda n: rng.zipf(1.2, n).astype(np.uint64),
+        lambda n: np.zeros(n, np.uint64),
+        doc_deltas,
+    ]
+    for style in styles:
+        for n in (0, 1, 127, 128, 129, 1000):
+            v = style(n)
+            stream, offs = ef_encode(v)
+            chunks, soffs = [], [0]
+            for s in range(0, n, 128):
+                chunks.append(_ef_encode_block(v[s : s + 128]))
+                soffs.append(soffs[-1] + len(chunks[-1]))
+            assert stream == b"".join(chunks)
+            assert np.array_equal(offs, np.asarray(soffs[: (n + 127) // 128], dtype=np.int64))
+            assert np.array_equal(ef_decode(stream, n, offsets=offs), v)
+            assert np.array_equal(ef_decode(stream, n), v)
+
+
+def test_ef_cost_tracks_density():
+    """EF's bytes track DENSITY, not gap width: on a dense head-term list it
+    sits near the ~2 + log2(u/n) bits/posting bound (~0.5x varint, whose
+    floor is 8 bits/value), and on CLUSTERED doc_ids (runs of gap-1 docs
+    broken by rare huge jumps) it stays within its worst-case bits/value
+    bound — the guarantee PFor does not offer."""
+    from fulltextsearch_spark.operators.compression import ef_encode, varint_encode
+
+    def deltas_of(ids):
+        d = np.diff(ids, prepend=0)
+        starts = np.arange(0, ids.size, 128)
+        d[starts] = ids[starts]
+        return d.astype(np.uint64)
+
+    # dense uniform-ish list: every 3rd doc
+    d = deltas_of(np.arange(0, 1_500_000, 3, dtype=np.int64))
+    ef_b, _ = ef_encode(d)
+    assert len(ef_b) < 0.55 * len(varint_encode(d))
+    assert 8.0 * len(ef_b) / d.size < 2 + np.log2(3) + 1.5  # near the EF bound
+
+    # sparse list: the same guarantee holds RELATIVE to its own bound
+    # (EF never exceeds ~2 + log2(u/n) + header bits/value, for ANY gap
+    # distribution; PFor has no such worst-case bound but its exception
+    # machinery can undercut EF on clustered gaps — both are available and
+    # the save-time codec flag picks per deployment)
+    rng = np.random.default_rng(11)
+    gaps = rng.zipf(1.3, 200_000).clip(1, 1 << 30)
+    ids = np.cumsum(gaps).astype(np.int64)
+    d2 = deltas_of(ids)
+    ef2, _ = ef_encode(d2)
+    u_over_n = ids[-1] / ids.size
+    assert 8.0 * len(ef2) / ids.size < 2 + np.log2(max(u_over_n, 1.0)) + 1.5
