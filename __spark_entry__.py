@@ -856,6 +856,85 @@ SELECT doc_id::BIGINT AS doc_id, round(r, 6) AS pagerank FROM pr{iters}
     return "".join(parts)
 
 
+PPR_SEED_MOD = 50  # seeds = doc_id % 50 == 0 (10 seeds at sf0.01)
+
+
+def q_ppr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (Haveliwala WWW'02 / TrustRank shape): the
+    teleport vector is uniform over a deterministic seed set (doc_id % 50
+    == 0) instead of the whole graph, dangling mass restarts at the seeds,
+    and ranks start from the seed distribution — proximity-to-seeds scores
+    over the same synthetic link graph as pagerank_scores. The oracle
+    unrolls the same 10 iterations with the seed teleport as CTEs."""
+    from fulltextsearch_spark.operators.linkgraph import pagerank
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    base = docs.select("doc_id")
+    e1 = base.select("doc_id", ((F.col("doc_id") * 7 + 3) % n).alias("dst"))
+    e2 = base.select("doc_id", ((F.col("doc_id") * 13 + 5) % n).alias("dst"))
+    edges = (
+        e1.unionByName(e2)
+        .withColumnRenamed("doc_id", "src")
+        .filter((F.col("src") % 17 != 0) & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    seeds = base.where(F.col("doc_id") % PPR_SEED_MOD == 0)
+    pr = pagerank(
+        edges, n, damping=PAGERANK_D, iters=PAGERANK_ITERS, seeds=seeds
+    )
+    return pr.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("pagerank", 8).alias("ppr"),
+    )
+
+
+def _ppr_sql() -> str:
+    d, iters = PAGERANK_D, PAGERANK_ITERS
+    parts = [
+        f"""
+WITH nn AS (SELECT (max(doc_id)+1)::BIGINT AS nb FROM documents),
+v AS (SELECT doc_id FROM documents),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id*7+3) % (SELECT nb FROM nn) AS dst FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id*13+5) % (SELECT nb FROM nn) FROM documents
+  ) WHERE src % 17 <> 0 AND src <> dst
+),
+deg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY 1),
+ns AS (SELECT count(*)::DOUBLE AS c FROM v WHERE doc_id % {PPR_SEED_MOD} = 0),
+pvec AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN doc_id % {PPR_SEED_MOD} = 0 THEN 1.0/(SELECT c FROM ns)
+              ELSE 0.0 END AS p
+  FROM v
+),
+pr0 AS MATERIALIZED (SELECT doc_id, p AS r FROM pvec)"""
+    ]
+    for k in range(iters):
+        parts.append(
+            f""",
+dang{k} AS MATERIALIZED (SELECT coalesce(sum(r), 0) AS dm
+            FROM pr{k} p LEFT JOIN deg ON p.doc_id = deg.src
+            WHERE deg.src IS NULL),
+c{k} AS MATERIALIZED (SELECT e.dst, sum(p.r / g.deg) AS contrib
+         FROM pr{k} p JOIN edges e ON e.src = p.doc_id
+         JOIN deg g ON g.src = e.src GROUP BY 1),
+pr{k + 1} AS MATERIALIZED (SELECT pv.doc_id,
+              (1.0-{d})*pv.p
+                + {d}*(coalesce(c.contrib, 0)
+                       + (SELECT dm FROM dang{k})*pv.p) AS r
+              FROM pvec pv LEFT JOIN c{k} c ON c.dst = pv.doc_id)"""
+        )
+    parts.append(
+        f"""
+SELECT doc_id::BIGINT AS doc_id, round(r, 8) AS ppr FROM pr{iters}
+"""
+    )
+    return "".join(parts)
+
+
 def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index describe surface (queryable analogue of the reference's
     footprint API, fts_engine.hpp:50-60; on-disk bytes are logged per save
@@ -3834,6 +3913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "index_stats": q_index_stats,
         "pagerank_scores": q_pagerank_scores,
+        "ppr_scores": q_ppr_scores,
         "hits_scores": q_hits_scores,
         "lpa_communities": q_lpa_communities,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
@@ -6587,6 +6667,7 @@ FROM ranked WHERE rank <= {TOPK}
         "bm25_topk_deleted": _scored_sql(bm25, src_where="doc_id % 5 <> 0"),
         "index_stats": _index_stats_sql(),
         "pagerank_scores": _pagerank_sql(),
+        "ppr_scores": _ppr_sql(),
         "hits_scores": _hits_sql(),
         "lpa_communities": _lpa_sql(),
         "score_explain": f"""

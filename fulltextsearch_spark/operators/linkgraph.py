@@ -35,6 +35,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     checkpoint_every: int = 4,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """edges(src, dst) -> (doc_id, pagerank) after ``iters`` power steps.
 
@@ -42,6 +43,16 @@ def pagerank(
     rank: they hold teleport + dangling mass). Parallel edges should be
     de-duplicated by the caller if unwanted — each contributes separately,
     like repeated links on a page.
+
+    ``seeds`` switches to PERSONALIZED PageRank (Haveliwala, WWW 2002 /
+    the random-walk-with-restart form): the teleport vector becomes
+    uniform over the seed doc_ids instead of the whole graph, dangling
+    mass restarts at the seeds, and ranks initialize from the seed
+    distribution — scores then measure proximity TO the seed set (the
+    "more like these trusted pages" authority prior; TrustRank is exactly
+    this with a curated seed list). The seed frame must be small (it is
+    re-broadcast into each iteration's rank update); non-seed vertices
+    rank only through incoming paths.
     """
     spark = edges.sparkSession
     d = float(damping)
@@ -52,6 +63,55 @@ def pagerank(
     edges_deg = edges_deg.repartition("src").persist()
     edges_deg.count()
     linked = deg.select(F.col("src").alias("doc_id"))
+
+    if seeds is not None:
+        seed_ids = seeds.select(F.col("doc_id").cast("long").alias("doc_id")).distinct()
+        n_seeds = seed_ids.count()
+        if n_seeds == 0:
+            raise ValueError("personalized pagerank needs a non-empty seed set")
+        pvec = (
+            spark.range(n_docs)
+            .select(F.col("id").alias("doc_id"))
+            .join(F.broadcast(seed_ids.withColumn("_s", F.lit(1))), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("_s").isNotNull(), F.lit(1.0 / n_seeds))
+                .otherwise(F.lit(0.0))
+                .alias("p"),
+            )
+            .localCheckpoint()
+        )
+        ranks = pvec.select("doc_id", F.col("p").alias("r"))
+        for i in range(iters):
+            dangling = (
+                ranks.join(linked, "doc_id", "left_anti").agg(F.sum("r")).collect()[0][0]
+                or 0.0
+            )
+            contribs = (
+                edges_deg.join(ranks, edges_deg["src"] == ranks["doc_id"])
+                .select("dst", (F.col("r") / F.col("_deg")).alias("_c"))
+                .groupBy("dst")
+                .agg(F.sum("_c").alias("_contrib"))
+            )
+            ranks = (
+                pvec.join(contribs, F.col("doc_id") == F.col("dst"), "left")
+                .select(
+                    "doc_id",
+                    (
+                        F.lit(1.0 - d) * F.col("p")
+                        + F.lit(d)
+                        * (
+                            F.coalesce(F.col("_contrib"), F.lit(0.0))
+                            + F.lit(dangling) * F.col("p")
+                        )
+                    ).alias("r"),
+                )
+            )
+            if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+                ranks = ranks.localCheckpoint()
+        out = ranks.select("doc_id", F.col("r").alias("pagerank")).localCheckpoint()
+        edges_deg.unpersist()
+        return out
 
     ranks = spark.range(n_docs).select(
         F.col("id").alias("doc_id"), F.lit(1.0 / n).alias("r")

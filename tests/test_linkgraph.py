@@ -128,3 +128,37 @@ def test_label_propagation_two_cliques(spark):
     assert got[6] == 6
     assert len({got[0], got[1], got[2]}) == 1
     assert len({got[3], got[4], got[5]}) == 1
+
+
+def test_personalized_pagerank_properties(spark):
+    """PPR: mass conserved, concentrates on/near the seed set vs uniform PR,
+    seeds=everyone reproduces uniform PageRank, empty seeds rejected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from fulltextsearch_spark.operators.linkgraph import pagerank
+
+    n = 60
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    edges = ids.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 3 + 1) % n).alias("dst")
+    ).union(
+        ids.select(F.col("doc_id"), ((F.col("doc_id") * 5 + 2) % n))
+    ).where("src != dst").distinct()
+    seeds = ids.where(F.col("doc_id") < 3)
+    ppr = {r["doc_id"]: r["pagerank"] for r in
+           pagerank(edges, n, iters=8, seeds=seeds).collect()}
+    uni = {r["doc_id"]: r["pagerank"] for r in
+           pagerank(edges, n, iters=8).collect()}
+    assert abs(sum(ppr.values()) - 1.0) < 1e-9
+    assert abs(sum(uni.values()) - 1.0) < 1e-9
+    # seed mass share must exceed the uniform ranking's share of those nodes
+    seed_share_ppr = sum(ppr[i] for i in range(3))
+    seed_share_uni = sum(uni[i] for i in range(3))
+    assert seed_share_ppr > 3 * seed_share_uni
+    # personalizing on EVERY vertex == uniform teleport (same fixed point)
+    allppr = {r["doc_id"]: r["pagerank"] for r in
+              pagerank(edges, n, iters=8, seeds=ids).collect()}
+    assert all(abs(allppr[i] - uni[i]) < 1e-12 for i in range(n))
+    with _pytest.raises(ValueError):
+        pagerank(edges, n, seeds=ids.where("doc_id < 0"))
