@@ -2074,6 +2074,102 @@ def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", _url_expr().alias("url"))
 
 
+SPLIT_WEIGHTS, SPLIT_NAMES = (0.8, 0.1, 0.1), ("train", "val", "test")
+
+
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: assignment hashes the REGISTERED
+    DOMAIN, so same-site near-duplicate pages can never straddle splits
+    (the evaluation-hygiene rule row-level random splits violate). Pure
+    function of (salt, domain) — zero shuffles, stable under re-runs and
+    corpus growth."""
+    from fulltextsearch_spark.operators.sampling import group_split
+    from fulltextsearch_spark.operators.urltools import registered_domain
+
+    docs = _url_docs(spark, sf_dir).withColumn(
+        "domain", registered_domain(F.col("url"))
+    )
+    out = group_split(docs, "domain", weights=SPLIT_WEIGHTS, names=SPLIT_NAMES)
+    return out.select("doc_id", "domain", "split")
+
+
+def _group_split_sql() -> str:
+    total = float(sum(SPLIT_WEIGHTS))
+    case = "CASE"
+    cum = 0.0
+    for w, name in zip(SPLIT_WEIGHTS[:-1], SPLIT_NAMES[:-1]):
+        cum += w / total
+        case += (
+            f" WHEN (('0x' || substr(md5('split:' || domain), 1, 8))::UINT64)::DOUBLE"
+            f" < {cum * 4294967296.0!r} THEN '{name}'"
+        )
+    case += f" ELSE '{SPLIT_NAMES[-1]}' END"
+    return (
+        _DOMAIN_CTES
+        + f"""
+SELECT doc_id::BIGINT AS doc_id, domain, {case} AS split
+FROM doms ORDER BY doc_id
+"""
+    )
+
+
+_DOMAIN_CTES = r"""
+WITH p AS (
+  SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS v FROM documents
+),
+parts AS (
+  SELECT doc_id, v, g,
+    CASE WHEN g % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
+    CASE WHEN g % 2 = 0 THEN ':80' ELSE ':443' END AS port,
+    CASE WHEN g % 9 = 2 THEN '10.' || (g % 5) || '.0.1'
+         WHEN g % 9 = 3 THEN 'www.site' || (g % 37) || (CASE g % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                               WHEN 2 THEN '.co.uk' ELSE '.net' END) || '.'
+         ELSE 'www.site' || (g % 37) || (CASE g % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                               WHEN 2 THEN '.co.uk' ELSE '.net' END) END AS host,
+    '/docs/item' || (g % 41) AS path,
+    CASE WHEN g % 3 = 0 THEN '&page=2' ELSE '' END AS extra
+  FROM p
+),
+urls0 AS (
+  SELECT doc_id,
+    CASE WHEN v = 0 AND g % 10 = 0
+      THEN host || path || '?a=1&b=2'
+      WHEN v = 0
+      THEN scheme || '://' || host || path || '?a=1&b=2'
+      ELSE upper(scheme) || '://' || upper(host) || port || path ||
+           (CASE WHEN g % 9 = 0 THEN '/#sec?x=1'
+                 WHEN g % 9 = 1 THEN '/?b=2&a=1&utm_source=feed&fbclid' || extra || '#sec'
+                 ELSE '/?b=2&a=1&utm_source=feed&fbclid=x9' || extra || '#sec' END)
+    END AS url
+  FROM parts
+),
+urls AS (
+  SELECT doc_id,
+    CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.\-]*://')
+         THEN url ELSE 'http://' || url END AS url
+  FROM urls0
+),
+hosts AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+                   ':[0-9]+$', ''), '\.$', '') AS host
+  FROM urls
+),
+doms AS (
+  SELECT doc_id,
+    CASE WHEN regexp_matches(host, '^[0-9]{1,3}(\.[0-9]{1,3}){3}$')
+         THEN host
+         WHEN regexp_matches(host, '[^.]+\.(co|com|org|net|ac|gov|edu)\.(uk|au|jp|in|br|nz|za|mx|ar|cn|id|tr)$')
+              AND regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) <> ''
+         THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+         WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
+         THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+         ELSE host END AS domain
+  FROM hosts
+)
+"""
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-pipeline op: URL normalization (case/port/fragment/tracking-
     param/param-order/trailing-slash canonicalization) + keep-first dedup
@@ -3896,6 +3992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosting_topk": q_boosting_topk,
         "mix_weights": q_mix_weights,
         "stratified_sample": q_stratified_sample,
+        "group_split": q_group_split,
         "phrase_prefix_topk": q_phrase_prefix_topk,
         "mmr_topk": q_mmr_topk,
         "score_explain": q_score_explain,
@@ -6621,6 +6718,7 @@ FROM rng r LEFT JOIN counts c USING (bucket)
         "boosting_topk": _boosting_sql(),
         "mix_weights": _mix_weights_sql(),
         "stratified_sample": _stratified_sample_sql(),
+        "group_split": _group_split_sql(),
         "phrase_prefix_topk": _phrase_prefix_sql(),
         "mmr_topk": _mmr_sql(),
         "bm25_topk_expanded": f"""

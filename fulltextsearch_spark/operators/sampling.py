@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dsir_weights", "mix_weights", "stratified_sample"]
+__all__ = ["dsir_weights", "group_split", "mix_weights", "stratified_sample"]
 
 _HASH_SPACE = float(1 << 32)
 
@@ -190,3 +190,49 @@ def dsir_weights(
             F.round(F.coalesce("logw", F.lit(0.0)), 6).alias("logw"),
         )
     )
+
+
+def group_split(
+    docs: DataFrame,
+    group_col,
+    weights: tuple[float, ...] = (0.9, 0.05, 0.05),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: split by GROUP, not by row.
+
+    The standard evaluation-hygiene rule for web corpora (and the reason
+    benchmark decontamination alone is not enough): near-duplicate pages
+    live on the same site, so row-level random splits leak test content
+    into train through same-domain twins. Hashing the GROUP key (e.g. the
+    registered domain from ``urltools.registered_domain``, or a dedup
+    cluster id from ``connected_components``) sends every member of a
+    group to the SAME split.
+
+    Assignment: ``h = md5(salt || ':' || group)`` first 8 hex digits as a
+    32-bit integer; the split is the first name whose cumulative weight
+    bound exceeds ``h / 2^32``. A pure function of (salt, group) — stable
+    across re-runs, partitionings, and corpus growth (new docs of a known
+    domain join its existing split) — and exactly SQL-replayable. Adding a
+    split or reweighting reshuffles only the moved probability mass.
+
+    Scale shape: one codegen projection, ZERO shuffles — the hash and the
+    threshold CASE fuse into the scan. ``group_col`` may be a column name
+    or a Column expression (pass ``registered_domain(F.col("url"))``
+    directly to avoid materializing the domain).
+    """
+    if len(weights) != len(names) or not names:
+        raise ValueError("weights and names must be same nonzero length")
+    if any(w < 0 for w in weights) or sum(weights) <= 0:
+        raise ValueError("weights must be non-negative with a positive sum")
+    gc = F.col(group_col) if isinstance(group_col, str) else group_col
+    h = sample_hash_col(F.concat(F.lit(salt + ":"), gc.cast("string")))
+    total = float(sum(weights))
+    expr = None
+    cum = 0.0
+    for w, name in zip(weights[:-1], names[:-1]):
+        cum += w / total
+        cond = h.cast("double") < F.lit(cum * _HASH_SPACE)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    split = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return docs.withColumn("split", split)

@@ -95,3 +95,65 @@ def test_stratified_sample_deterministic_and_rate_correct(spark):
     # re-running with a different partitioning keeps EXACTLY the same docs
     kept2 = stratified_sample(docs.repartition(7), rates, "bucket").collect()
     assert sorted(r["doc_id"] for r in kept2) == got_ids
+
+
+# --- leakage-safe group split ------------------------------------------------
+
+
+def test_group_split_no_group_straddles(spark):
+    from pyspark.sql import functions as F
+
+    from fulltextsearch_spark.operators.sampling import group_split
+
+    rows = [(i, f"site{i % 23}.com") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id LONG, domain STRING")
+    out = group_split(df, "domain", weights=(0.7, 0.15, 0.15))
+    per = out.groupBy("domain").agg(F.countDistinct("split").alias("n")).collect()
+    assert all(r["n"] == 1 for r in per)
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+
+
+def test_group_split_stable_and_growth_safe(spark):
+    """Same (salt, group) -> same split, independent of the rest of the
+    corpus: adding new docs/domains never moves an existing domain."""
+    from fulltextsearch_spark.operators.sampling import group_split
+
+    small = spark.createDataFrame(
+        [(i, f"d{i}.org") for i in range(50)], "doc_id LONG, domain STRING"
+    )
+    big = spark.createDataFrame(
+        [(i, f"d{i}.org") for i in range(200)], "doc_id LONG, domain STRING"
+    )
+    a = {r["domain"]: r["split"] for r in group_split(small, "domain").collect()}
+    b = {r["domain"]: r["split"] for r in group_split(big, "domain").collect()}
+    assert all(b[d] == s for d, s in a.items())
+    # a different salt is a fresh assignment
+    c = {r["domain"]: r["split"]
+         for r in group_split(small, "domain", salt="v2").collect()}
+    assert any(c[d] != a[d] for d in a)
+
+
+def test_group_split_weights_roughly_respected(spark):
+    from fulltextsearch_spark.operators.sampling import group_split
+
+    df = spark.createDataFrame(
+        [(i, f"g{i}") for i in range(3000)], "doc_id LONG, domain STRING"
+    )
+    out = group_split(df, "domain", weights=(0.8, 0.1, 0.1))
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert abs(counts["train"] / 3000 - 0.8) < 0.05
+    assert abs(counts.get("val", 0) / 3000 - 0.1) < 0.03
+    assert abs(counts.get("test", 0) / 3000 - 0.1) < 0.03
+
+
+def test_group_split_validation(spark):
+    import pytest as _pytest
+
+    from fulltextsearch_spark.operators.sampling import group_split
+
+    df = spark.createDataFrame([(0, "a")], "doc_id LONG, domain STRING")
+    with _pytest.raises(ValueError):
+        group_split(df, "domain", weights=(0.5,), names=("a", "b"))
+    with _pytest.raises(ValueError):
+        group_split(df, "domain", weights=(-1.0, 2.0), names=("a", "b"))
