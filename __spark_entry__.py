@@ -2903,6 +2903,77 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMTERM_K, SIMTERM_MIN = 5, 3
+
+
+def q_similar_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional term similarity (PPMI context vectors + cosine, Levy &
+    Goldberg 2014's count baseline): top-5 nearest vocabulary terms per
+    probe term — synonym/related-search mining without a trained model.
+    Integer count core, one ln per surviving pair, probe vectors broadcast
+    so the PPMI matrix is never self-joined."""
+    from fulltextsearch_spark.operators.textstats import similar_terms
+
+    probes = spark.createDataFrame(
+        [(t,) for t in sorted({t for _, t in QUERY_TOKENS})], ["term"]
+    )
+    out = similar_terms(
+        _docs(spark, sf_dir), probes, k=SIMTERM_K, min_count=SIMTERM_MIN
+    )
+    return out.select(
+        "probe", "rank", "term", F.round("sim", 4).alias("sim")
+    )
+
+
+def _similar_terms_sql() -> str:
+    qt = ", ".join(f"('{t}')" for t in sorted({t for _, t in QUERY_TOKENS}))
+    return f"""
+WITH {_tok_cte()},
+bgz AS (
+  SELECT unnest(list_zip(tokens[1:len(tokens)-1], tokens[2:len(tokens)])) AS z
+  FROM toks WHERE len(tokens) >= 2
+),
+b2 AS (SELECT z[1] AS w1, z[2] AS w2 FROM bgz),
+pairs AS (
+  SELECT w, c, count(*)::DOUBLE AS nwc FROM (
+    SELECT w1 AS w, w2 AS c FROM b2 UNION ALL SELECT w2 AS w, w1 AS c FROM b2
+  ) GROUP BY 1, 2 HAVING count(*) >= {SIMTERM_MIN}
+),
+marg AS (SELECT w, sum(nwc) AS nw FROM pairs GROUP BY 1),
+cmarg AS (SELECT c, sum(nwc) AS nc FROM pairs GROUP BY 1),
+tot AS (SELECT sum(nwc) AS nn FROM pairs),
+ppmi AS (
+  SELECT * FROM (
+    SELECT p.w, p.c,
+           greatest(ln(p.nwc * t.nn / (m.nw * cm.nc)), 0.0) AS x
+    FROM pairs p JOIN marg m USING (w) JOIN cmarg cm USING (c) CROSS JOIN tot t
+  ) WHERE x > 0
+),
+norms AS (SELECT w, sqrt(sum(x*x)) AS nrm FROM ppmi GROUP BY 1),
+pr AS (SELECT * FROM (VALUES {qt}) v(term)),
+pvec AS (
+  SELECT p.w AS probe, p.c, p.x AS px FROM ppmi p JOIN pr ON pr.term = p.w
+),
+dots AS (
+  SELECT pv.probe, p.w, sum(p.x * pv.px) AS dot
+  FROM ppmi p JOIN pvec pv USING (c)
+  WHERE p.w <> pv.probe
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.probe, d.w AS term, d.dot / (n.nrm * pn.nrm) AS sim
+  FROM dots d JOIN norms n ON n.w = d.w JOIN norms pn ON pn.w = d.probe
+),
+ranked AS (
+  SELECT probe, term, sim,
+         row_number() OVER (PARTITION BY probe ORDER BY sim DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT probe, rank::BIGINT AS rank, term, round(sim, 4) AS sim
+FROM ranked WHERE rank <= {SIMTERM_K}
+"""
+
+
 CMS_DEPTH, CMS_WIDTH, CMS_SEED = 3, 16, 7
 
 
@@ -4006,6 +4077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": q_streaming_sessions,
         "streaming_dedup": q_streaming_dedup,
         "collocations_topk": q_collocations,
+        "similar_terms": q_similar_terms,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "index_stats": q_index_stats,
@@ -6846,6 +6918,7 @@ FROM events GROUP BY 1, 2
 """,
         "cms_term_counts": _cms_sql(),
         "hll_distinct": _hll_sql(),
+        "similar_terms": _similar_terms_sql(),
         "pipeline_aggs": _PIPELINE_AGGS_SQL,
         "collocations_topk": f"""
 WITH {_tok_cte()},

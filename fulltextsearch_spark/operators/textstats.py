@@ -31,6 +31,7 @@ __all__ = [
     "LANG_STOPWORDS",
     "bigram_lm_scores",
     "collocations",
+    "similar_terms",
     "vocab_stats",
     "language_expr",
     "language_votes",
@@ -445,4 +446,105 @@ def vocab_stats(docs: DataFrame, text_col: str = "text", stem: bool = False) -> 
         F.sum(F.when(F.col("freq") == 2, 1).otherwise(0)).cast("long").alias("dis"),
         F.round(F.max(F.col("freq")).cast("double") / F.sum("freq"), 6).alias("top_share"),
         F.round(F.covar_pop(x, y) / F.var_pop(x), 4).alias("zipf_slope"),
+    )
+
+
+def similar_terms(
+    docs: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    min_count: int = 3,
+    text_col: str = "text",
+    stem: bool = False,
+) -> DataFrame:
+    """Distributional term similarity: top-k nearest terms per probe by
+    cosine over PPMI context vectors (the count-based word-embedding of
+    Church & Hanks 1990 / Levy & Goldberg 2014, "related searches" /
+    synonym-mining without a trained model).
+
+    Context = adjacent neighbors (window 1, symmetric: each bigram (a, b)
+    contributes context b to a AND a to b) over the engine token stream;
+    ``PPMI(w, c) = max(0, ln(n(w,c) * N / (n(w) * n(c))))`` with an exact
+    integer count core, ``min_count`` flooring the pair support. Similarity
+    of probe p and term w is ``sum_c ppmi(p,c)*ppmi(w,c) / (||p|| ||w||)``;
+    output ``(probe, term, sim)`` top-k by (sim DESC, term ASC), the probe
+    itself excluded.
+
+    Scale shape: pair/unigram counts are the collocations aggregates; the
+    PPMI table is vocabulary-pair-scale but ``min_count``-floored (Zipf
+    truncates it hard). The probe vectors are a broadcast (probes are a
+    query-sized set), so the dot products are ONE map-side join on the
+    context key followed by a (probe, term) aggregate — the full PPMI
+    matrix is never self-joined; candidate terms are exactly those sharing
+    >= 1 context with a probe.
+    """
+    from fulltextsearch_spark.functions.tokenizer import tokenize_udf
+
+    tok = tokenize_udf(stem)
+    toks = docs.select(tok(F.col(text_col)).alias("tokens")).filter(
+        F.size("tokens") >= 2
+    )
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(tokens, 1, size(tokens)-1), "
+                "slice(tokens, 2, size(tokens)-1), "
+                "(a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    pairs = (
+        bg.select(F.col("w1").alias("w"), F.col("w2").alias("c"))
+        .unionAll(bg.select(F.col("w2").alias("w"), F.col("w1").alias("c")))
+        .groupBy("w", "c")
+        .agg(F.count(F.lit(1)).cast("double").alias("nwc"))
+        .where(F.col("nwc") >= min_count)
+    )
+    marg = pairs.groupBy("w").agg(F.sum("nwc").alias("nw"))
+    cmarg = pairs.groupBy("c").agg(F.sum("nwc").alias("nc"))
+    total = pairs.agg(F.sum("nwc").alias("nn"))
+    ppmi = (
+        pairs.join(marg, "w")
+        .join(cmarg, "c")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w",
+            "c",
+            F.greatest(
+                F.log(F.col("nwc") * F.col("nn") / (F.col("nw") * F.col("nc"))),
+                F.lit(0.0),
+            ).alias("x"),
+        )
+        .where(F.col("x") > 0)
+    )
+    norms = ppmi.groupBy("w").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
+    pvec = (
+        ppmi.join(F.broadcast(probes.select(F.col("term").alias("w"))), "w")
+        .select(F.col("w").alias("probe"), "c", F.col("x").alias("px"))
+    )
+    dots = (
+        ppmi.join(F.broadcast(pvec), "c")
+        .where(F.col("w") != F.col("probe"))
+        .groupBy("probe", "w")
+        .agg(F.sum(F.col("x") * F.col("px")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms, "w")
+        .join(
+            F.broadcast(norms.withColumnRenamed("w", "probe").withColumnRenamed("nrm", "pnrm")),
+            "probe",
+        )
+        .select(
+            "probe",
+            F.col("w").alias("term"),
+            (F.col("dot") / (F.col("nrm") * F.col("pnrm"))).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("probe").orderBy(F.desc("sim"), F.asc("term"))
+    return (
+        scored.withColumn("_r", F.row_number().over(win))
+        .filter(F.col("_r") <= k)
+        .select("probe", "term", "sim", F.col("_r").cast("long").alias("rank"))
     )

@@ -247,3 +247,63 @@ def test_matrix_stats_and_percentile_ranks(spark):
     pr = percentile_ranks(df.withColumn("g", F.lit("a")), ["g"], "x", [2.0, 4.5]).collect()[0]
     assert pr["pr_2"] == pytest.approx(40.0)
     assert pr["pr_4_5"] == pytest.approx(80.0)
+
+
+def test_similar_terms_matches_python_replay(spark):
+    """PPMI-cosine neighbors vs a full Python replay: symmetric window-1
+    contexts, min_count floor, PPMI clamp, cosine, (sim DESC, term) order,
+    probe excluded."""
+    import math
+    from collections import Counter, defaultdict
+
+    from fulltextsearch_spark.functions.tokenizer import tokenize
+    from fulltextsearch_spark.operators.textstats import similar_terms
+
+    rows = [
+        (0, "spark engine runs fast query engine runs fast"),
+        (1, "spark engine executes fast scan engine executes quickly"),
+        (2, "database engine runs slow query database runs slow"),
+        (3, "cat eats fish cat eats fish cat eats fish"),
+        (4, "dog eats meat dog eats meat dog eats meat"),
+        (5, "spark query engine fast scan filter"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    probes = spark.createDataFrame([("engine",), ("eats",)], ["term"])
+    K, MC = 4, 2
+    got = {}
+    for r in similar_terms(df, probes, k=K, min_count=MC).collect():
+        got.setdefault(r["probe"], []).append((r["rank"], r["term"], round(r["sim"], 9)))
+
+    # Python replay
+    pair = Counter()
+    for _, text in rows:
+        t = tokenize(text, do_stem=False)
+        for a, b in zip(t, t[1:]):
+            pair[(a, b)] += 1
+            pair[(b, a)] += 1
+    pair = {k_: v for k_, v in pair.items() if v >= MC}
+    nw, nc = Counter(), Counter()
+    for (w, c), v in pair.items():
+        nw[w] += v
+        nc[c] += v
+    nn = sum(pair.values())
+    vec = defaultdict(dict)
+    for (w, c), v in pair.items():
+        x = max(0.0, math.log(v * nn / (nw[w] * nc[c])))
+        if x > 0:
+            vec[w][c] = x
+    nrm = {w: math.sqrt(sum(x * x for x in d.values())) for w, d in vec.items()}
+    for probe in ("engine", "eats"):
+        sims = []
+        for w, d in vec.items():
+            if w == probe:
+                continue
+            dot = sum(d.get(c, 0.0) * x for c, x in vec[probe].items())
+            if dot:
+                sims.append((dot / (nrm[w] * nrm[probe]), w))
+        want = sorted(sims, key=lambda t2: (-t2[0], t2[1]))[:K]
+        have = sorted(got.get(probe, []))
+        assert [t for _, t, _ in have] == [w for _, w in want], probe
+        assert all(abs(h[2] - w[0]) < 1e-6 for h, w in zip(have, want)), probe
+    # sanity: 'eats' neighbors its subject/object co-occurrence family
+    assert got["eats"], "expected neighbors for 'eats'"
