@@ -1818,6 +1818,127 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+ANCHOR_W, ANCHOR_B = {"body": 1.0, "anchor": 2.0}, {"body": 0.75, "anchor": 0.5}
+ANCHOR_NW, ANCHOR_CAP = 3, 8
+
+
+def q_anchor_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text ranking — THE classic web-search field combination
+    (Brin & Page 1998; Craswell et al. SIGIR'01): each page's incoming
+    anchor text (first-3-words-of-source stand-in over the synthetic link
+    graph, ascending-src order, capped at 8) joins the body as a second
+    BM25F field at weight 2.0 / b 0.5. Composes anchor_texts with the
+    fielded index; the oracle replays edges, anchors, both fields, and
+    the shared-saturation BM25F sum."""
+    from fulltextsearch_spark.operators.fields import bm25f_topk, build_fielded_index
+    from fulltextsearch_spark.operators.linkgraph import anchor_texts
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    base = docs.select("doc_id")
+    e1 = base.select("doc_id", ((F.col("doc_id") * 7 + 3) % n).alias("dst"))
+    e2 = base.select("doc_id", ((F.col("doc_id") * 13 + 5) % n).alias("dst"))
+    edges = (
+        e1.unionByName(e2)
+        .withColumnRenamed("doc_id", "src")
+        .filter((F.col("src") % 17 != 0) & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    anch = anchor_texts(docs, edges, n_words=ANCHOR_NW, max_anchors=ANCHOR_CAP)
+    fielded = docs.join(anch, "doc_id", "left").select(
+        "doc_id",
+        F.col("text").alias("body"),
+        F.coalesce("anchor", F.lit("")).alias("anchor"),
+    )
+    idx = build_fielded_index(fielded, {"body": "body", "anchor": "anchor"}, stem=False)
+    res = bm25f_topk(idx, _query_frame(spark), ANCHOR_W, ANCHOR_B, k1=K1, k=TOPK)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _anchor_bm25f_sql() -> str:
+    wb, wa = ANCHOR_W["body"], ANCHOR_W["anchor"]
+    bb, ba = ANCHOR_B["body"], ANCHOR_B["anchor"]
+    tsplit, stops, qtoks = _TOKEN_SPLIT_SQL, _stop_list_sql(), _values_query_tokens()
+    return f"""
+WITH nn AS (SELECT (max(doc_id)+1)::BIGINT AS nb FROM documents),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id*7+3) % (SELECT nb FROM nn) AS dst FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id*13+5) % (SELECT nb FROM nn) FROM documents
+  ) WHERE src % 17 <> 0 AND src <> dst
+),
+anch0 AS (
+  SELECT e.dst, e.src,
+         array_to_string(list_slice(string_split(d.text, ' '), 1, {ANCHOR_NW}), ' ') AS a
+  FROM edges e JOIN documents d ON d.doc_id = e.src
+),
+anch1 AS (
+  SELECT dst, src, a, row_number() OVER (PARTITION BY dst ORDER BY src) AS rn
+  FROM anch0
+),
+anch AS (
+  SELECT dst AS doc_id, string_agg(a, ' ' ORDER BY src) AS anchor
+  FROM anch1 WHERE rn <= {ANCHOR_CAP} GROUP BY 1
+),
+src AS (
+  SELECT d.doc_id, d.text AS body, coalesce(an.anchor, '') AS anchor
+  FROM documents d LEFT JOIN anch an ON an.doc_id = d.doc_id
+),
+ft AS (
+  SELECT doc_id, 'body' AS field,
+         list_filter(regexp_split_to_array(lower(body), '{tsplit}'),
+                     x -> x <> '' AND x NOT IN ({stops})) AS tokens
+  FROM src
+  UNION ALL
+  SELECT doc_id, 'anchor',
+         list_filter(regexp_split_to_array(lower(anchor), '{tsplit}'),
+                     x -> x <> '' AND x NOT IN ({stops}))
+  FROM src
+),
+flen AS (SELECT doc_id, field, len(tokens)::BIGINT AS flen FROM ft),
+ftok AS (SELECT doc_id, field, unnest(tokens) AS term FROM ft),
+stats AS (SELECT (max(doc_id)+1)::BIGINT AS n_docs FROM src),
+avgf AS (SELECT field, sum(flen)::DOUBLE / (SELECT n_docs FROM stats) AS avglen
+         FROM flen GROUP BY 1),
+tf AS (SELECT doc_id, field, term, count(*)::BIGINT AS tf FROM ftok GROUP BY 1,2,3),
+dft AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM ftok GROUP BY 1),
+qt AS (SELECT * FROM (VALUES {qtoks}) AS v(query_id, term)),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qt GROUP BY 1, 2),
+wtf AS (
+  SELECT q.query_id, q.qtf, tf.term, tf.doc_id,
+         sum((CASE WHEN tf.field = 'anchor' THEN {wa} ELSE {wb} END) * tf.tf /
+             (1.0 - (CASE WHEN tf.field = 'anchor' THEN {ba} ELSE {bb} END)
+              + (CASE WHEN tf.field = 'anchor' THEN {ba} ELSE {bb} END)
+                * flen.flen::DOUBLE / avgf.avglen)) AS wtf
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN flen ON flen.doc_id = tf.doc_id AND flen.field = tf.field
+  JOIN avgf ON avgf.field = tf.field
+  GROUP BY 1, 2, 3, 4
+),
+scored AS (
+  SELECT w.query_id, w.doc_id,
+         sum(w.qtf * ln(((SELECT n_docs FROM stats) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * w.wtf / ({K1} + w.wtf)) AS score
+  FROM wtf w JOIN dft d USING (term)
+  GROUP BY 1, 2
+),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scored)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def _span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic duplicate injection for the exact-substring entry (the
     synthetic testdata has no exact long repeats): every doc_id%7==0 doc is
@@ -4086,6 +4207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "lpa_communities": q_lpa_communities,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "anchor_bm25f_topk": q_anchor_bm25f,
         "facet_counts": q_facet_counts,
         "mlt_topk": q_mlt_topk,
         "autocomplete": q_autocomplete,
@@ -7167,6 +7289,7 @@ ORDER BY doc_id
         "suggest_terms": _suggest_sql(),
         "duplicate_spans": _span_sql(),
         "bm25f_topk": _bm25f_sql(),
+        "anchor_bm25f_topk": _anchor_bm25f_sql(),
         "curate_corpus": _curate_sql(),
         "gopher_rules": r"""
 WITH t AS (

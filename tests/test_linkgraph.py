@@ -162,3 +162,27 @@ def test_personalized_pagerank_properties(spark):
     assert all(abs(allppr[i] - uni[i]) < 1e-12 for i in range(n))
     with _pytest.raises(ValueError):
         pagerank(edges, n, seeds=ids.where("doc_id < 0"))
+
+
+def test_anchor_texts_order_cap_and_shape(spark):
+    from pyspark.sql import functions as F
+
+    from fulltextsearch_spark.operators.linkgraph import anchor_texts
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c w{i}d") for i in range(10)],
+        "doc_id LONG, text STRING",
+    )
+    edges = spark.createDataFrame(
+        [(s, 0) for s in (5, 2, 9, 1, 7)] + [(3, 4)], "src LONG, dst LONG"
+    )
+    out = {r["doc_id"]: r["anchor"]
+           for r in anchor_texts(docs, edges, n_words=2, max_anchors=3).collect()}
+    # ascending-src order, capped at the 3 LOWEST src ids
+    assert out[0] == "w1a w1b w2a w2b w5a w5b"
+    assert out[4] == "w3a w3b"
+    assert set(out) == {0, 4}  # un-linked pages get no row
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        anchor_texts(docs, edges, max_anchors=0)
