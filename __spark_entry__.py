@@ -1427,6 +1427,55 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir), chunk_size=32, overlap=8)
 
 
+SEQ_LEN = 64
+
+
+def q_packed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized training sequences the packed_sequences map
+    describes: per-sequence token arrays assembled in seq_pos order, gated
+    on md5 of the space-joined tokens — every sequence except the last
+    must hold exactly SEQ_LEN tokens of the concatenated corpus stream."""
+    from fulltextsearch_spark.operators.chunking import materialize_sequences
+
+    out = materialize_sequences(_docs(spark, sf_dir), seq_len=SEQ_LEN, bucket_span=64)
+    return out.select(
+        "seq_id", "n_toks", F.md5(F.array_join("tokens", " ")).alias("toks_md5")
+    )
+
+
+_PACKED_TOKENS_SQL = f"""
+WITH {{tok_cte}},
+n AS (SELECT doc_id, tokens, len(tokens)::BIGINT AS n FROM toks WHERE len(tokens) > 0),
+offs AS (
+  SELECT doc_id, tokens, n,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+  FROM n
+),
+spans AS (
+  SELECT doc_id, tokens, n, off,
+         unnest(range(off // {SEQ_LEN}, (off + n - 1) // {SEQ_LEN} + 1)) AS seq_id
+  FROM offs
+),
+pieces AS (
+  SELECT seq_id,
+         greatest(seq_id * {SEQ_LEN}, off) - seq_id * {SEQ_LEN} AS seq_pos,
+         list_slice(tokens,
+                    (greatest(seq_id * {SEQ_LEN}, off) - off + 1)::INT,
+                    (least((seq_id + 1) * {SEQ_LEN}, off + n) - off)::INT) AS piece
+  FROM spans
+),
+assembled AS (
+  SELECT seq_id,
+         flatten(list(piece ORDER BY seq_pos)) AS tokens
+  FROM pieces GROUP BY 1
+)
+SELECT seq_id::BIGINT AS seq_id, len(tokens)::BIGINT AS n_toks,
+       md5(array_to_string(tokens, ' ')) AS toks_md5
+FROM assembled
+"""
+
+
 def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-pipeline: model-based quality filter (the CCNet / LLaMA
     fastText-classifier stage) as closed-form multinomial Naive Bayes over
@@ -1479,9 +1528,6 @@ SELECT d.doc_id, coalesce(p.n_toks, 0)::BIGINT AS n_toks,
        (CASE WHEN c.prior_llr + coalesce(p.s, 0.0) > 0 THEN 1 ELSE 0 END)::INT AS pred
 FROM documents d LEFT JOIN per p USING (doc_id) CROSS JOIN consts c
 """
-
-
-SEQ_LEN = 64
 
 
 def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4223,6 +4269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "chunk_docs": q_chunk_docs,
         "packed_sequences": q_packed_sequences,
+        "packed_tokens": q_packed_tokens,
         "nb_quality": q_nb_quality,
         "quality_score": q_quality_score,
         "gopher_rules": q_gopher_rules,
@@ -7839,6 +7886,7 @@ SELECT doc_id::BIGINT AS doc_id,
 FROM win WHERE len(w) >= 1
 """,
         "packed_sequences": _PACKED_SQL.format(tok_cte=_tok_cte()),
+        "packed_tokens": _PACKED_TOKENS_SQL.format(tok_cte=_tok_cte()),
         "nb_quality": _NB_QUALITY_SQL.format(tok_cte=_tok_cte()),
         "extract_text": _extract_sql(),
         "ngram_jaccard": """

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from fulltextsearch_spark.functions.tokenizer import tokenize_udf
 
-__all__ = ["chunk_documents", "pack_sequences"]
+__all__ = ["chunk_documents", "materialize_sequences", "pack_sequences", "write_training_shards"]
 
 
 def chunk_documents(
@@ -150,3 +150,88 @@ def pack_sequences(
         (lo - F.col("seq_id") * seq_len).cast("long").alias("seq_pos"),
         (hi - lo).cast("long").alias("n_toks"),
     )
+
+
+def materialize_sequences(
+    docs: DataFrame,
+    seq_len: int = 256,
+    bucket_span: int = 65536,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(seq_id, n_toks, tokens ARRAY<STRING>) — the actual training
+    sequences the :func:`pack_sequences` map describes.
+
+    Joins the pack map back to the tokenized docs, slices each doc's
+    contribution, and assembles per-sequence token arrays in seq_pos order.
+    Per-sequence state is bounded by ``seq_len`` tokens, so the final
+    aggregate's rows are fixed-size however large the corpus; the join is
+    doc-keyed and the only new shuffle is the seq_id-keyed assembly.
+    """
+    from fulltextsearch_spark.functions.tokenizer import tokenize_udf
+
+    pm = pack_sequences(docs, seq_len, bucket_span, id_col, text_col)
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokenize_udf(do_stem=False)(F.col(text_col)).alias("toks"),
+    )
+    part = pm.join(toks, "doc_id").select(
+        "seq_id",
+        "seq_pos",
+        F.slice(F.col("toks"), F.col("doc_start") + 1, F.col("n_toks")).alias("piece"),
+    )
+    return (
+        part.groupBy("seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seq_pos", "piece"))),
+                    lambda s: s["piece"],
+                )
+            ).alias("tokens")
+        )
+        .select(
+            "seq_id", F.size("tokens").cast("long").alias("n_toks"), "tokens"
+        )
+    )
+
+
+def write_training_shards(
+    sequences: DataFrame,
+    out_dir: str,
+    seqs_per_shard: int = 1024,
+) -> dict:
+    """Persist materialized sequences as deterministic fixed-size shards —
+    the export stage a pretraining data pipeline ends with.
+
+    Shard assignment is ``seq_id div seqs_per_shard`` (a pure function of
+    the layout, NOT of partitioning or write order, so re-runs produce
+    byte-stable shard membership), written as parquet partitioned by
+    ``shard``. Returns a manifest dict ``{n_seqs, n_shards, n_tokens,
+    seqs_per_shard}`` and writes it to ``{out_dir}/_manifest.json`` — the
+    counts a training job validates before consuming.
+    """
+    import json
+    import os
+
+    if seqs_per_shard < 1:
+        raise ValueError("seqs_per_shard must be >= 1")
+    shards = sequences.select(
+        F.expr(f"seq_id div {seqs_per_shard}").alias("shard"),
+        "seq_id",
+        "n_toks",
+        "tokens",
+    )
+    shards.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    agg = sequences.agg(
+        F.count(F.lit(1)).alias("n_seqs"), F.sum("n_toks").alias("n_tokens")
+    ).collect()[0]
+    manifest = {
+        "n_seqs": int(agg["n_seqs"]),
+        "n_shards": -(-int(agg["n_seqs"]) // seqs_per_shard) if agg["n_seqs"] else 0,
+        "n_tokens": int(agg["n_tokens"] or 0),
+        "seqs_per_shard": seqs_per_shard,
+    }
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest

@@ -840,3 +840,36 @@ def test_pack_sequences_rejects_bad_seq_len(spark):
 
     with _pytest.raises(ValueError):
         pack_sequences(df, seq_len=0)
+
+
+def test_materialize_and_shard_roundtrip(spark, tmp_path):
+    """Materialized sequences tile the concatenated token stream exactly;
+    the shard writer persists deterministic shard membership + manifest."""
+    import json
+
+    from fulltextsearch_spark.functions.tokenizer import tokenize
+    from fulltextsearch_spark.operators.chunking import (
+        materialize_sequences,
+        write_training_shards,
+    )
+
+    words = [f"w{i:03d}" for i in range(200)]
+    rows = [(i, " ".join(words[(7 * i) % 150 : (7 * i) % 150 + 5 + i % 9]))
+            for i in range(40)]
+    L = 16
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    seqs = materialize_sequences(df, seq_len=L, bucket_span=8)
+    got = {r["seq_id"]: r["tokens"] for r in seqs.collect()}
+    stream = []
+    for _, text in sorted(rows):
+        stream.extend(tokenize(text, do_stem=False))
+    want = {i: stream[i * L : (i + 1) * L] for i in range((len(stream) + L - 1) // L)}
+    assert got == want
+    out = str(tmp_path / "shards")
+    man = write_training_shards(seqs, out, seqs_per_shard=4)
+    assert man["n_seqs"] == len(want) and man["n_tokens"] == len(stream)
+    assert man == json.load(open(f"{out}/_manifest.json"))
+    back = spark.read.parquet(out)
+    assert back.count() == len(want)
+    shard_of = {r["seq_id"]: r["shard"] for r in back.collect()}
+    assert all(shard_of[s] == s // 4 for s in shard_of)
