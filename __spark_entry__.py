@@ -3576,6 +3576,113 @@ def q_ltr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SWEEP_GRID = [(0.8, 0.3), (1.2, 0.75), (2.0, 0.9)]
+
+
+def q_bm25_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1, b) hyperparameter sweep in ONE corpus probe: the grid
+    shares the postings probe / explode / per-(query, doc) aggregate (one
+    score column per point), rankings melt out of the score array, and
+    each point evaluates through the engine's rank_eval against the
+    percolator-derived qrels. Mean nDCG/MRR/P@k per grid point."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.percolate import percolate
+    from fulltextsearch_spark.operators.tuning import sweep_bm25
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    docs = _docs(spark, sf_dir)
+    idx = build_index(spark, docs, cfg, persist=False)
+    queries = _query_frame(spark)
+    qrels = percolate(docs, queries, cfg, min_match=1).select(
+        "query_id", "doc_id", F.col("n_matched").alias("rel")
+    )
+    return sweep_bm25(idx, queries, qrels, SWEEP_GRID, cfg)
+
+
+def _bm25_sweep_sql() -> str:
+    parts = [
+        f"""
+WITH {_tok_cte()},
+stats AS (
+  SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+         sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl
+  FROM dls
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qt AS (SELECT * FROM (VALUES {_values_query_tokens()}) AS v(query_id, term)),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qt GROUP BY 1, 2),
+dterms AS (SELECT DISTINCT doc_id, term FROM tok),
+qts AS (SELECT DISTINCT query_id, term FROM qt),
+qrels AS (
+  SELECT q.query_id, d.doc_id, count(*)::DOUBLE AS rel
+  FROM qts q JOIN dterms d USING (term) GROUP BY 1, 2
+),
+ideal AS (
+  SELECT query_id,
+         sum((power(2.0, rel) - 1.0) / log2(irank::DOUBLE + 1.0)) AS idcg
+  FROM (
+    SELECT query_id, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, doc_id ASC) AS irank
+    FROM qrels WHERE rel > 0
+  )
+  WHERE irank <= {TOPK} GROUP BY 1
+)"""
+    ]
+    sel = []
+    for i, (k1, b) in enumerate(SWEEP_GRID):
+        expr = (
+            "ln((s.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0) * "
+            f"(tf.tf * ({k1!r} + 1.0)) / (tf.tf + {k1!r} * (1.0 - {b!r} + {b!r} * dls.dl / s.avgdl))"
+        )
+        parts.append(
+            f""",
+scored{i} AS (
+  SELECT q.query_id, tf.doc_id, sum(q.qtf * {expr}) AS score
+  FROM qtf q JOIN tf ON tf.term = q.term JOIN dft ON dft.term = q.term
+  JOIN dls ON dls.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+run{i} AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored{i}
+  ) WHERE rank <= {TOPK}
+),
+perq{i} AS (
+  SELECT r.query_id,
+         sum((power(2.0, coalesce(j.rel, 0.0)) - 1.0) / log2(r.rank::DOUBLE + 1.0)) AS dcg,
+         min(CASE WHEN coalesce(j.rel, 0.0) > 0 THEN r.rank END) AS first_rel,
+         sum(CASE WHEN coalesce(j.rel, 0.0) > 0 THEN 1 ELSE 0 END) AS n_rel
+  FROM run{i} r
+  LEFT JOIN qrels j ON j.query_id = r.query_id AND j.doc_id = r.doc_id
+  GROUP BY 1
+),
+ev{i} AS (
+  SELECT {k1!r}::DOUBLE AS k1, {b!r}::DOUBLE AS b,
+         CASE WHEN coalesce(i.idcg, 0.0) > 0.0 THEN p.dcg / i.idcg
+              ELSE 0.0 END AS ndcg,
+         coalesce(1.0 / p.first_rel, 0.0) AS mrr,
+         p.n_rel::DOUBLE / {float(TOPK)!r} AS prec
+  FROM perq{i} p LEFT JOIN ideal i USING (query_id)
+)"""
+        )
+        sel.append(f"SELECT * FROM ev{i}")
+    parts.append(
+        f"""
+SELECT k1, b, round(avg(ndcg), 4) AS ndcg, round(avg(mrr), 4) AS mrr,
+       round(avg(prec), 4) AS "precision"
+FROM ({' UNION ALL '.join(sel)})
+GROUP BY 1, 2
+"""
+    )
+    return "".join(parts)
+
+
 def q_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Disjunction-max retrieval (Lucene DisjunctionMaxQuery): best-clause
     score plus tie_breaker x the rest — same broadcast probe as search, the
@@ -4213,6 +4320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_topk": q_search_after_topk,
         "rank_eval": q_rank_eval,
         "ltr_topk": q_ltr_topk,
+        "bm25_sweep": q_bm25_sweep,
         "extract_text": q_extract_text,
         "dismax_topk": q_dismax_topk,
         "pii_scrub": q_pii_scrub,
@@ -6926,6 +7034,7 @@ FROM unioned WHERE rank <= {TOPK}
         "term_vectors": _term_vectors_sql(),
         "search_after_topk": _search_after_sql(),
         "rank_eval": _rank_eval_sql(),
+        "bm25_sweep": _bm25_sweep_sql(),
         "dismax_topk": _dismax_sql(),
         "pii_scrub": _pii_sql(),
         "doc_keywords": _doc_keywords_sql(),

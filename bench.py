@@ -111,6 +111,12 @@ def main() -> None:
     timed("vsm_topk", lambda: search_vsm(vsm_idx, qdf, cfg).collect())
     from fulltextsearch_spark.operators.morelikethis import more_like_this
     timed("mlt_topk", lambda: more_like_this(idx, docs, (3, 17, 42), cfg).collect())
+    # champion tier: build-time top-m impact pruning, then exact scoring over
+    # the bounded candidate union (the sub-linear head-term query path)
+    from fulltextsearch_spark.operators.champions import build_champions, search_champions
+    champs = build_champions(idx, m=32, cfg=cfg).persist()
+    timed("build_champions", lambda: champs.count())
+    timed("bm25_topk_champ", lambda: search_champions(idx, champs, qdf, cfg).collect())
 
     # --- synthetic web corpus (the scale path) ------------------------------
     # build_web50k is the PRODUCTION build: fused tokenize -> map-side
@@ -223,6 +229,23 @@ def main() -> None:
     seg_a.postings.unpersist()
     seg_b.postings.unpersist()
 
+    # codec footprint over the web index's posting streams (varint is the
+    # build wire format; pfor/ef are save-time re-encodes) — bytes, not time
+    from fulltextsearch_spark.operators.compressed_index import _reencode_postings
+
+    def _stream_bytes(p):
+        r = p.agg(
+            (F.sum(F.length("doc_ids_enc")) + F.sum(F.length("tfs_enc"))
+             + F.sum(F.length("dls_enc"))).alias("b")
+        ).collect()[0]
+        return int(r["b"])
+
+    codec_bytes = {"varint": _stream_bytes(wcidx.postings)}
+    for cdc in ("pfor", "ef"):
+        codec_bytes[cdc] = _stream_bytes(
+            _reencode_postings(wcidx.postings, wcidx.block_size, cdc)
+        )
+
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(WEB_DOCS / timings["build_web50k"], 1)
     print(
@@ -237,6 +260,7 @@ def main() -> None:
                 "index_docs_per_sec": docs_per_sec,
                 "serve_ms_per_query": serve_ms_per_query,
                 "serve_job_ms_per_query": serve_job_ms_per_query,
+                "codec_bytes": codec_bytes,
                 "cpus": cpus,
             }
         )
