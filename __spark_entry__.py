@@ -4391,6 +4391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "decontam_flags": q_decontam_flags,
         "phrase_topk": q_phrase_topk,
+        "sdm_topk": q_sdm_topk,
         "proximity_topk": q_proximity_topk,
         "snippet_spans": q_snippet_spans,
         "suggest_terms": q_suggest_terms,
@@ -5143,6 +5144,131 @@ def _phrase_slots_values() -> str:
         for slot, term in enumerate(tokenize(content, do_stem=False)):
             vals.append(f"('{qid}', {slot}, '{term}')")
     return ", ".join(vals)
+
+
+SDM_LAMBDAS, SDM_MU, SDM_W = (0.8, 0.1, 0.1), 2000.0, 8
+
+
+def _sdm_slots_values() -> str:
+    out, counters = [], {}
+    for q, t in QUERY_TOKENS:
+        i = counters.get(q, 0)
+        counters[q] = i + 1
+        out.append(f"('{q}', {i}, '{t}')")
+    return ", ".join(out)
+
+
+def q_sdm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential Dependence Model (Metzler & Croft SIGIR'05, the
+    Indri/Galago default): Dirichlet-smoothed unigram + ordered-adjacent +
+    unordered-window-8 features over the positional index, weighted
+    0.8/0.1/0.1. The oracle replays positions, both pair counters, the
+    collection frequencies, the zero-cf feature drop, and the smoothed
+    zero-tf contributions per candidate."""
+    from fulltextsearch_spark.operators.positional import (
+        build_positional_index,
+        search_sdm,
+    )
+
+    idx = build_positional_index(_docs(spark, sf_dir), stem=False)
+    res = search_sdm(
+        idx, _query_frame(spark), lambdas=SDM_LAMBDAS, mu=SDM_MU,
+        window=SDM_W, k=TOPK,
+    )
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sdm_sql() -> str:
+    lt, lo, lu = SDM_LAMBDAS
+    mu, w = SDM_MU, SDM_W
+    return f"""
+WITH {_tok_cte()},
+pos AS (SELECT doc_id, unnest(tokens) AS term,
+               unnest(generate_series(0, len(tokens)-1)) AS pos
+        FROM toks),
+stats AS (SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+                 sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl FROM dls),
+slots AS (SELECT * FROM (VALUES {_sdm_slots_values()}) v(query_id, slot, term)),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+cft AS (SELECT term, count(*)::DOUBLE AS cf FROM tok
+        WHERE term IN (SELECT term FROM slots) GROUP BY 1),
+cand AS (
+  SELECT DISTINCT s.query_id, t.doc_id
+  FROM (SELECT DISTINCT query_id, term FROM slots) s JOIN tf t USING (term)
+),
+st AS (
+  SELECT c.query_id, c.doc_id,
+         sum(ln((coalesce(t.tf, 0)::DOUBLE + {mu!r} * u.cf / (s.avgdl * s.n_docs))
+                / (dls.dl::DOUBLE + {mu!r}))) AS st
+  FROM cand c JOIN slots sl ON sl.query_id = c.query_id
+  JOIN cft u ON u.term = sl.term
+  LEFT JOIN tf t ON t.term = sl.term AND t.doc_id = c.doc_id
+  JOIN dls ON dls.doc_id = c.doc_id CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.query_id, a.slot, a.term AS t1, b.term AS t2
+  FROM slots a JOIN slots b ON b.query_id = a.query_id AND b.slot = a.slot + 1
+),
+odc AS (
+  SELECT v.query_id, v.slot, p1.doc_id, count(*)::BIGINT AS od
+  FROM pairs v JOIN pos p1 ON p1.term = v.t1
+  JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.term = v.t2
+            AND p2.pos = p1.pos + 1
+  GROUP BY 1, 2, 3
+),
+udc AS (
+  SELECT v.query_id, v.slot, p1.doc_id, count(*)::BIGINT AS ud
+  FROM pairs v JOIN pos p1 ON p1.term = v.t1
+  JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.term = v.t2
+            AND p2.pos <> p1.pos AND abs(p2.pos - p1.pos) < {w}
+  GROUP BY 1, 2, 3
+),
+cfo AS (SELECT query_id, slot, sum(od)::DOUBLE AS cf FROM odc
+        GROUP BY 1, 2 HAVING sum(od) > 0),
+cfu AS (SELECT query_id, slot, sum(ud)::DOUBLE AS cf FROM udc
+        GROUP BY 1, 2 HAVING sum(ud) > 0),
+so AS (
+  SELECT c.query_id, c.doc_id,
+         sum(ln((coalesce(o.od, 0)::DOUBLE + {mu!r} * f.cf / (s.avgdl * s.n_docs))
+                / (dls.dl::DOUBLE + {mu!r}))) AS so
+  FROM cand c JOIN cfo f ON f.query_id = c.query_id
+  LEFT JOIN odc o ON o.query_id = c.query_id AND o.slot = f.slot
+                 AND o.doc_id = c.doc_id
+  JOIN dls ON dls.doc_id = c.doc_id CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+su AS (
+  SELECT c.query_id, c.doc_id,
+         sum(ln((coalesce(o.ud, 0)::DOUBLE + {mu!r} * f.cf / (s.avgdl * s.n_docs))
+                / (dls.dl::DOUBLE + {mu!r}))) AS su
+  FROM cand c JOIN cfu f ON f.query_id = c.query_id
+  LEFT JOIN udc o ON o.query_id = c.query_id AND o.slot = f.slot
+                 AND o.doc_id = c.doc_id
+  JOIN dls ON dls.doc_id = c.doc_id CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT st.query_id, st.doc_id,
+         {lt!r} * st.st + {lo!r} * coalesce(so.so, 0.0)
+         + {lu!r} * coalesce(su.su, 0.0) AS score
+  FROM st LEFT JOIN so USING (query_id, doc_id)
+  LEFT JOIN su USING (query_id, doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM tot
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= {TOPK}
+"""
 
 
 def _phrase_sql() -> str:
@@ -7440,6 +7566,7 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 ORDER BY doc_id
 """,
         "phrase_topk": _phrase_sql(),
+        "sdm_topk": _sdm_sql(),
         "proximity_topk": _proximity_sql(),
         "snippet_spans": _snippet_sql(),
         "suggest_terms": _suggest_sql(),

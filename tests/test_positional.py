@@ -234,3 +234,88 @@ def test_span_first_occurrences_and_rank(index, spark):
     # doc_id tie-break picks doc 0 over doc 4.
     assert sorted(by_q["b"])[0] == (1, 0)
     assert len(by_q["a"]) == 3
+
+
+def test_sdm_matches_python_replay(spark):
+    """SDM vs a full Python replay: unigram + ordered + unordered-window
+    Dirichlet features, collection frequencies, zero-cf drops, zero-tf
+    smoothing, identical-term pairs, lambda weighting, tiebreak."""
+    import math
+    from collections import Counter, defaultdict
+
+    from fulltextsearch_spark.functions.tokenizer import tokenize
+    from fulltextsearch_spark.operators.positional import (
+        build_positional_index,
+        search_sdm,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta alpha beta"),
+        (1, "alpha delta beta gamma alpha"),
+        (2, "alpha alpha alpha zeta"),
+        (3, "beta gamma epsilon epsilon beta"),
+        (4, "unrelated words here alpha"),
+        (5, ""),
+    ]
+    LAM, MU, W, K = (0.7, 0.2, 0.1), 500.0, 4, 5
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    idx = build_positional_index(docs)
+    qs = [("q1", "alpha beta"), ("q2", "beta gamma epsilon"),
+          ("q3", "alpha alpha"), ("q4", "zzz missing")]
+    qdf = spark.createDataFrame(qs, ["query_id", "content"])
+    got = {}
+    for r in search_sdm(idx, qdf, lambdas=LAM, mu=MU, window=W, k=K).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+        )
+
+    toks = {d: tokenize(t, do_stem=False) for d, t in rows}
+    dl = {d: len(t) for d, t in toks.items()}
+    C = sum(dl.values())  # == avgdl * n_docs by construction
+    cf = Counter()
+    for t in toks.values():
+        cf.update(t)
+
+    def positions(d, t):
+        return [i for i, x in enumerate(toks[d]) if x == t]
+
+    def od_count(d, a, b):
+        pb = set(positions(d, b))
+        return sum(1 for p in positions(d, a) if p + 1 in pb)
+
+    def ud_count(d, a, b):
+        pb = positions(d, b)
+        return sum(
+            1 for p in positions(d, a) for q2 in pb if q2 != p and abs(q2 - p) < W
+        )
+
+    for qid, content in qs:
+        q = tokenize(content, do_stem=False)
+        cands = sorted({d for d in toks for t in set(q) if t in toks[d]} )
+        cands = [d for d in cands if any(t in toks[d] for t in q)]
+        if not any(cf[t] for t in q):
+            assert qid not in got
+            continue
+        prs = list(zip(q, q[1:]))
+        cfo = {i: sum(od_count(d, a, b) for d in toks) for i, (a, b) in enumerate(prs)}
+        cfu = {i: sum(ud_count(d, a, b) for d in toks) for i, (a, b) in enumerate(prs)}
+        scores = {}
+        for d in cands:
+            st = sum(
+                math.log((toks[d].count(t) + MU * cf[t] / C) / (dl[d] + MU))
+                for t in q if cf[t] > 0
+            )
+            so = sum(
+                math.log((od_count(d, a, b) + MU * cfo[i] / C) / (dl[d] + MU))
+                for i, (a, b) in enumerate(prs) if cfo[i] > 0
+            )
+            su = sum(
+                math.log((ud_count(d, a, b) + MU * cfu[i] / C) / (dl[d] + MU))
+                for i, (a, b) in enumerate(prs) if cfu[i] > 0
+            )
+            scores[d] = LAM[0] * st + LAM[1] * so + LAM[2] * su
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:K]
+        have = sorted(got.get(qid, []))
+        assert [d for _, d, _ in have] == [d for d, _ in want], qid
+        for (rk, d, s), (wd, ws) in zip(have, want):
+            assert abs(s - ws) < 1e-6, (qid, d)
