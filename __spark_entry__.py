@@ -1427,6 +1427,80 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir), chunk_size=32, overlap=8)
 
 
+def q_maxp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage retrieval with MaxP doc aggregation (Callan SIGIR'94 /
+    Dai & Callan SIGIR'19's sparse ancestor): 32-token passages (overlap
+    8) scored as their own BM25 corpus (passage-native N/avgdl/df), docs
+    ranked by their best passage (lowest chunk wins score ties). The
+    oracle replays chunking, passage stats, scoring, and the rollup."""
+    from fulltextsearch_spark.operators.chunking import search_maxp
+
+    res = search_maxp(
+        _docs(spark, sf_dir), _query_frame(spark),
+        chunk_size=32, overlap=8, k=TOPK, k1=K1, b=B,
+    )
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        F.col("best_chunk").cast("long").alias("best_chunk"),
+    )
+
+
+_MAXP_SQL = f"""
+WITH {{tok_cte}},
+st AS (
+  SELECT doc_id, tokens,
+         unnest(generate_series(0, greatest(len(tokens) - 1, 0), 24)) AS start_tok
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, (start_tok // 24)::BIGINT AS chunk_id,
+         list_slice(tokens, start_tok + 1, start_tok + 32) AS w
+  FROM st
+),
+ch AS (SELECT doc_id, chunk_id, w, len(w)::BIGINT AS n_tokens
+       FROM chunks WHERE len(w) >= 1),
+stats AS (SELECT count(*)::BIGINT AS n_chunks,
+                 sum(n_tokens)::DOUBLE / count(*) AS avgdl FROM ch),
+ctf AS (
+  SELECT doc_id, chunk_id, n_tokens, unnest(w) AS term FROM ch
+),
+ctf2 AS (
+  SELECT doc_id, chunk_id, n_tokens, term, count(*)::BIGINT AS tf
+  FROM ctf GROUP BY 1, 2, 3, 4
+),
+cdf AS (SELECT term, count(*)::BIGINT AS df FROM ctf2 GROUP BY 1),
+qt AS (SELECT * FROM (VALUES {{qtoks}}) AS v(query_id, term)),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qt GROUP BY 1, 2),
+cs AS (
+  SELECT q.query_id, c.doc_id, c.chunk_id,
+         sum(q.qtf * ln((s.n_chunks - d.df + 0.5)/(d.df + 0.5) + 1.0) *
+             (c.tf * ({K1} + 1.0)) /
+             (c.tf + {K1} * (1.0 - {B} + {B} * c.n_tokens / s.avgdl))) AS cscore
+  FROM qtf q JOIN ctf2 c ON c.term = q.term JOIN cdf d ON d.term = q.term
+  CROSS JOIN stats s
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT query_id, doc_id, cscore AS score, chunk_id AS best_chunk FROM (
+    SELECT query_id, doc_id, chunk_id, cscore,
+           row_number() OVER (PARTITION BY query_id, doc_id
+                              ORDER BY cscore DESC, chunk_id ASC) AS rn
+    FROM cs) WHERE rn = 1
+),
+ranked AS (
+  SELECT query_id, doc_id, score, best_chunk,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM best
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 4) AS score, best_chunk::BIGINT AS best_chunk
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 SEQ_LEN = 64
 
 
@@ -4376,6 +4450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "chunk_docs": q_chunk_docs,
+        "maxp_topk": q_maxp_topk,
         "packed_sequences": q_packed_sequences,
         "packed_tokens": q_packed_tokens,
         "nb_quality": q_nb_quality,
@@ -8123,6 +8198,7 @@ FROM win WHERE len(w) >= 1
 """,
         "packed_sequences": _PACKED_SQL.format(tok_cte=_tok_cte()),
         "packed_tokens": _PACKED_TOKENS_SQL.format(tok_cte=_tok_cte()),
+        "maxp_topk": _MAXP_SQL.format(tok_cte=_tok_cte(), qtoks=_values_query_tokens()),
         "nb_quality": _NB_QUALITY_SQL.format(tok_cte=_tok_cte()),
         "extract_text": _extract_sql(),
         "ngram_jaccard": """

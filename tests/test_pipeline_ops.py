@@ -873,3 +873,66 @@ def test_materialize_and_shard_roundtrip(spark, tmp_path):
     assert back.count() == len(want)
     shard_of = {r["seq_id"]: r["shard"] for r in back.collect()}
     assert all(shard_of[s] == s // 4 for s in shard_of)
+
+
+def test_maxp_matches_python_replay(spark):
+    """MaxP passage retrieval vs a Python replay: passage-native BM25 stats,
+    best-passage rollup with the lowest-chunk tiebreak, and the long-doc
+    rationale (a doc with one on-topic passage beats whole-doc dilution)."""
+    import math
+    from collections import Counter
+
+    from fulltextsearch_spark.functions.tokenizer import tokenize
+    from fulltextsearch_spark.operators.chunking import search_maxp
+
+    on_topic = "quantum relay core stable field"
+    rows = [
+        (0, " ".join(f"pad0x{j}" for j in range(60)) + " " + on_topic),
+        (1, on_topic + " " + " ".join(f"pad1x{j}" for j in range(8))),
+        (2, " ".join(f"noise{j}" for j in range(40))),
+        (3, "quantum " + " ".join(f"fill{j}" for j in range(20))),
+    ]
+    CS, OV, K1b, Bb, K = 16, 4, 1.2, 0.75, 5
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    qdf = spark.createDataFrame([("q1", "quantum relay")], ["query_id", "content"])
+    got = [
+        (r["rank"], r["doc_id"], round(r["score"], 8), r["best_chunk"])
+        for r in search_maxp(docs, qdf, chunk_size=CS, overlap=OV, k=K,
+                             k1=K1b, b=Bb).collect()
+    ]
+
+    # Python replay
+    step = CS - OV
+    passages = []  # (doc_id, chunk_id, tokens)
+    for d, text in rows:
+        toks = tokenize(text, do_stem=False)
+        for s in range(0, max(len(toks) - 1, 0) + 1, step):
+            w = toks[s : s + CS]
+            if w:
+                passages.append((d, s // step, w))
+    N = len(passages)
+    avgdl = sum(len(w) for _, _, w in passages) / N
+    df = Counter()
+    for _, _, w in passages:
+        df.update(set(w))
+    q = tokenize("quantum relay", do_stem=False)
+    qtf = Counter(q)
+    best = {}
+    for d, c, w in passages:
+        tf = Counter(w)
+        s = 0.0
+        for t, m in qtf.items():
+            if tf[t] == 0 or df[t] == 0:
+                continue
+            idf = math.log((N - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += m * idf * (tf[t] * (K1b + 1)) / (
+                tf[t] + K1b * (1 - Bb + Bb * len(w) / avgdl)
+            )
+        if s > 0 and (d not in best or (s, -c) > (best[d][0], -best[d][1])):
+            best[d] = (s, c)
+    want = sorted(best.items(), key=lambda kv: (-kv[1][0], kv[0]))[:K]
+    want = [(i + 1, d, round(s, 8), c) for i, (d, (s, c)) in enumerate(want)]
+    assert sorted(got) == want
+    # the buried-passage doc (0) must rank at/above the diluted partial (3)
+    ranks = {d: r for r, d, _, _ in got}
+    assert ranks[0] < ranks[3]
