@@ -2525,6 +2525,30 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+XCONTAM_OFFSET = 1 << 40
+
+
+def q_cross_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate train-test contamination: the MinHash-LSH pipeline
+    over corpus x benchmark (benchmark = every 25th doc lightly edited by
+    a prepended token — the edit exact n-gram decontamination would need
+    8 grams to absorb, but shingle Jaccard sees through). Only cross-side
+    collisions survive; ids rebased. Same exact-M61 oracle machinery as
+    minhash_pairs over the unioned source."""
+    from fulltextsearch_spark.operators.dedup import cross_contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 25 == 0).select(
+        "doc_id", F.concat(F.lit("bmk "), F.col("text")).alias("text")
+    )
+    out = cross_contamination(
+        docs, bench, threshold=0.3, shingle_k=8, bench_offset=XCONTAM_OFFSET
+    )
+    return out.select(
+        "corpus_doc_id", "bench_doc_id", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
 def q_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup quality gate: recall/precision of the MinHash-LSH candidate
     pipeline against exact 8-shingle Jaccard ground truth at the same 0.3
@@ -4476,6 +4500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "dedup_canonical": q_dedup_canonical,
         "minhash_pairs": q_minhash_pairs,
+        "cross_contamination": q_cross_contamination,
         "neardup_recall": q_neardup_recall,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
@@ -5676,19 +5701,34 @@ def _kr_sql(expr: str) -> str:
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(src_sql: str | None = None, cross_offset: int | None = None) -> str:
     """Recompute MinHash-LSH pairs end-to-end in DuckDB: shingle hashes,
-    128 permutations, 32 bands x 4 rows, bucket-size guard, est_jaccard."""
+    128 permutations, 32 bands x 4 rows, bucket-size guard, est_jaccard.
+    ``src_sql`` swaps the (doc_id, text) source; ``cross_offset`` keeps
+    only corpus-x-benchmark pairs and rebases the benchmark id."""
     from fulltextsearch_spark.operators.dedup import _perm_params
 
     a, b = _perm_params(128, seed=1)
     perm_rows = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(128))
+    src = src_sql or "SELECT doc_id, text FROM documents"
+    if cross_offset is None:
+        final = """
+SELECT da::BIGINT AS doc_id_a, db::BIGINT AS doc_id_b, round(ej, 4) AS est_jaccard
+FROM est WHERE ej >= 0.3
+"""
+    else:
+        final = f"""
+SELECT da::BIGINT AS corpus_doc_id, (db - {cross_offset})::BIGINT AS bench_doc_id,
+       round(ej, 4) AS est_jaccard
+FROM est WHERE ej >= 0.3 AND da < {cross_offset} AND db >= {cross_offset}
+"""
     return f"""
 WITH perms AS (SELECT * FROM (VALUES {perm_rows}) p(pid, a, b)),
+src AS ({src}),
 sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
       range(1, greatest(length(text) - 8, 0) + 2), i -> substr(text, i::INT, 8)))) AS s
-  FROM documents
+  FROM src
 ),
 hs AS (SELECT doc_id, {_kr_sql('s')} AS h FROM sh),
 sigs AS (
@@ -5715,9 +5755,7 @@ est AS (
   JOIN sigs y ON y.doc_id = c.db AND y.pid = x.pid
   GROUP BY 1, 2
 )
-SELECT da::BIGINT AS doc_id_a, db::BIGINT AS doc_id_b, round(ej, 4) AS est_jaccard
-FROM est WHERE ej >= 0.3
-"""
+{final}"""
 
 
 def _neardup_recall_sql() -> str:
@@ -8409,6 +8447,15 @@ SELECT doc_id::BIGINT AS media_id,
 FROM v
 """,
         "minhash_pairs": _minhash_sql(),
+        "cross_contamination": _minhash_sql(
+            src_sql=(
+                "SELECT doc_id, text FROM documents "
+                "UNION ALL "
+                f"SELECT doc_id + {XCONTAM_OFFSET}, 'bmk ' || text "
+                "FROM documents WHERE doc_id % 25 = 0"
+            ),
+            cross_offset=XCONTAM_OFFSET,
+        ),
         "neardup_recall": _neardup_recall_sql(),
         "simhash_pairs": _simhash_sql(),
         "winnow_fingerprints": _winnow_sql(),

@@ -53,6 +53,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "connected_components",
     "dedup_by_components",
+    "cross_contamination",
 ]
 
 _MERSENNE = M61
@@ -512,4 +513,54 @@ def lsh_recall_eval(
             .otherwise(F.lit(0.0))
             .alias("precision"),
         )
+    )
+
+
+def cross_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    seed: int = 1,
+    max_bucket: int = 1000,
+    bench_offset: int = 1 << 40,
+) -> DataFrame:
+    """(corpus_doc_id, bench_doc_id, est_jaccard) — NEAR-duplicate
+    train-test contamination between a corpus and a benchmark/eval set.
+
+    Exact n-gram decontamination (operators/decontam.py, the GPT-3 App. C
+    rule) misses lightly edited copies — reformatted, re-punctuated, or
+    partially rewritten test items inside the crawl. This runs the SAME
+    MinHash-LSH machinery as within-corpus dedup over the tagged union of
+    both tables (benchmark ids shifted into a disjoint range) and keeps
+    only the cross-side collisions — the published near-dup-contamination
+    audit (e.g. the fuzzy dedup the GPT-3/PaLM reports describe running
+    against their eval sets).
+
+    ``bench_offset`` must exceed every corpus doc_id (caller contract —
+    validating it would cost a corpus pass). Scale shape inherits from
+    :func:`minhash_lsh_pairs`: banded buckets, giant-bucket guard, no
+    all-pairs stage; the benchmark side is tiny, so almost all buckets
+    are corpus-only and drop at the cross-side filter.
+    """
+    tagged = corpus.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    ).unionByName(
+        benchmark.select(
+            (F.col("doc_id") + F.lit(bench_offset)).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
+    )
+    pairs = minhash_lsh_pairs(
+        tagged, "text", num_perm, bands, shingle_k, threshold, seed, max_bucket
+    )
+    return pairs.where(
+        (F.col("doc_id_a") < bench_offset) & (F.col("doc_id_b") >= bench_offset)
+    ).select(
+        F.col("doc_id_a").alias("corpus_doc_id"),
+        (F.col("doc_id_b") - F.lit(bench_offset)).cast("long").alias("bench_doc_id"),
+        "est_jaccard",
     )

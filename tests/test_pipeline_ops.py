@@ -936,3 +936,32 @@ def test_maxp_matches_python_replay(spark):
     # the buried-passage doc (0) must rank at/above the diluted partial (3)
     ranks = {d: r for r, d, _, _ in got}
     assert ranks[0] < ranks[3]
+
+
+def test_cross_contamination_finds_edited_copies_only_across_sides(spark):
+    from pyspark.sql import functions as F
+
+    from fulltextsearch_spark.operators.dedup import cross_contamination
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    corpus = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),  # within-corpus exact dup — must NOT appear cross-side
+            (2, "completely different content about spark query engines and joins"),
+            (3, "unrelated third document talking about fish and rivers and boats"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    bench = spark.createDataFrame(
+        [
+            (0, "PREFIX " + base),  # lightly edited copy -> contaminated
+            (1, "nothing in common with any training document whatsoever okay"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = cross_contamination(corpus, bench, threshold=0.3, shingle_k=8).collect()
+    pairs = {(r["corpus_doc_id"], r["bench_doc_id"]) for r in got}
+    assert (0, 0) in pairs and (1, 0) in pairs  # both corpus copies flagged
+    assert all(b == 0 for _, b in pairs)  # the unrelated bench doc is clean
+    assert all(r["est_jaccard"] >= 0.3 for r in got)
