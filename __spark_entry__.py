@@ -239,6 +239,31 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_topk(spark, sf_dir, "bm25", stem=False)
 
 
+def q_federated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated scatter-gather: the corpus split into two doc-range shards
+    built INDEPENDENTLY, queried as one federation with global statistics
+    (summed df, federation-wide N/avgdl from the shards' own build
+    artifacts — the distributed-IR pitfall per-shard idf would create).
+    Provably rank/score-identical to the monolithic index: this entry
+    SHARES bm25_topk's oracle."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.federated import search_federated
+    from fulltextsearch_spark.operators.index_build import build_index
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    shard_a = build_index(spark, docs.where(F.col("doc_id") < n // 2), cfg, persist=False)
+    shard_b = build_index(spark, docs.where(F.col("doc_id") >= n // 2), cfg, persist=False)
+    res = search_federated([shard_a, shard_b], _query_frame(spark), cfg)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 CHAMP_M = 5  # per-term champion list length — small so pruning is exercised
 
 
@@ -4395,6 +4420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_summary": q_postings_summary,
         "bm25_topk": q_bm25_topk,
         "champion_topk": q_champion_topk,
+        "federated_topk": q_federated_topk,
         "tiered_topk": q_tiered_topk,
         "rm3_topk": q_rm3_topk,
         "clarity": q_clarity,
@@ -7253,6 +7279,7 @@ FROM unioned WHERE rank <= {TOPK}
         "bm25_topk_serve": _scored_sql(bm25),
         "bm25_topk_pfor": _scored_sql(bm25),
         "bm25_topk_ef": _scored_sql(bm25),
+        "federated_topk": _scored_sql(bm25),
         "bm25_topk_incremental": _scored_sql(bm25),
         "bm25_topk_resumable": _scored_sql(bm25),
         "bm25_topk_merged": _scored_sql(bm25),
