@@ -239,6 +239,43 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_topk(spark, sf_dir, "bm25", stem=False)
 
 
+def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion round trip: deterministic WARC/1.0 response records
+    synthesized from the documents table (url/date from doc_id, payload an
+    html wrap of the text), then parsed back by the Content-Length-framed
+    record walker. The oracle constructs the expected (url, date, bytes,
+    md5) directly from documents — the round trip must reproduce them."""
+    from fulltextsearch_spark.sources.warc import parse_warc, synth_warc_records
+
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://crawl.test/p/"), F.col("doc_id")).alias("url"),
+        F.expr(
+            "timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")),
+            "UTF-8",
+        ).alias("html"),
+    )
+    parsed = parse_warc(synth_warc_records(pages))
+    return parsed.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_date"),
+        F.length("html").cast("long").alias("n_bytes"),
+        F.md5("html").alias("html_md5"),
+    )
+
+
+_WARC_SQL = """
+SELECT 'https://crawl.test/p/' || doc_id AS url,
+       strftime(TIMESTAMP '2024-03-01 00:00:00' + doc_id * INTERVAL 1 SECOND,
+                '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+       length('<html><body>' || text || '</body></html>')::BIGINT AS n_bytes,
+       md5('<html><body>' || text || '</body></html>') AS html_md5
+FROM documents
+"""
+
+
 def q_federated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Federated scatter-gather: the corpus split into two doc-range shards
     built INDEPENDENTLY, queried as one federation with global statistics
@@ -4421,6 +4458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "champion_topk": q_champion_topk,
         "federated_topk": q_federated_topk,
+        "warc_parse": q_warc_parse,
         "tiered_topk": q_tiered_topk,
         "rm3_topk": q_rm3_topk,
         "clarity": q_clarity,
@@ -7280,6 +7318,7 @@ FROM unioned WHERE rank <= {TOPK}
         "bm25_topk_pfor": _scored_sql(bm25),
         "bm25_topk_ef": _scored_sql(bm25),
         "federated_topk": _scored_sql(bm25),
+        "warc_parse": _WARC_SQL,
         "bm25_topk_incremental": _scored_sql(bm25),
         "bm25_topk_resumable": _scored_sql(bm25),
         "bm25_topk_merged": _scored_sql(bm25),

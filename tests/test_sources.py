@@ -220,3 +220,73 @@ def test_build_compressed_index_pyfiles_identical(spark, tmp_path):
         (r["doc_id"], r["dl"]) for r in idx.doc_stats.collect()
     )
     assert ds(pyf) == ds(jvm)
+
+
+# --- WARC source -------------------------------------------------------------
+
+
+def test_warc_roundtrip_and_content_length_framing(spark):
+    """Multi-record blobs parse by Content-Length — including a payload that
+    CONTAINS the record separator — and non-response records drop."""
+    import datetime as dt
+
+    from fulltextsearch_spark.sources.warc import (
+        parse_warc,
+        warc_record_bytes,
+    )
+
+    ts = dt.datetime(2024, 5, 1, 12, 0, 0)
+    trap = b"<html>first\r\n\r\nsecond</html>"  # separator INSIDE the payload
+    r1 = warc_record_bytes("https://a.test/1", ts, trap)
+    r2 = warc_record_bytes("https://b.test/2", ts, "<p>café</p>".encode())
+    warcinfo = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 5\r\n\r\nhello\r\n\r\n"
+    )
+    blob = r1 + warcinfo + r2  # one segment file, three records
+    df = spark.createDataFrame([(blob,)], "content BINARY")
+    rows = sorted(parse_warc(df).collect(), key=lambda r: r["url"])
+    assert [r["url"] for r in rows] == ["https://a.test/1", "https://b.test/2"]
+    assert bytes(rows[0]["html"]) == trap
+    assert bytes(rows[1]["html"]).decode() == "<p>café</p>"
+    assert rows[0]["warc_ts"] == ts
+
+
+def test_warc_synth_matches_scalar_builder(spark):
+    import datetime as dt
+
+    from fulltextsearch_spark.sources.warc import (
+        synth_warc_records,
+        warc_record_bytes,
+    )
+
+    rows = [
+        (f"https://x.test/{i}", dt.datetime(2024, 1, 1, 0, 0, i),
+         f"<html>{i}</html>".encode())
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "url STRING, warc_ts TIMESTAMP, html BINARY")
+    got = sorted(bytes(r["content"]) for r in synth_warc_records(df).collect())
+    want = sorted(warc_record_bytes(u, t, h) for u, t, h in rows)
+    assert got == want
+
+
+def test_warc_parse_feeds_extraction(spark):
+    """The full ingest leg: WARC bytes -> parse -> extract -> text."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from fulltextsearch_spark.operators.extract import extract_pages
+    from fulltextsearch_spark.sources.warc import parse_warc, warc_record_bytes
+
+    ts = dt.datetime(2024, 2, 2)
+    recs = b"".join(
+        warc_record_bytes(
+            f"https://s.test/{i}", ts, f"<html><body>doc {i} words</body></html>".encode()
+        )
+        for i in range(4)
+    )
+    df = spark.createDataFrame([(recs,)], "content BINARY")
+    out = extract_pages(parse_warc(df), out_col="text")
+    got = {r["url"]: r["text"] for r in out.collect()}
+    assert got == {f"https://s.test/{i}": f"doc {i} words" for i in range(4)}
