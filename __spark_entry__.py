@@ -239,6 +239,57 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_topk(spark, sf_dir, "bm25", stem=False)
 
 
+UPSERT_SUFFIX = " upserted fresh content"
+UPSERT_NEW_TEXT = "brand new page about spark merge sort and fast join"
+
+
+def q_bm25_topk_upserted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index lifecycle: upsert (replace-or-insert) — every doc_id % 10 == 0
+    page is refetched with appended text and one brand-new page appends at
+    id N; tombstone-compact + delta-build + segment-merge must be
+    value-identical to a fresh build over the updated corpus, so this
+    entry's oracle is the monolithic BM25 SQL over the UPDATED text."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.compressed_index import build_compressed_index
+    from fulltextsearch_spark.operators.deletes import upsert_docs_compressed
+    from fulltextsearch_spark.operators.wand import search_wand
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    cidx = build_compressed_index(spark, docs, cfg)
+    updated = docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(UPSERT_SUFFIX)).alias("text")
+    )
+    inserted = spark.createDataFrame([(n, UPSERT_NEW_TEXT)], ["doc_id", "text"])
+    new_docs = updated.unionByName(inserted)
+    merged = upsert_docs_compressed(spark, cidx, new_docs, cfg)
+    res = search_wand(merged, _query_frame(spark), cfg)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _upserted_sql() -> str:
+    n_src = (
+        "SELECT doc_id, CASE WHEN doc_id % 10 = 0 "
+        f"THEN text || '{UPSERT_SUFFIX}' ELSE text END AS text FROM documents "
+        "UNION ALL "
+        f"SELECT (SELECT max(doc_id) + 1 FROM documents), '{UPSERT_NEW_TEXT}'"
+    )
+    # the shared monolithic oracle, re-pointed at the updated corpus
+    from_docs = "FROM documents"
+    base = _scored_sql(
+        "ln((s.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0) * "
+        f"(tf.tf * ({K1} + 1.0)) / (tf.tf + {K1} * (1.0 - {B} + {B} * dls.dl / s.avgdl))"
+    )
+    assert base.count(from_docs) == 1
+    return base.replace(from_docs, f"FROM ({n_src}) documents")
+
+
 def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingestion round trip: deterministic WARC/1.0 response records
     synthesized from the documents table (url/date from doc_id, payload an
@@ -4459,6 +4510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "champion_topk": q_champion_topk,
         "federated_topk": q_federated_topk,
         "warc_parse": q_warc_parse,
+        "bm25_topk_upserted": q_bm25_topk_upserted,
         "tiered_topk": q_tiered_topk,
         "rm3_topk": q_rm3_topk,
         "clarity": q_clarity,
@@ -7319,6 +7371,7 @@ FROM unioned WHERE rank <= {TOPK}
         "bm25_topk_ef": _scored_sql(bm25),
         "federated_topk": _scored_sql(bm25),
         "warc_parse": _WARC_SQL,
+        "bm25_topk_upserted": _upserted_sql(),
         "bm25_topk_incremental": _scored_sql(bm25),
         "bm25_topk_resumable": _scored_sql(bm25),
         "bm25_topk_merged": _scored_sql(bm25),

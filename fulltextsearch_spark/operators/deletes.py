@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from fulltextsearch_spark.config import DEFAULT_CONFIG, EngineConfig
 from fulltextsearch_spark.operators.index_build import IndexTables
 
-__all__ = ["delete_docs", "delete_docs_compressed"]
+__all__ = ["delete_docs", "delete_docs_compressed", "upsert_docs_compressed"]
 
 
 def delete_docs(index: IndexTables, deleted: DataFrame) -> IndexTables:
@@ -111,3 +111,36 @@ def delete_docs_compressed(
         k1=enc_cfg.k1,
         b=enc_cfg.b,
     )
+
+
+def upsert_docs_compressed(
+    spark,
+    cidx,
+    new_docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    text_col: str = "text",
+):
+    """Document upsert — replace-or-insert pages by doc_id, the index
+    lifecycle op a living crawl needs (a refetched page replaces its old
+    version; a new page appends): tombstone every incoming id out of the
+    base (absent ids are no-ops, so inserts ride the same path), build a
+    delta index over ONLY the new rows, and compact both through the
+    segment merge. The result is value-identical to a fresh build over
+    the updated corpus (N/avgdl recompute through the same A4/A5
+    semantics at each step; pinned by the driver entry sharing the
+    monolithic oracle over the updated text).
+
+    Cost shape: the tombstone compaction rewrites only terms containing a
+    replaced doc; the delta build tokenizes only the new rows; the merge
+    is metadata-only byte concatenation — nothing re-reads the unchanged
+    corpus text.
+    """
+    from fulltextsearch_spark.operators.compressed_index import (  # noqa: PLC0415
+        build_compressed_index,
+    )
+    from fulltextsearch_spark.operators.segments import merge_segments  # noqa: PLC0415
+
+    ids = new_docs.select(F.col("doc_id").cast("long").alias("doc_id")).distinct()
+    base = delete_docs_compressed(cidx, ids, cfg)
+    delta = build_compressed_index(spark, new_docs, cfg, text_col=text_col)
+    return merge_segments([base, delta], cfg)

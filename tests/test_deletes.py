@@ -87,3 +87,59 @@ def test_delete_compressed_compaction(spark, corpus):
         F.explode("postings.doc_id").alias("doc_id")
     )
     assert flat.filter(F.col("doc_id") % 5 == 0).count() == 0
+
+
+def test_upsert_equals_fresh_build_over_updated_corpus(spark):
+    """Replace + insert through tombstone/delta/merge == a from-scratch
+    build over the updated corpus: identical rankings AND identical
+    n_docs/avgdl."""
+    from pyspark.sql import functions as F
+
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.compressed_index import (
+        build_compressed_index,
+    )
+    from fulltextsearch_spark.operators.deletes import upsert_docs_compressed
+    from fulltextsearch_spark.operators.wand import search_wand
+    from fulltextsearch_spark.sources.ingest import assign_dense_doc_ids
+    from fulltextsearch_spark.sources.webpages import QUERY_SET, generate_webpages
+
+    cfg = EngineConfig(k1=1.2, b=0.75, k=10, stem=True)
+    corpus = assign_dense_doc_ids(
+        generate_webpages(spark, 200, seed=31, num_partitions=3), order_col="url"
+    ).select("doc_id", "text")
+    base = build_compressed_index(spark, corpus, cfg)
+    updates = corpus.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.concat(F.lit("zzrepl cat salmon page "), F.col("text")).alias("text")
+    )
+    inserts = spark.createDataFrame(
+        [(200, "entirely new cat salmon fresh page"),
+         (201, "another new swimming swimmer page")],
+        "doc_id LONG, text STRING",
+    )
+    new_docs = updates.unionByName(inserts)
+    merged = upsert_docs_compressed(spark, base, new_docs, cfg)
+
+    updated_corpus = (
+        corpus.join(new_docs.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(new_docs)
+    )
+    fresh = build_compressed_index(spark, updated_corpus, cfg)
+    assert merged.n_docs == fresh.n_docs == 202
+    assert abs(merged.avgdl - fresh.avgdl) < 1e-9
+
+    qdf = spark.createDataFrame(QUERY_SET[:6], ["query_id", "content"])
+    a = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in search_wand(merged, qdf, cfg).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in search_wand(fresh, qdf, cfg).collect()
+    )
+    assert a == b
+    # the replaced docs' NEW content is searchable, old ghosts are gone
+    hits = {r["doc_id"] for r in search_wand(
+        merged, spark.createDataFrame([("qx", "zzrepl")], ["query_id", "content"]),
+        cfg).collect()}
+    assert hits and all(d % 7 == 0 for d in hits)
