@@ -2946,6 +2946,70 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DIMREC_DIMS, DIMREC_QIDS = [16, 32, 64], [0, 7, 21]
+
+
+def q_ann_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation audit (Kusupati et al.
+    NeurIPS'22): recall@10 of cosine search over the first 16/32/64 dims
+    vs the full 64-dim truth, micro-averaged over 3 probe vectors — the
+    embedding-side twin of the MinHash recall gate. Integer counts + one
+    division; dim=64 must reach recall 1.0 by construction."""
+    from fulltextsearch_spark.operators.similarity import dim_truncation_recall
+
+    emb = _embeddings(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    qs = emb.where(F.col("vec_id").isin(DIMREC_QIDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return dim_truncation_recall(emb, qs, dims=DIMREC_DIMS, k=TOPK)
+
+
+def _dim_recall_sql() -> str:
+    qids = ", ".join(str(q) for q in DIMREC_QIDS)
+    parts = []
+    for d in DIMREC_DIMS:
+        parts.append(f"""
+SELECT dim, n_queries, n_hit,
+       round(n_hit / ({TOPK}.0 * {len(DIMREC_QIDS)}), 4) AS recall
+FROM (
+SELECT {d}::BIGINT AS dim, {len(DIMREC_QIDS)}::BIGINT AS n_queries,
+       (SELECT count(*) FROM (
+          SELECT t.query_id, t.vec_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(e.embedding, q.embedding),
+                                             p -> p[1]::DOUBLE * p[2]::DOUBLE))
+                     / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE*x::DOUBLE)))
+                        * sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE*x::DOUBLE))))
+                     DESC, e.vec_id ASC) AS rnk
+            FROM embeddings e CROSS JOIN
+                 (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN ({qids})) q
+          ) t WHERE t.rnk <= {TOPK}
+          ) full_t
+          JOIN (
+          SELECT t.query_id, t.vec_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     list_sum(list_transform(
+                         list_zip(e.embedding[1:{d}], q.embedding[1:{d}]),
+                         p -> p[1]::DOUBLE * p[2]::DOUBLE))
+                     / (sqrt(list_sum(list_transform(e.embedding[1:{d}], x -> x::DOUBLE*x::DOUBLE)))
+                        * sqrt(list_sum(list_transform(q.embedding[1:{d}], x -> x::DOUBLE*x::DOUBLE))))
+                     DESC, e.vec_id ASC) AS rnk
+            FROM embeddings e CROSS JOIN
+                 (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN ({qids})) q
+          ) t WHERE t.rnk <= {TOPK}
+          ) trunc_t
+          USING (query_id, vec_id)
+       )::BIGINT AS n_hit
+)
+""")
+    return " UNION ALL ".join(parts)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search: brute-force cosine top-k vs the vec_id=0 vector."""
     emb = _embeddings(spark, sf_dir).select(
@@ -4622,6 +4686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_dim_recall": q_ann_dim_recall,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
@@ -8608,6 +8673,7 @@ ranked AS (
 SELECT rank::BIGINT AS rank, vec_id, round(sim, 4) AS sim
 FROM ranked WHERE rank <= {TOPK}
 """,
+        "ann_dim_recall": _dim_recall_sql(),
         "lm_perplexity": _lm_perplexity_sql(),
         "phrase_suggest": _phrase_suggest_sql(),
         "bpe_merges": _bpe_merges_sql(),

@@ -63,6 +63,7 @@ __all__ = [
     "build_sq",
     "sq_cosine_topk",
     "ivf_knn_join",
+    "dim_truncation_recall",
 ]
 
 
@@ -1140,4 +1141,57 @@ def ivf_knn_join(
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("vec_id", F.col("rank").cast("long").alias("rank"), "nb_id", "sim")
+    )
+
+
+def dim_truncation_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dims: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "qvec",
+) -> DataFrame:
+    """(dim, n_queries, n_hit, recall) — recall@k of cosine search over the
+    FIRST ``dim`` dimensions vs the full-dimensional ground truth.
+
+    The audit behind Matryoshka-style dimension truncation (Kusupati et
+    al., NeurIPS 2022; OpenAI's `dimensions` parameter): serving at a
+    prefix of the embedding cuts index bytes and FLOPs linearly, and this
+    measures exactly what it costs in retrieval quality — the embedding-
+    side twin of the MinHash `lsh_recall_eval` gate. Recall is micro-
+    averaged: |truncated top-k ∩ full top-k| / (k * queries), ties broken
+    (sim DESC, vec_id ASC) so the metric is deterministic.
+
+    Scale shape: one :func:`brute_cosine_topk` pass per probed dim over
+    vectors truncated by a zero-copy slice projection; the intersection
+    join is k x queries-sized. Probing D dims costs D passes — the point
+    is a small audit sample, not a production query path.
+    """
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    truth = brute_cosine_topk(
+        embeddings, queries, k, id_col, vec_col, q_id_col, q_vec_col
+    ).select(q_id_col, id_col)
+    truth.persist()
+    n_q = queries.select(q_id_col).distinct().count()
+    outs = []
+    for d in dims:
+        emb_d = embeddings.select(
+            id_col, F.slice(F.col(vec_col), 1, int(d)).alias(vec_col)
+        )
+        q_d = queries.select(
+            q_id_col, F.slice(F.col(q_vec_col), 1, int(d)).alias(q_vec_col)
+        )
+        got = brute_cosine_topk(
+            emb_d, q_d, k, id_col, vec_col, q_id_col, q_vec_col
+        ).select(q_id_col, id_col)
+        n_hit = got.join(truth, [q_id_col, id_col], "left_semi").count()
+        outs.append((int(d), int(n_q), int(n_hit), round(n_hit / (k * n_q), 4)))
+    spark = embeddings.sparkSession
+    truth.unpersist()
+    return spark.createDataFrame(
+        outs, "dim LONG, n_queries LONG, n_hit LONG, recall DOUBLE"
     )

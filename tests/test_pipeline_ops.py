@@ -965,3 +965,25 @@ def test_cross_contamination_finds_edited_copies_only_across_sides(spark):
     assert (0, 0) in pairs and (1, 0) in pairs  # both corpus copies flagged
     assert all(b == 0 for _, b in pairs)  # the unrelated bench doc is clean
     assert all(r["est_jaccard"] >= 0.3 for r in got)
+
+
+def test_dim_truncation_recall_properties(spark, emb_df):
+    """Full-dim recall is exactly 1.0; recall is monotone-ish in dim on
+    random vectors (at least: full >= smallest); output shape correct."""
+    from pyspark.sql import functions as F
+
+    from fulltextsearch_spark.operators.similarity import dim_truncation_recall
+
+    qs = emb_df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    dim = len(emb_df.first()["embedding"])
+    out = {r["dim"]: r for r in dim_truncation_recall(
+        emb_df, qs, dims=[max(dim // 8, 1), dim], k=5).collect()}
+    assert out[dim]["recall"] == 1.0 and out[dim]["n_hit"] == 10
+    assert 0.0 <= out[max(dim // 8, 1)]["recall"] <= 1.0
+    assert all(r["n_queries"] == 2 for r in out.values())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dim_truncation_recall(emb_df, qs, dims=[])
