@@ -3345,6 +3345,83 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRIFT_MIN, DRIFT_K = 5, 10
+
+
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-increment drift telemetry: Jensen-Shannon divergence between
+    two snapshot unigram distributions plus the top-10 risers/fallers by
+    smoothed log-ratio. Snapshot A = first half of the corpus; snapshot B
+    = second half with a deterministic injected newcomer token on every
+    3rd doc, so real drift provably registers."""
+    from fulltextsearch_spark.operators.textstats import corpus_drift
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    a = docs.where(F.col("doc_id") < n // 2)
+    b = docs.where(F.col("doc_id") >= n // 2).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" driftterm"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return corpus_drift(a, b, min_count=DRIFT_MIN, k=DRIFT_K)
+
+
+def _corpus_drift_sql() -> str:
+    return f"""
+WITH nn AS (SELECT (max(doc_id)+1)::BIGINT AS nb FROM documents),
+a AS (SELECT doc_id, text FROM documents WHERE doc_id < (SELECT nb FROM nn) // 2),
+b AS (SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' driftterm' ELSE text END AS text
+      FROM documents WHERE doc_id >= (SELECT nb FROM nn) // 2),
+ta AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '{_TOKEN_SPLIT_SQL}'),
+                x -> x <> '' AND x NOT IN ({_stop_list_sql()}))) AS term
+  FROM a
+),
+tb AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '{_TOKEN_SPLIT_SQL}'),
+                x -> x <> '' AND x NOT IN ({_stop_list_sql()}))) AS term
+  FROM b
+),
+ca AS (SELECT term, count(*)::DOUBLE AS ca FROM ta GROUP BY 1),
+cb AS (SELECT term, count(*)::DOUBLE AS cb FROM tb GROUP BY 1),
+ab AS (
+  SELECT coalesce(ca.term, cb.term) AS term,
+         coalesce(ca.ca, 0.0) AS ca, coalesce(cb.cb, 0.0) AS cb
+  FROM ca FULL JOIN cb ON ca.term = cb.term
+),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb2 FROM ab),
+jsd AS (
+  SELECT 'jsd' AS kind, 0::BIGINT AS rank, NULL::VARCHAR AS term,
+         round(0.5 * sum(CASE WHEN ca / t.na > 0
+               THEN (ca / t.na) * ln((ca / t.na) / ((ca / t.na + cb / t.nb2) / 2.0))
+               ELSE 0.0 END)
+             + 0.5 * sum(CASE WHEN cb / t.nb2 > 0
+               THEN (cb / t.nb2) * ln((cb / t.nb2) / ((ca / t.na + cb / t.nb2) / 2.0))
+               ELSE 0.0 END), 6) AS value
+  FROM ab CROSS JOIN tot t
+),
+movers AS (
+  SELECT term,
+         ln(((cb + 0.5) / t.nb2) / ((ca + 0.5) / t.na)) AS lr
+  FROM ab CROSS JOIN tot t WHERE ca + cb >= {DRIFT_MIN}
+),
+risers AS (
+  SELECT 'riser' AS kind, rn::BIGINT AS rank, term, round(lr, 6) AS value FROM (
+    SELECT term, lr, row_number() OVER (ORDER BY lr DESC, term ASC) AS rn FROM movers
+  ) WHERE rn <= {DRIFT_K}
+),
+fallers AS (
+  SELECT 'faller' AS kind, rn::BIGINT AS rank, term, round(lr, 6) AS value FROM (
+    SELECT term, lr, row_number() OVER (ORDER BY lr ASC, term ASC) AS rn FROM movers
+  ) WHERE rn <= {DRIFT_K}
+)
+SELECT * FROM jsd UNION ALL SELECT * FROM risers UNION ALL SELECT * FROM fallers
+"""
+
+
 SIMTERM_K, SIMTERM_MIN = 5, 3
 
 
@@ -4631,6 +4708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "collocations_topk": q_collocations,
         "similar_terms": q_similar_terms,
+        "corpus_drift": q_corpus_drift,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "index_stats": q_index_stats,
@@ -7620,6 +7698,7 @@ FROM events GROUP BY 1, 2
         "cms_term_counts": _cms_sql(),
         "hll_distinct": _hll_sql(),
         "similar_terms": _similar_terms_sql(),
+        "corpus_drift": _corpus_drift_sql(),
         "pipeline_aggs": _PIPELINE_AGGS_SQL,
         "collocations_topk": f"""
 WITH {_tok_cte()},

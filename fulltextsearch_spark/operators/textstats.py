@@ -31,6 +31,7 @@ __all__ = [
     "LANG_STOPWORDS",
     "bigram_lm_scores",
     "collocations",
+    "corpus_drift",
     "similar_terms",
     "vocab_stats",
     "language_expr",
@@ -547,4 +548,96 @@ def similar_terms(
         scored.withColumn("_r", F.row_number().over(win))
         .filter(F.col("_r") <= k)
         .select("probe", "term", "sim", F.col("_r").cast("long").alias("rank"))
+    )
+
+
+def corpus_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    min_count: int = 5,
+    k: int = 10,
+    text_col: str = "text",
+    stem: bool = False,
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots — the telemetry a
+    continuously crawling pipeline runs per increment ("did today's crawl
+    shift?"), the same Jensen-Shannon monitoring the data-quality
+    literature applies to feature drift, here over the engine's own
+    unigram stream.
+
+    Returns tidy rows ``(kind, rank, term, value)``:
+
+    * ``('jsd', 0, NULL, JSD)`` — Jensen-Shannon divergence (natural log)
+      between the two unigram distributions over the union vocabulary;
+      0 = identical, ln 2 = disjoint. Terms absent on one side contribute
+      their finite half-KL part only (0·log0 = 0), so no smoothing is
+      needed for the divergence itself.
+    * ``('riser', r, term, log_ratio)`` / ``('faller', r, term,
+      log_ratio)`` — the k strongest movers by the smoothed log-ratio
+      ``ln(((cb+0.5)/Nb) / ((ca+0.5)/Na))`` among terms with
+      ``ca + cb >= min_count`` (the +0.5 keeps newborn/vanished terms
+      finite and rankable). Ties break term-ASC.
+
+    Scale shape: one tf aggregate per side, a full-outer union-vocabulary
+    join keyed by term, one scalar aggregate for the divergence, and two
+    ``orderBy().limit(k)`` mover selections (TakeOrderedAndProject —
+    distributed partial top-k, no global sort, no single-partition
+    window).
+    """
+    from fulltextsearch_spark.functions.tokenizer import tokenize_udf
+
+    tok = tokenize_udf(do_stem=stem)
+
+    def counts(d):
+        return (
+            d.select(F.explode(tok(F.col(text_col))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        )
+
+    ca = counts(docs_a).withColumnRenamed("c", "ca")
+    cb = counts(docs_b).withColumnRenamed("c", "cb")
+    both = ca.join(cb, "term", "full").select(
+        "term",
+        F.coalesce("ca", F.lit(0.0)).alias("ca"),
+        F.coalesce("cb", F.lit(0.0)).alias("cb"),
+    )
+    tot = both.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb")).collect()[0]
+    na, nb = float(tot["na"]), float(tot["nb"])
+    if na == 0 or nb == 0:
+        raise ValueError("both snapshots need at least one token")
+    p = F.col("ca") / F.lit(na)
+    q = F.col("cb") / F.lit(nb)
+    m = (p + q) / F.lit(2.0)
+    half_kl = lambda x: F.when(x > 0, x * F.log(x / m)).otherwise(F.lit(0.0))  # noqa: E731
+    jsd_row = both.agg(
+        (F.lit(0.5) * F.sum(half_kl(p)) + F.lit(0.5) * F.sum(half_kl(q))).alias("jsd")
+    )
+    spark = docs_a.sparkSession
+    jsd = jsd_row.select(
+        F.lit("jsd").alias("kind"),
+        F.lit(0).cast("long").alias("rank"),
+        F.lit(None).cast("string").alias("term"),
+        F.round("jsd", 6).alias("value"),
+    )
+    movers = both.where(F.col("ca") + F.col("cb") >= min_count).select(
+        "term",
+        F.log(
+            ((F.col("cb") + F.lit(0.5)) / F.lit(nb))
+            / ((F.col("ca") + F.lit(0.5)) / F.lit(na))
+        ).alias("lr"),
+    )
+
+    def top(df, asc: bool, kind: str):
+        ordered = df.orderBy(
+            F.asc("lr") if asc else F.desc("lr"), F.asc("term")
+        ).limit(k)
+        w_rows = ordered.collect()
+        return spark.createDataFrame(
+            [(kind, i + 1, r["term"], round(r["lr"], 6)) for i, r in enumerate(w_rows)],
+            "kind STRING, rank LONG, term STRING, value DOUBLE",
+        )
+
+    return jsd.unionByName(top(movers, False, "riser")).unionByName(
+        top(movers, True, "faller")
     )

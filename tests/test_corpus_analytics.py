@@ -307,3 +307,30 @@ def test_similar_terms_matches_python_replay(spark):
         assert all(abs(h[2] - w[0]) < 1e-6 for h, w in zip(have, want)), probe
     # sanity: 'eats' neighbors its subject/object co-occurrence family
     assert got["eats"], "expected neighbors for 'eats'"
+
+
+def test_corpus_drift_detects_injected_shift(spark):
+    """JSD is 0 for identical snapshots, positive under drift; the injected
+    newcomer tops the risers; a vanished term tops the fallers."""
+    from fulltextsearch_spark.operators.textstats import corpus_drift
+
+    base = [(i, "alpha beta gamma shared words appear everywhere") for i in range(30)]
+    a = spark.createDataFrame(
+        base + [(100 + i, "vanishing token oldword oldword") for i in range(10)],
+        "doc_id LONG, text STRING",
+    )
+    b = spark.createDataFrame(
+        base + [(200 + i, "rising token newword newword newword") for i in range(10)],
+        "doc_id LONG, text STRING",
+    )
+    rows = corpus_drift(a, b, min_count=5, k=3).collect()
+    jsd = [r for r in rows if r["kind"] == "jsd"][0]["value"]
+    assert jsd > 0.0
+    risers = sorted((r["rank"], r["term"]) for r in rows if r["kind"] == "riser")
+    fallers = sorted((r["rank"], r["term"]) for r in rows if r["kind"] == "faller")
+    assert risers[0][1] == "newword"
+    assert fallers[0][1] == "oldword"
+    # identical snapshots -> JSD exactly 0, movers all ~0
+    same = corpus_drift(a, a, min_count=5, k=3).collect()
+    assert [r for r in same if r["kind"] == "jsd"][0]["value"] == 0.0
+    assert all(abs(r["value"]) < 1e-9 for r in same if r["kind"] != "jsd")
