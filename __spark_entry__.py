@@ -2606,6 +2606,108 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware serving ("similar results omitted"): BM25 candidates
+    collapsed to ONE hit per near-dup cluster (cluster key = canonical min
+    doc_id from connected components over the exact-Jaccard pair graph;
+    singletons key to themselves) — the duplicates stay in the index, only
+    the result page collapses. Oracle composes the recursive-CTE closure
+    with the monolithic scored CTE and both collapse windows."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.collapse import collapse_topk
+    from fulltextsearch_spark.operators.dedup import cluster_keys, ngram_jaccard_pairs
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.query import _scored_candidates, query_terms
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs.filter(F.col("doc_id") < 50), shingle_k=8, threshold=0.08
+    )
+    keys = cluster_keys(docs, pairs)
+    idx = build_index(spark, docs, cfg, persist=False)
+    scored = _scored_candidates(idx, query_terms(_query_frame(spark), stem=False), cfg, "bm25")
+    res = collapse_topk(scored, keys, TOPK)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("key").cast("long").alias("key"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _neardup_collapsed_sql() -> str:
+    return f"""
+WITH RECURSIVE {_tok_cte().strip()},
+stats AS (
+  SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+         sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl
+  FROM dls
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qt AS (SELECT * FROM (VALUES {_values_query_tokens()}) AS v(query_id, term)),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qt GROUP BY 1, 2),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln((s.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0) *
+             (tf.tf * ({K1} + 1.0)) /
+             (tf.tf + {K1} * (1.0 - {B} + {B} * dls.dl / s.avgdl))) AS score
+  FROM qtf q JOIN tf ON tf.term = q.term JOIN dft ON dft.term = q.term
+  JOIN dls ON dls.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+d50 AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      range(1, greatest(length(text) - 7, 1) + 1),
+      i -> substr(text, i::INT, 8)))) AS shingle
+  FROM d50
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pr AS (
+  SELECT ia AS a, ib AS b FROM inter
+  JOIN sizes sa ON sa.doc_id = ia
+  JOIN sizes sb ON sb.doc_id = ib
+  WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.08
+),
+edges AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM d50
+  UNION
+  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+),
+ckeys AS (SELECT node AS doc_id, min(comp) AS key FROM reach GROUP BY 1),
+allkeys AS (
+  SELECT d.doc_id, coalesce(c.key, d.doc_id) AS key
+  FROM documents d LEFT JOIN ckeys c USING (doc_id)
+),
+best AS (
+  SELECT query_id, key, doc_id, score FROM (
+    SELECT s.query_id, k.key, s.doc_id, s.score,
+           row_number() OVER (PARTITION BY s.query_id, k.key
+                              ORDER BY s.score DESC, s.doc_id ASC) AS rn
+    FROM scored s JOIN allkeys k USING (doc_id)
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT query_id, key, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM best
+)
+SELECT query_id, rank::BIGINT AS rank, key::BIGINT AS key,
+       doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup MATERIALIZATION: keep one canonical doc (min doc_id) per
     near-dup cluster, all other columns passing through — the step that
@@ -4756,6 +4858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_topk": q_bm25f_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "neardup_clusters": q_neardup_clusters,
+        "neardup_collapsed": q_neardup_collapsed,
         "dedup_canonical": q_dedup_canonical,
         "minhash_pairs": q_minhash_pairs,
         "cross_contamination": q_cross_contamination,
@@ -8525,6 +8628,7 @@ WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.08
 """,
         # transitive closure of the same pair graph: component = min
         # reachable doc_id (recursive CTE; UNION set semantics terminate)
+        "neardup_collapsed": _neardup_collapsed_sql(),
         "neardup_clusters": """
 WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
 sh AS (

@@ -54,6 +54,7 @@ __all__ = [
     "connected_components",
     "dedup_by_components",
     "cross_contamination",
+    "cluster_keys",
 ]
 
 _MERSENNE = M61
@@ -563,4 +564,29 @@ def cross_contamination(
         F.col("doc_id_a").alias("corpus_doc_id"),
         (F.col("doc_id_b") - F.lit(bench_offset)).cast("long").alias("bench_doc_id"),
         "est_jaccard",
+    )
+
+
+def cluster_keys(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, key) — a collapse key per document: its near-dup cluster's
+    canonical (minimum) doc_id, falling back to the doc's own id for
+    singletons.
+
+    The glue between dedup and serving: feed the result to
+    ``collapse.collapse_topk`` and search results show ONE hit per
+    near-duplicate cluster (the web-search "similar results omitted"
+    behavior) WITHOUT destroying the duplicates in the index — unlike
+    ``dedup_by_components``, which removes them from the corpus.
+    """
+    cc = connected_components(pairs)  # (node, comp)
+    canon = cc.groupBy("comp").agg(F.min("node").alias("key"))
+    keyed = cc.join(F.broadcast(canon), "comp").select(
+        F.col("node").alias("doc_id"), "key"
+    )
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(keyed, "doc_id", "left")
+        .select("doc_id", F.coalesce("key", F.col("doc_id")).alias("key"))
     )

@@ -987,3 +987,28 @@ def test_dim_truncation_recall_properties(spark, emb_df):
 
     with _pytest.raises(ValueError):
         dim_truncation_recall(emb_df, qs, dims=[])
+
+
+def test_cluster_keys_and_collapsed_serving(spark):
+    """cluster_keys maps every doc to its cluster canonical (singletons to
+    themselves); collapsing on it keeps one result per near-dup cluster."""
+    from pyspark.sql import functions as F
+
+    from fulltextsearch_spark.operators.collapse import collapse_topk
+    from fulltextsearch_spark.operators.dedup import cluster_keys
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id LONG")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6)], "doc_id_a LONG, doc_id_b LONG"
+    )
+    keys = {r["doc_id"]: r["key"] for r in cluster_keys(docs, pairs).collect()}
+    assert keys == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1, 6: 2, 7: 7}
+    scored = spark.createDataFrame(
+        [("q", d, float(10 - d)) for d in range(8)],
+        "query_id STRING, doc_id LONG, score DOUBLE",
+    )
+    kdf = spark.createDataFrame(list(keys.items()), "doc_id LONG, key LONG")
+    res = collapse_topk(scored, kdf.select("doc_id", "key"), k=10).collect()
+    got = sorted((r["key"], r["doc_id"]) for r in res)
+    # best doc per cluster: cluster 1 -> doc 1 (highest score), cluster 2 -> doc 2
+    assert got == [(0, 0), (1, 1), (2, 2), (4, 4), (7, 7)]
