@@ -4391,6 +4391,111 @@ def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUTOCORRECT_QUERIES = [
+    ("a1", "joinn filtr"),
+    ("a2", "qery qery windw"),
+    ("a3", "dupp"),
+    ("a4", "sparkk mrge sortt fasst"),
+]
+AC_EDITS, AC_LAM = 2, 1.5
+
+
+def q_autocorrect_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correct-then-retrieve ("showing results for ..."): every token of a
+    deliberately misspelled query set autocorrects by the noisy-channel
+    rule (in-dictionary tokens never change; OOV tokens take the argmax of
+    ln(df) - 1.5*edits within 2 Levenshtein, term-ASC ties), then the
+    corrected bag retrieves through the unchanged BM25 scorer. The oracle
+    replays dictionary membership, the levenshtein argmax, and scoring."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.fuzzy import search_autocorrect
+    from fulltextsearch_spark.operators.index_build import build_index
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    idx = build_index(spark, _docs(spark, sf_dir), cfg, persist=False)
+    qdf = spark.createDataFrame(AUTOCORRECT_QUERIES, ["query_id", "content"])
+    res = search_autocorrect(idx, qdf, cfg, max_edits=AC_EDITS, lam=AC_LAM)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _autocorrect_sql() -> str:
+    from fulltextsearch_spark.functions.tokenizer import tokenize
+
+    slot_vals = []
+    for qid, content in AUTOCORRECT_QUERIES:
+        for i, t in enumerate(tokenize(content, do_stem=False)):
+            slot_vals.append(f"('{qid}', {i}, '{t}')")
+    slots = ", ".join(slot_vals)
+    return f"""
+WITH {_tok_cte()},
+stats AS (
+  SELECT (max(doc_id)+1)::BIGINT AS n_docs,
+         sum(dl)::DOUBLE / (max(doc_id)+1) AS avgdl
+  FROM dls
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+slots AS (SELECT * FROM (VALUES {slots}) v(query_id, slot, term)),
+known AS (
+  SELECT s.query_id, s.slot, s.term AS corrected
+  FROM slots s JOIN dft d ON d.term = s.term
+),
+oov AS (
+  SELECT s.query_id, s.slot, s.term AS qterm
+  FROM slots s LEFT JOIN dft d ON d.term = s.term WHERE d.term IS NULL
+),
+cand AS (
+  SELECT o.query_id, o.slot, d.term, d.df,
+         levenshtein(d.term, o.qterm) AS edits
+  FROM oov o JOIN dft d
+    ON abs(length(d.term) - length(o.qterm)) <= {AC_EDITS}
+   AND levenshtein(d.term, o.qterm) <= {AC_EDITS}
+),
+best AS (
+  SELECT query_id, slot, term AS corrected FROM (
+    SELECT query_id, slot, term,
+           row_number() OVER (PARTITION BY query_id, slot
+             ORDER BY ln(df::DOUBLE) - {AC_LAM!r} * edits DESC, term ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+unc AS (
+  SELECT o.query_id, o.slot, o.qterm AS corrected
+  FROM oov o LEFT JOIN best b ON b.query_id = o.query_id AND b.slot = o.slot
+  WHERE b.slot IS NULL
+),
+fixed AS (
+  SELECT * FROM known UNION ALL SELECT * FROM best UNION ALL SELECT * FROM unc
+),
+qtf AS (
+  SELECT query_id, corrected AS term, count(*)::DOUBLE AS qtf
+  FROM fixed GROUP BY 1, 2
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln((s.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0) *
+             (tf.tf * ({K1} + 1.0)) /
+             (tf.tf + {K1} * (1.0 - {B} + {B} * dls.dl / s.avgdl))) AS score
+  FROM qtf q JOIN tf ON tf.term = q.term JOIN dft ON dft.term = q.term
+  JOIN dls ON dls.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def q_boosting_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boosting query (Lucene BoostingQuery / ES boosting): positive BM25
     ranking with docs matching the paired negative clause demoted to
@@ -4792,6 +4897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_counts": q_funnel_counts,
         "cohort_retention": q_cohort_retention,
         "fuzzy_topk": q_fuzzy_topk,
+        "autocorrect_topk": q_autocorrect_topk,
         "boosting_topk": q_boosting_topk,
         "mix_weights": q_mix_weights,
         "stratified_sample": q_stratified_sample,
@@ -7669,6 +7775,7 @@ SELECT r.bucket::BIGINT AS bucket, coalesce(c.n, 0)::BIGINT AS n
 FROM rng r LEFT JOIN counts c USING (bucket)
 """,
         "fuzzy_topk": _fuzzy_sql(),
+        "autocorrect_topk": _autocorrect_sql(),
         "boosting_topk": _boosting_sql(),
         "mix_weights": _mix_weights_sql(),
         "stratified_sample": _stratified_sample_sql(),

@@ -33,7 +33,8 @@ from fulltextsearch_spark.config import DEFAULT_CONFIG, EngineConfig
 from fulltextsearch_spark.operators.index_build import IndexTables
 from fulltextsearch_spark.operators.query import _scored_candidates, topk
 
-__all__ = ["expand_fuzzy", "search_fuzzy"]
+__all__ = ["expand_fuzzy", "search_fuzzy", "autocorrect_terms", "search_autocorrect",
+]
 
 
 def _dictionary(index: IndexTables) -> DataFrame:
@@ -105,3 +106,86 @@ def search_fuzzy(
     return topk(
         _scored_candidates(index, q_terms, cfg, scoring), k if k is not None else cfg.k
     )
+
+
+def autocorrect_terms(
+    index: IndexTables,
+    slots: DataFrame,
+    max_edits: int = 2,
+    lam: float = 1.5,
+) -> DataFrame:
+    """slots(query_id, slot, term) -> (query_id, slot, corrected, edits):
+    noisy-channel spelling correction per query token (Kernighan, Church &
+    Gale 1990 shape): a token present in the index dictionary is NEVER
+    corrected (valid words stay); an OOV token maps to the candidate
+    maximizing ``ln(df) - lam * edits`` (language-model prior minus the
+    error-model penalty) within ``max_edits`` Levenshtein, tie-broken
+    term-ASC; an OOV token with no candidate keeps itself (and will match
+    nothing downstream — the honest outcome for gibberish).
+
+    The candidate join is the same banded levenshtein probe as
+    :func:`expand_fuzzy` (length band + broadcast query side — the skinny
+    dictionary is probed, never shuffled).
+    """
+    d = _dictionary(index)
+    in_dict = slots.join(
+        d.select(F.col("term"), F.lit(1).alias("_hit")), "term", "left"
+    )
+    known = in_dict.where(F.col("_hit").isNotNull()).select(
+        "query_id", "slot", F.col("term").alias("corrected"),
+        F.lit(0).cast("long").alias("edits"),
+    )
+    oov = in_dict.where(F.col("_hit").isNull()).select(
+        "query_id", "slot", F.col("term").alias("qterm")
+    )
+    cond = (
+        F.abs(F.length("term") - F.length("qterm")) <= F.lit(max_edits)
+    ) & (F.levenshtein(F.col("term"), F.col("qterm")) <= F.lit(max_edits))
+    cand = d.join(F.broadcast(oov), on=cond, how="inner").withColumn(
+        "_edits", F.levenshtein(F.col("term"), F.col("qterm"))
+    ).withColumn(
+        "_score",
+        F.log(F.col("df").cast("double")) - F.lit(float(lam)) * F.col("_edits"),
+    )
+    w = Window.partitionBy("query_id", "slot").orderBy(
+        F.desc("_score"), F.asc("term")
+    )
+    best = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id", "slot", F.col("term").alias("corrected"),
+            F.col("_edits").cast("long").alias("edits"),
+        )
+    )
+    uncorrectable = oov.join(
+        best.select("query_id", "slot"), ["query_id", "slot"], "left_anti"
+    ).select(
+        "query_id", "slot", F.col("qterm").alias("corrected"),
+        F.lit(-1).cast("long").alias("edits"),
+    )
+    return known.unionByName(best).unionByName(uncorrectable)
+
+
+def search_autocorrect(
+    index: IndexTables,
+    queries: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    max_edits: int = 2,
+    lam: float = 1.5,
+    k: int | None = None,
+) -> DataFrame:
+    """Correct-then-retrieve ("showing results for ..."): every query token
+    autocorrects via :func:`autocorrect_terms`, then the corrected bag of
+    words runs through the unchanged BM25 scorer with the engine's
+    duplicate-token multiplicity semantics."""
+    from fulltextsearch_spark.operators.positional import phrase_slots
+    from fulltextsearch_spark.operators.query import _scored_candidates, topk
+
+    slots = phrase_slots(queries, stem=cfg.stem)
+    fixed = autocorrect_terms(index, slots, max_edits=max_edits, lam=lam)
+    q_terms = fixed.groupBy("query_id", F.col("corrected").alias("term")).agg(
+        F.count(F.lit(1)).alias("qtf")
+    )
+    scored = _scored_candidates(index, q_terms, cfg, "bm25")
+    return topk(scored, k if k is not None else cfg.k)

@@ -148,3 +148,49 @@ def test_search_boosting_rejects_bad_boost(spark, setup):
     q = spark.createDataFrame([("q", "fish")], ["query_id", "content"])
     with pytest.raises(ValueError):
         search_boosting(idx, q, q, CFG, negative_boost=0.0)
+
+
+def test_autocorrect_noisy_channel_rules(spark):
+    """Valid tokens never change; OOV tokens take the best ln(df)-lam*edits
+    candidate; gibberish keeps itself; corrected retrieval == retrieval of
+    the hand-corrected query."""
+    from pyspark.sql import functions as F
+
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.fuzzy import (
+        autocorrect_terms,
+        search_autocorrect,
+    )
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.query import search
+
+    docs = spark.createDataFrame(
+        [(i, "spark engine runs queries fast " + ("common " * (i % 3)))
+         for i in range(40)] + [(40, "sparse corner word")],
+        "doc_id LONG, text STRING",
+    )
+    cfg = EngineConfig(k1=1.2, b=0.75, k=10, stem=False)
+    idx = build_index(spark, docs, cfg, persist=False)
+    slots = spark.createDataFrame(
+        [("q1", 0, "spark"),    # in dictionary -> unchanged
+         ("q1", 1, "enginee"),  # 1 edit -> engine
+         ("q1", 2, "sparse"),   # valid but 1 edit from 'spark' -> MUST stay
+         ("q1", 3, "zzqxv")],   # gibberish -> keeps itself, edits = -1
+        "query_id STRING, slot LONG, term STRING",
+    )
+    got = {r["slot"]: (r["corrected"], r["edits"])
+           for r in autocorrect_terms(idx, slots).collect()}
+    assert got[0] == ("spark", 0)
+    assert got[1] == ("engine", 1)
+    assert got[2] == ("sparse", 0)
+    assert got[3] == ("zzqxv", -1)
+
+    misspelled = spark.createDataFrame(
+        [("q", "sparrk enginee runns")], ["query_id", "content"]
+    )
+    corrected = spark.createDataFrame(
+        [("q", "spark engine runs")], ["query_id", "content"]
+    )
+    a = sorted(map(tuple, search_autocorrect(idx, misspelled, cfg).collect()))
+    b = sorted(map(tuple, search(idx, corrected, cfg).collect()))
+    assert a == b and a
