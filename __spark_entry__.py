@@ -3761,6 +3761,131 @@ FROM agg CROSS JOIN ex
 """
 
 
+ANN_FILTER_MOD = 3
+ANN_FILTER_PROBES = [0, 7]
+
+
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (the metadata-filter + ANN combination):
+    exact cosine top-k among vec_id % 3 == 0 only — the PRE-filter
+    strategy, correct at any selectivity, with the semi join pushed below
+    the matmul."""
+    from fulltextsearch_spark.operators.similarity import filtered_cosine_topk
+
+    emb = _embeddings(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    qs = emb.where(F.col("vec_id").isin(ANN_FILTER_PROBES)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    allowed = emb.where(F.col("vec_id") % ANN_FILTER_MOD == 0).select("vec_id")
+    out = filtered_cosine_topk(emb, qs, allowed, k=TOPK)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"),
+        "vec_id", F.round("sim", 4).alias("sim"),
+    )
+
+
+def _ann_filtered_sql() -> str:
+    probes = ", ".join(str(p) for p in ANN_FILTER_PROBES)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN ({probes})),
+sims AS (
+  SELECT q.query_id, e.vec_id::BIGINT AS vec_id,
+         list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                 p -> p[1]::DOUBLE * p[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id % {ANN_FILTER_MOD} = 0
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id, round(sim, 4) AS sim
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+HYBRID_ANCHORS = [("q1", 3), ("q2", 17), ("q4", 21), ("q5", 42)]
+
+
+def q_hybrid_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern hybrid search: reciprocal-rank fusion of the lexical BM25
+    top-k with a dense cosine top-k (per-query anchor vectors stand in for
+    query embeddings — vec_id and doc_id are 1:1 in the testdata). Fused
+    scores are exact sums over integer ranks, bit-replayable."""
+    from fulltextsearch_spark.operators.hybrid import rrf_fuse
+    from fulltextsearch_spark.operators.similarity import brute_cosine_topk
+
+    lex = q_bm25_topk(spark, sf_dir).select("query_id", "rank", "doc_id")
+    emb = _embeddings(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    anchors = spark.createDataFrame(HYBRID_ANCHORS, ["qname", "anchor"])
+    qs = emb.where(
+        F.col("vec_id").isin([a for _, a in HYBRID_ANCHORS])
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    vec = (
+        brute_cosine_topk(emb, qs, k=TOPK)
+        .join(F.broadcast(anchors), F.col("query_id") == F.col("anchor"))
+        .select(
+            F.col("qname").alias("query_id"), "rank",
+            F.col("vec_id").alias("doc_id"),
+        )
+    )
+    fused = rrf_fuse([lex, vec], rrf_k=RRF_K, k=TOPK)
+    return fused.select(
+        "query_id", F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _hybrid_vector_sql(bm25_expr: str) -> str:
+    anchors = ", ".join(f"('{q}', {a})" for q, a in HYBRID_ANCHORS)
+    return f"""
+WITH lex AS (SELECT * FROM ({_scored_sql(bm25_expr)})),
+an AS (SELECT * FROM (VALUES {anchors}) v(query_id, anchor)),
+q AS (SELECT an.query_id, e.embedding AS qe
+      FROM an JOIN embeddings e ON e.vec_id = an.anchor),
+sims AS (
+  SELECT q.query_id, e.vec_id::BIGINT AS doc_id,
+         list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                 p -> p[1]::DOUBLE * p[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+  FROM embeddings e CROSS JOIN q
+),
+vec AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id ASC) AS rank
+    FROM sims
+  ) WHERE rank <= {TOPK}
+),
+contrib AS (
+  SELECT query_id, doc_id, 1.0/({RRF_K} + rank) AS c FROM lex
+  UNION ALL
+  SELECT query_id, doc_id, 1.0/({RRF_K} + rank) FROM vec
+),
+fused AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion (rrf_k=60) of the per-query
     BM25 top-k with the global PageRank authority top-k — the classic
@@ -4925,6 +5050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "lpa_communities": q_lpa_communities,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "hybrid_vector_topk": q_hybrid_vector_topk,
+        "ann_filtered_topk": q_ann_filtered_topk,
         "anchor_bm25f_topk": q_anchor_bm25f,
         "facet_counts": q_facet_counts,
         "mlt_topk": q_mlt_topk,
@@ -7957,6 +8084,8 @@ SELECT a.user_id::BIGINT AS user_id, a.session_start_us, a.session_end_us,
        a.n_events
 FROM agg a JOIN last l ON a.user_id = l.user_id AND a.sid < l.maxsid
 """,
+        "hybrid_vector_topk": _hybrid_vector_sql(bm25),
+        "ann_filtered_topk": _ann_filtered_sql(),
         "hybrid_rrf_topk": f"""
 WITH lex AS (SELECT * FROM ({_scored_sql(bm25)})),
 pr AS (SELECT * FROM ({_pagerank_sql()})),

@@ -64,6 +64,7 @@ __all__ = [
     "sq_cosine_topk",
     "ivf_knn_join",
     "dim_truncation_recall",
+    "filtered_cosine_topk",
 ]
 
 
@@ -1195,3 +1196,30 @@ def dim_truncation_recall(
     return spark.createDataFrame(
         outs, "dim LONG, n_queries LONG, n_hit LONG, recall DOUBLE"
     )
+
+
+def filtered_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    allowed: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "qvec",
+) -> DataFrame:
+    """Filtered vector search: exact cosine top-k among an ``allowed`` id
+    set only — the metadata-filter + ANN combination every vector store
+    fights over. This is the PRE-filter strategy (restrict BEFORE
+    scoring): exact top-k over the survivors, correct at any filter
+    selectivity — unlike post-filtering an unfiltered top-k, which
+    silently under-fills when the filter is selective. The filter is a
+    left-semi join pushed below the matmul, so scoring cost scales with
+    the SURVIVING rows (at extreme selectivity this beats any index; at
+    low selectivity swap in the IVF path and filter per probed list —
+    the documented upgrade).
+    """
+    kept = embeddings.join(
+        allowed.select(F.col(allowed.columns[0]).alias(id_col)), id_col, "left_semi"
+    )
+    return brute_cosine_topk(kept, queries, k, id_col, vec_col, q_id_col, q_vec_col)

@@ -1012,3 +1012,38 @@ def test_cluster_keys_and_collapsed_serving(spark):
     got = sorted((r["key"], r["doc_id"]) for r in res)
     # best doc per cluster: cluster 1 -> doc 1 (highest score), cluster 2 -> doc 2
     assert got == [(0, 0), (1, 1), (2, 2), (4, 4), (7, 7)]
+
+
+def test_filtered_cosine_is_prefilter_exact(spark, emb_df, emb_np):
+    """Filtered ANN: results come only from the allowed set and equal the
+    brute-force ranking computed over the survivors (pre-filter, not a
+    post-filtered unfiltered top-k)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fulltextsearch_spark.operators.similarity import filtered_cosine_topk
+
+    ids, m = emb_np
+    allowed_ids = [int(i) for i in ids if i % 4 == 0]
+    allowed = spark.createDataFrame([(i,) for i in allowed_ids], "vec_id LONG")
+    qs = emb_df.where(F.col("vec_id") == int(ids[1])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = [
+        (r["rank"], r["vec_id"])
+        for r in sorted(
+            filtered_cosine_topk(emb_df, qs, allowed, k=5).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    assert all(v % 4 == 0 for _, v in got)
+    # brute replay over the allowed subset only
+    q = m[list(ids).index(ids[1])]
+    sims = {}
+    for i, a in zip(ids, m):
+        if i % 4 == 0:
+            sims[int(i)] = float(
+                np.dot(a, q) / (np.linalg.norm(a) * np.linalg.norm(q))
+            )
+    want = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [v for _, v in got] == [i for i, _ in want]
