@@ -4621,6 +4621,40 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+TRI_REGEXPS: list[tuple[str, str]] = [
+    ("qt1", "cust.*"),        # run 'cust'  -> trigram-prefiltered path
+    ("qt2", "wind[a-z]*"),    # run 'wind'  -> trigram-prefiltered path
+    ("qt2", "val.e"),         # run 'val'   -> trigram-prefiltered path
+    ("qt3", "(join|merge)"),  # alternation -> full-dictionary fallback
+]
+
+
+def q_regexp_tri_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-accelerated regexp search (Cox's Code Search design over the
+    vocabulary): required literal runs become required trigrams, candidate
+    terms come from intersecting the trigram posting map, and only
+    candidates pay RLIKE; patterns with no extractable run (alternations)
+    fall back to the dictionary scan. Result-identical to search_regexp by
+    construction — the oracle IS the plain regexp-expansion SQL."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.multiterm import (
+        build_term_trigrams,
+        search_regexp_trigram,
+    )
+
+    cfg = EngineConfig(k1=K1, b=B, k=TOPK, stem=False)
+    idx = build_index(spark, _docs(spark, sf_dir), cfg, persist=False)
+    tri_map = build_term_trigrams(idx)
+    pats = spark.createDataFrame(TRI_REGEXPS, ["query_id", "pattern"])
+    return search_regexp_trigram(idx, tri_map, pats, cfg).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_boosting_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boosting query (Lucene BoostingQuery / ES boosting): positive BM25
     ranking with docs matching the paired negative clause demoted to
@@ -4998,6 +5032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_expanded": q_bm25_topk_expanded,
         "wildcard_topk": q_wildcard_topk,
         "regexp_topk": q_regexp_topk,
+        "regexp_tri_topk": q_regexp_tri_topk,
         "lmd_topk": q_lmd_topk,
         "collapse_topk": q_collapse_topk,
         "sig_terms": q_sig_terms,
@@ -7862,6 +7897,9 @@ FROM unioned WHERE rank <= {TOPK}
         ),
         "regexp_topk": _multiterm_sql(
             REGEXPS, "regexp_full_match(dd.term, p.pattern)", bm25
+        ),
+        "regexp_tri_topk": _multiterm_sql(
+            TRI_REGEXPS, "regexp_full_match(dd.term, p.pattern)", bm25
         ),
         "lmd_topk": _lmd_sql(),
         "collapse_topk": _collapse_sql(),

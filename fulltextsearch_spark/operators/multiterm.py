@@ -47,6 +47,7 @@ __all__ = [
     "search_regexp",
     "search_wildcard",
     "wildcard_to_like",
+    "build_term_trigrams", "required_literal_runs", "search_regexp_trigram",
 ]
 
 
@@ -126,6 +127,156 @@ def search_regexp(
 ) -> DataFrame:
     """Anchored-regexp analogue of :func:`search_wildcard`."""
     q_terms = expand_patterns(index, patterns, "regexp", max_expansions)
+    return topk(
+        _scored_candidates(index, q_terms, cfg, scoring), k if k is not None else cfg.k
+    )
+
+
+_REGEX_META = set(".*+?[](){}|\\^$")
+
+
+def required_literal_runs(pattern: str, min_len: int = 3) -> list[str]:
+    """Literal substrings every match of ``pattern`` must contain — the
+    required-factor extraction of Cox's trigram code search (conservative
+    subset): maximal runs of plain characters, broken at any regex
+    metacharacter, with a run's LAST character dropped when a quantifier
+    follows it (that character may repeat or vanish). GROUP contents are
+    never collected (a trailing ``?``/``*`` could make them optional —
+    weaker pruning, never wrong), and any alternation anywhere voids all
+    guarantees -> returns [] (no prefilter).
+    """
+    if "|" in pattern:
+        return []
+    runs: list[str] = []
+    cur: list[str] = []
+    i = 0
+    n = len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch in _REGEX_META:
+            if ch in "*+?{" and cur:
+                cur.pop()  # quantifier binds the previous literal
+            if ch == "\\":
+                i += 1  # escaped char: not a plain literal run member
+            if ch == "[":
+                while i < n and pattern[i] != "]":
+                    i += 1
+            if ch == "{":
+                while i < n and pattern[i] != "}":
+                    i += 1
+            if ch == "(":
+                depth = 1
+                while i + 1 < n and depth:
+                    i += 1
+                    if pattern[i] == "(":
+                        depth += 1
+                    elif pattern[i] == ")":
+                        depth -= 1
+            if cur:
+                runs.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        runs.append("".join(cur))
+    return [r for r in runs if len(r) >= min_len]
+
+
+def build_term_trigrams(index: IndexTables) -> DataFrame:
+    """(tri, term) — character-trigram posting map over the vocabulary, the
+    build artifact of trigram-accelerated regex search (persist next to
+    the index like champions/VSM norms). ~(len-2) rows per term."""
+    d = _dictionary(index).select("term")
+    idxs = F.sequence(F.lit(1), F.greatest(F.length("term") - 2, F.lit(0)))
+    return (
+        d.where(F.length("term") >= 3)
+        .select(
+            "term",
+            F.explode(
+                F.transform(idxs, lambda i: F.col("term").substr(i, F.lit(3)))
+            ).alias("tri"),
+        )
+        .distinct()
+    )
+
+
+def search_regexp_trigram(
+    index: IndexTables,
+    tri_map: DataFrame,
+    patterns: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    scoring: str = "bm25",
+    k: int | None = None,
+    max_expansions: int | None = None,
+) -> DataFrame:
+    """Regexp search with trigram prefiltering (Cox, "Regular Expression
+    Matching with a Trigram Index" — the Google Code Search design,
+    re-expressed over the engine's vocabulary): each pattern's required
+    literal runs become required trigrams; candidate terms come from
+    INTERSECTING the trigram posting map (probed rows only — the
+    vocabulary is never scanned for such patterns), and only candidates
+    pay the RLIKE verification. Patterns with no extractable run fall
+    back to the full-dictionary scan of :func:`search_regexp` —
+    conservative, never wrong. Result-identical to :func:`search_regexp`
+    by construction (pinned by test and by the shared driver oracle).
+    """
+    pats = patterns.select("query_id", "pattern").collect()
+    tri_rows = []
+    fallback = []
+    for r in pats:
+        tris = sorted(
+            {run[i : i + 3] for run in required_literal_runs(r["pattern"])
+             for i in range(len(run) - 2)}
+        )
+        if tris:
+            tri_rows += [(r["query_id"], r["pattern"], t) for t in tris]
+        else:
+            fallback.append((r["query_id"], r["pattern"]))
+    spark = patterns.sparkSession
+    parts = []
+    if tri_rows:
+        req = spark.createDataFrame(tri_rows, ["query_id", "pattern", "tri"])
+        n_req = req.groupBy("query_id", "pattern").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        cand = (
+            tri_map.join(F.broadcast(req), "tri")
+            .groupBy("query_id", "pattern", "term")
+            .agg(F.count(F.lit(1)).alias("_hit"))
+            .join(F.broadcast(n_req), ["query_id", "pattern"])
+            .where(F.col("_hit") == F.col("_n"))
+            .where(F.expr("term RLIKE concat('^(?:', pattern, ')$')"))
+            .join(_dictionary(index), "term")
+            .select("query_id", "pattern", "term", "df")
+        )
+        parts.append(cand)
+    if fallback:
+        fb_pats = spark.createDataFrame(fallback, ["query_id", "pattern"])
+        cond = F.expr("term RLIKE _re")
+        fb = _dictionary(index).join(
+            F.broadcast(
+                fb_pats.withColumn(
+                    "_re", F.concat(F.lit("^(?:"), F.col("pattern"), F.lit(")$"))
+                )
+            ),
+            cond,
+            "inner",
+        ).select("query_id", "pattern", "term", "df")
+        parts.append(fb)
+    if not parts:
+        raise ValueError("no patterns")
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    if max_expansions is not None:
+        w = Window.partitionBy("query_id", "pattern").orderBy(
+            F.desc("df"), F.asc("term")
+        )
+        cand = cand.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= max_expansions
+        )
+    q_terms = cand.groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("qtf"))
     return topk(
         _scored_candidates(index, q_terms, cfg, scoring), k if k is not None else cfg.k
     )

@@ -236,3 +236,50 @@ def test_collapse_drops_docs_without_key(spark, setup):
     got = _rows(search_collapsed(idx, qdf, keys, CFG, k=10))
     assert len(got) == 1  # single key -> single collapsed row
     assert got[0][3] % 2 == 0
+
+
+def test_required_literal_runs_conservative_subset():
+    from fulltextsearch_spark.operators.multiterm import required_literal_runs as r
+
+    assert r("luxur.*") == ["luxur"]
+    assert r(".*ation") == ["ation"]
+    assert r("conn..tion") == ["conn", "tion"]
+    assert r("swim+ing") == ["swi", "ing"]  # quantified char dropped
+    assert r("ho{1,2}ping") == ["ping"]
+    assert r("word1[0-9]") == ["word1"]
+    assert r("gen(er)?ous") == ["gen", "ous"]  # group contents never required
+    assert r("(tion)?xyzw") == ["xyzw"]
+    assert r("a|b") == [] and r("abc(d|e)fgh") == []  # alternation voids all
+    assert r("x\\.yz") == []  # escaped chars break runs; leftovers < 3
+
+
+def test_regexp_trigram_identical_to_plain_regexp(spark):
+    """Trigram-prefiltered regexp == plain dictionary-scan regexp, on a mix
+    of prefilterable and fallback patterns."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.multiterm import (
+        build_term_trigrams,
+        search_regexp,
+        search_regexp_trigram,
+    )
+    from fulltextsearch_spark.sources.ingest import assign_dense_doc_ids
+    from fulltextsearch_spark.sources.webpages import generate_webpages
+
+    cfg = EngineConfig(k1=1.2, b=0.75, k=10, stem=False)
+    corpus = assign_dense_doc_ids(
+        generate_webpages(spark, 250, seed=13, num_partitions=3), order_col="url"
+    )
+    idx = build_index(spark, corpus, cfg, persist=False)
+    tri = build_term_trigrams(idx)
+    pats = spark.createDataFrame(
+        [("p1", "luxur.*"), ("p2", "swim.*"), ("p2", "gener.*"),
+         ("p3", "(cat|salmon)"), ("p4", "zz9qq.*")],
+        ["query_id", "pattern"],
+    )
+    a = sorted(map(tuple, search_regexp_trigram(idx, tri, pats, cfg).collect()))
+    b = sorted(map(tuple, search_regexp(idx, pats, cfg).collect()))
+    assert a == b and a
+    # the trigram map itself: every vocab term >= 3 chars appears
+    vocab3 = idx.postings.select("term").where("length(term) >= 3").distinct().count()
+    assert tri.select("term").distinct().count() == vocab3
