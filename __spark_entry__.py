@@ -3886,6 +3886,78 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def q_lang_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped cardinality (the ES `cardinality` agg under GROUP BY):
+    per-language distinct-term estimate via one HLL register set per key —
+    at most 64 rows per group however large it is — next to the exact
+    count. Same exact-integer replay guarantees as hll_distinct, with
+    absent registers folded in arithmetically (no grid join)."""
+    from fulltextsearch_spark.functions.tokenizer import tokenize_udf
+    from fulltextsearch_spark.operators.sketches import (
+        hll_build_keyed,
+        hll_estimate_keyed,
+    )
+
+    toks = _docs(spark, sf_dir).select(
+        "lang", F.explode(tokenize_udf(False)(F.col("text"))).alias("term")
+    )
+    regs = hll_build_keyed(toks, "lang", p=HLL_P, seed=HLL_SEED)
+    est = hll_estimate_keyed(regs, p=HLL_P)
+    exact = toks.groupBy(F.col("lang").alias("key")).agg(
+        F.countDistinct("term").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "key").select(
+        F.col("key").alias("lang"),
+        "v_zero", "harmonic_scaled", "hll_est", "exact_distinct",
+    )
+
+
+def _lang_distinct_sql() -> str:
+    from fulltextsearch_spark.operators.dedup import _perm_params
+
+    a, b = _perm_params(1, HLL_SEED)
+    m = 1 << HLL_P
+    w = 48 - HLL_P
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    const = alpha * m * m * float(1 << (w + 1))
+    return f"""
+WITH {_tok_cte()},
+lt AS (SELECT d.lang, t.term FROM tok t JOIN documents d USING (doc_id)),
+dt AS (SELECT DISTINCT lang, term FROM lt),
+h AS (
+  SELECT lang, (({int(a[0])}::HUGEINT * {_kr_sql('term')} + {int(b[0])}::HUGEINT)
+          % {_M61_SQL}) // {1 << (61 - 48)} AS h48
+  FROM dt
+),
+ir AS (
+  SELECT lang, (h48 // {1 << w})::BIGINT AS idx,
+         (h48 % {1 << w})::BIGINT AS rest
+  FROM h
+),
+rho AS (
+  SELECT lang, idx,
+         max(CASE WHEN rest = 0 THEN {w + 1}
+                  ELSE {w} - floor(log2(rest::DOUBLE))::BIGINT END) AS rho
+  FROM ir GROUP BY 1, 2
+),
+agg AS (
+  SELECT lang, count(*)::BIGINT AS np,
+         sum(pow(2.0, ({w + 1} - rho)::DOUBLE))::BIGINT AS hp
+  FROM rho GROUP BY 1
+),
+est AS (
+  SELECT lang, ({m} - np)::BIGINT AS v_zero,
+         (hp + ({m} - np) * {1 << (w + 1)})::BIGINT AS harmonic_scaled
+  FROM agg
+),
+ex AS (SELECT lang, count(DISTINCT term)::BIGINT AS exact_distinct FROM lt GROUP BY 1)
+SELECT e.lang, e.v_zero, e.harmonic_scaled,
+       round({const!r} / e.harmonic_scaled::DOUBLE, 4) AS hll_est,
+       x.exact_distinct
+FROM est e JOIN ex x USING (lang)
+"""
+
+
 def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion (rrf_k=60) of the per-query
     BM25 top-k with the global PageRank authority top-k — the classic
@@ -5071,6 +5143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram": q_date_histogram,
         "cms_term_counts": q_cms_term_counts,
         "hll_distinct": q_hll_distinct,
+        "lang_distinct": q_lang_distinct,
         "pipeline_aggs": q_pipeline_aggs,
         "streaming_sessions": q_streaming_sessions,
         "streaming_dedup": q_streaming_dedup,
@@ -8072,6 +8145,7 @@ FROM events GROUP BY 1, 2
 """,
         "cms_term_counts": _cms_sql(),
         "hll_distinct": _hll_sql(),
+        "lang_distinct": _lang_distinct_sql(),
         "similar_terms": _similar_terms_sql(),
         "corpus_drift": _corpus_drift_sql(),
         "pipeline_aggs": _PIPELINE_AGGS_SQL,

@@ -30,7 +30,14 @@ from pyspark.sql.types import ArrayType, LongType
 from fulltextsearch_spark.functions.hashing import bytes_hashes, perm61
 from fulltextsearch_spark.operators.dedup import _perm_params
 
-__all__ = ["cms_build", "cms_estimate", "hll_build", "hll_estimate"]
+__all__ = [
+    "cms_build",
+    "cms_estimate",
+    "hll_build",
+    "hll_build_keyed",
+    "hll_estimate",
+    "hll_estimate_keyed",
+]
 
 
 def _bucket_udf(depth: int, width: int, seed: int):
@@ -211,5 +218,57 @@ def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
         "harmonic_scaled",
         F.round(
             F.lit(alpha * m * m * scale) / F.col("harmonic_scaled").cast("double"), 4
+        ).alias("hll_est"),
+    )
+
+
+def hll_build_keyed(
+    items: DataFrame,
+    key_col: str,
+    p: int = 6,
+    seed: int = 11,
+    value_col: str = "term",
+) -> DataFrame:
+    """(key, idx, rho) — one HLL register set PER KEY (the ES
+    ``cardinality`` aggregation under GROUP BY): same hash layout as
+    :func:`hll_build`, keyed grid aggregate, at most ``2^p`` rows per key
+    however large the group."""
+    if not 4 <= p <= 12:
+        raise ValueError("require 4 <= p <= 12")
+    ir = _rho_udf(p, seed)
+    pair = items.select(
+        F.col(key_col).alias("key"), ir(F.col(value_col).cast("string")).alias("ir")
+    )
+    return (
+        pair.select("key", F.col("ir.idx").alias("idx"), F.col("ir.rho").alias("rho"))
+        .groupBy("key", "idx")
+        .agg(F.max("rho").cast("long").alias("rho"))
+    )
+
+
+def hll_estimate_keyed(registers: DataFrame, p: int = 6) -> DataFrame:
+    """(key, v_zero, harmonic_scaled, hll_est) per key — the keyed twin of
+    :func:`hll_estimate`, computed WITHOUT a grid join: absent registers
+    contribute ``2^(w+1)`` each via ``(m - n_present) * 2^(w+1)``, keeping
+    every quantity the same exact integers as the single-sketch path."""
+    m = 1 << p
+    w = _HLL_BITS - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    scale = float(1 << (w + 1))
+    agg = registers.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("_np"),
+        F.sum(F.pow(F.lit(2.0), (F.lit(w + 1) - F.col("rho")).cast("double")))
+        .cast("long")
+        .alias("_hp"),
+    )
+    harmonic = (
+        F.col("_hp") + (F.lit(m) - F.col("_np")) * F.lit(1 << (w + 1))
+    ).cast("long")
+    return agg.select(
+        "key",
+        (F.lit(m) - F.col("_np")).cast("long").alias("v_zero"),
+        harmonic.alias("harmonic_scaled"),
+        F.round(
+            F.lit(alpha * m * m * scale) / harmonic.cast("double"), 4
         ).alias("hll_est"),
     )

@@ -121,3 +121,28 @@ def test_hll_union_semantics(spark):
     )
     key = lambda r: (r["idx"], r["rho"])  # noqa: E731
     assert sorted(map(key, both.collect())) == sorted(map(key, merged.collect()))
+
+
+def test_keyed_hll_matches_per_key_single_sketch(spark):
+    """Grouped HLL == running the single-key sketch per group, and the
+    arithmetic absent-register fold == the grid-join estimate."""
+    from fulltextsearch_spark.operators.sketches import (
+        hll_build,
+        hll_build_keyed,
+        hll_estimate,
+        hll_estimate_keyed,
+    )
+
+    rows = [("a", f"x{i}") for i in range(700)] + [
+        ("b", f"y{i}") for i in range(90)
+    ] + [("b", f"x{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "key STRING, term STRING")
+    keyed = hll_estimate_keyed(hll_build_keyed(df, "key")).collect()
+    got = {r["key"]: (r["v_zero"], r["harmonic_scaled"], r["hll_est"]) for r in keyed}
+    for k in ("a", "b"):
+        single = hll_estimate(
+            hll_build(df.where(F.col("key") == k).select("term"))
+        ).collect()[0]
+        assert got[k] == (
+            single["v_zero"], single["harmonic_scaled"], single["hll_est"]
+        ), k
