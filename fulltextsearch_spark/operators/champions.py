@@ -40,8 +40,8 @@ from pyspark.sql import functions as F
 from fulltextsearch_spark.config import DEFAULT_CONFIG, EngineConfig
 from fulltextsearch_spark.operators.index_build import IndexTables
 from fulltextsearch_spark.operators.query import (
+    _flat_postings,
     _per_term_score,
-    _postings_with_df,
     query_terms,
     topk,
 )
@@ -111,19 +111,7 @@ def search_champions(
         .select("query_id", F.explode("doc_ids").alias("doc_id"))
         .distinct()
     )
-    flat = _postings_with_df(index, q_terms).select(
-        "query_id",
-        "qtf",
-        "df",
-        F.explode("postings").alias("p"),
-    ).select(
-        "query_id",
-        "qtf",
-        "df",
-        F.col("p.doc_id").alias("doc_id"),
-        F.col("p.tf").alias("tf"),
-        F.col("p.dl").alias("dl"),
-    )
+    flat = _flat_postings(index, q_terms)
     per_term = _per_term_score(scoring, index, cfg)
     scored = (
         flat.join(F.broadcast(cand), ["query_id", "doc_id"], "left_semi")

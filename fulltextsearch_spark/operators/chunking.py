@@ -114,14 +114,22 @@ def pack_sequences(
     """
     if seq_len < 1:
         raise ValueError("seq_len must be >= 1")
-    from pyspark.sql import Window
-
     from fulltextsearch_spark.functions.tokenizer import tokenize_udf
 
-    n_toks = docs.select(
+    counts = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.size(tokenize_udf(do_stem=False)(F.col(text_col))).cast("long").alias("n"),
-    ).where(F.col("n") > 0)
+    )
+    return _pack_map(counts, seq_len, bucket_span)
+
+
+def _pack_map(counts: DataFrame, seq_len: int, bucket_span: int) -> DataFrame:
+    """Pack map from a (doc_id, n) token-count frame — the shared core, so
+    :func:`materialize_sequences` can reuse ONE tokenize pass for both the
+    counts and the token arrays."""
+    from pyspark.sql import Window
+
+    n_toks = counts.where(F.col("n") > 0)
     n_toks = n_toks.withColumn("bucket", F.expr(f"doc_id div {bucket_span}"))
     # level 1: cumulative total BEFORE each bucket (bucket-count-sized window)
     wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
@@ -174,12 +182,20 @@ def materialize_sequences(
     aggregate's rows are fixed-size however large the corpus; the join is
     doc-keyed and the only new shuffle is the seq_id-keyed assembly.
     """
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
     from fulltextsearch_spark.functions.tokenizer import tokenize_udf
 
-    pm = pack_sequences(docs, seq_len, bucket_span, id_col, text_col)
+    # ONE tokenize pass: counts for the pack map derive from the same
+    # (doc_id, toks) frame the slices read
     toks = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         tokenize_udf(do_stem=False)(F.col(text_col)).alias("toks"),
+    )
+    pm = _pack_map(
+        toks.select("doc_id", F.size("toks").cast("long").alias("n")),
+        seq_len,
+        bucket_span,
     )
     part = pm.join(toks, "doc_id").select(
         "seq_id",

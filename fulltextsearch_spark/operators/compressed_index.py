@@ -1121,7 +1121,8 @@ def _index_from_partials(raw_partials: DataFrame, cfg: EngineConfig) -> Compress
 
 
 def _reencode_postings(postings: DataFrame, block_size: int, codec: str) -> DataFrame:
-    """Re-encode varint posting rows as PForDelta (NewPFD) in place.
+    """Re-encode varint posting rows in place — ``codec`` picks PForDelta
+    ("pfor", NewPFD bit-packing) or Elias-Fano ("ef", quasi-succinct).
 
     Blocks are aligned to the same ``block_size``, so ``block_first_doc``
     and the block-max metadata carry over unchanged; only the three enc

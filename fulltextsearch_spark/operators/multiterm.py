@@ -142,10 +142,13 @@ def required_literal_runs(pattern: str, min_len: int = 3) -> list[str]:
     metacharacter, with a run's LAST character dropped when a quantifier
     follows it (that character may repeat or vanish). GROUP contents are
     never collected (a trailing ``?``/``*`` could make them optional —
-    weaker pruning, never wrong), and any alternation anywhere voids all
-    guarantees -> returns [] (no prefilter).
+    weaker pruning, never wrong). Any alternation voids all guarantees,
+    and any BACKSLASH bails out too (escapes inside classes/groups would
+    otherwise derail the bracket/paren scanning — e.g. ``[x\]abc]`` would
+    falsely mark ``abc`` required); both return [] (no prefilter, plain
+    dictionary scan — conservative, never wrong).
     """
-    if "|" in pattern:
+    if "|" in pattern or "\\" in pattern:
         return []
     runs: list[str] = []
     cur: list[str] = []
@@ -156,8 +159,6 @@ def required_literal_runs(pattern: str, min_len: int = 3) -> list[str]:
         if ch in _REGEX_META:
             if ch in "*+?{" and cur:
                 cur.pop()  # quantifier binds the previous literal
-            if ch == "\\":
-                i += 1  # escaped char: not a plain literal run member
             if ch == "[":
                 while i < n and pattern[i] != "]":
                     i += 1

@@ -100,6 +100,26 @@ def _per_term_score(scoring: str, index: IndexTables, cfg: EngineConfig):
     raise ValueError(f"unknown scoring {scoring!r} (use 'bm25', 'tfidf' or 'dfr')")
 
 
+def _flat_postings(index: IndexTables, q_terms: DataFrame) -> DataFrame:
+    """(query_id, qtf, df, doc_id, tf, dl) — the broadcast query probe
+    exploded to per-posting rows, df already shard-corrected. The single
+    source of the probe projection, shared by the exhaustive scorer, the
+    champion-list path, and the tuning sweep."""
+    return _postings_with_df(index, q_terms).select(
+        "query_id",
+        "qtf",
+        "df",
+        F.explode("postings").alias("p"),
+    ).select(
+        "query_id",
+        "qtf",
+        "df",
+        F.col("p.doc_id").alias("doc_id"),
+        F.col("p.tf").alias("tf"),
+        F.col("p.dl").alias("dl"),
+    )
+
+
 def _scored_candidates(
     index: IndexTables,
     q_terms: DataFrame,
@@ -113,19 +133,7 @@ def _scored_candidates(
     :func:`_postings_with_df`; scoring arithmetic via
     :func:`_per_term_score` — both shared with :func:`explain_scores`.
     """
-    flat = _postings_with_df(index, q_terms).select(
-        "query_id",
-        "qtf",
-        "df",
-        F.explode("postings").alias("p"),
-    ).select(
-        "query_id",
-        "qtf",
-        "df",
-        F.col("p.doc_id").alias("doc_id"),
-        F.col("p.tf").alias("tf"),
-        F.col("p.dl").alias("dl"),
-    )
+    flat = _flat_postings(index, q_terms)
     per_term = _per_term_score(scoring, index, cfg)
     aggs = [F.sum("_s").alias("score")]
     if with_matches:

@@ -529,12 +529,14 @@ def similar_terms(
         .groupBy("probe", "w")
         .agg(F.sum(F.col("x") * F.col("px")).alias("dot"))
     )
+    # probe norms derive from the (already query-sized) probe vectors —
+    # never broadcast the vocabulary-scale norms table
+    pnorms = pvec.groupBy("probe").agg(
+        F.sqrt(F.sum(F.col("px") * F.col("px"))).alias("pnrm")
+    )
     scored = (
         dots.join(norms, "w")
-        .join(
-            F.broadcast(norms.withColumnRenamed("w", "probe").withColumnRenamed("nrm", "pnrm")),
-            "probe",
-        )
+        .join(F.broadcast(pnorms), "probe")
         .select(
             "probe",
             F.col("w").alias("term"),

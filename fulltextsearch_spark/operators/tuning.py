@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from fulltextsearch_spark.config import DEFAULT_CONFIG, EngineConfig
 from fulltextsearch_spark.functions.scoring import bm25_col
 from fulltextsearch_spark.operators.index_build import IndexTables
-from fulltextsearch_spark.operators.query import _postings_with_df, query_terms
+from fulltextsearch_spark.operators.query import _flat_postings, query_terms
 from fulltextsearch_spark.operators.rankeval import rank_eval
 
 __all__ = ["sweep_bm25"]
@@ -51,19 +51,7 @@ def sweep_bm25(
         raise ValueError("grid must be non-empty")
     kk = k if k is not None else cfg.k
     q_terms = query_terms(queries, stem=cfg.stem)
-    flat = _postings_with_df(index, q_terms).select(
-        "query_id",
-        "qtf",
-        "df",
-        F.explode("postings").alias("p"),
-    ).select(
-        "query_id",
-        "qtf",
-        "df",
-        F.col("p.doc_id").alias("doc_id"),
-        F.col("p.tf").alias("tf"),
-        F.col("p.dl").alias("dl"),
-    )
+    flat = _flat_postings(index, q_terms)
     aggs = []
     for i, (k1, b) in enumerate(grid):
         s = bm25_col(

@@ -31,7 +31,7 @@ def main() -> None:
     from fulltextsearch_spark.config import EngineConfig
     from fulltextsearch_spark.operators.compressed_index import build_compressed_index
     from fulltextsearch_spark.operators.dedup import (
-        connected_components,
+        cluster_keys,
         minhash_lsh_pairs,
     )
     from fulltextsearch_spark.operators.extract import extract_pages
@@ -59,9 +59,11 @@ def main() -> None:
     # 2: boilerplate strip
     pages = stage("extracted text", extract_pages(pages, out_col="text"))
 
-    # 3: URL curation (keep-first per normalized URL)
+    # 3: URL curation (keep-first per normalized URL). Provisional ids are
+    # 64-bit xxhash64 of the url — collision odds ~n^2/2^65, vs the 32-bit
+    # F.hash whose birthday bound already bites at ~10^5 pages.
     with_ids = pages.withColumn(
-        "doc_id", F.abs(F.hash("url")).cast("long")  # provisional ids for dedup
+        "doc_id", F.abs(F.xxhash64("url")).cast("long")
     )
     kept_urls = url_dedup(with_ids).where(F.col("keep") == 1).select("doc_id")
     pages = stage(
@@ -82,16 +84,11 @@ def main() -> None:
     pages = stage("after exact dedup", pages.join(exact_keep, "doc_id", "left_semi"))
     prs = minhash_lsh_pairs(
         pages.select("doc_id", "text"), threshold=0.9, shingle_k=8
-    ).select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+    )
     if prs.take(1):
-        comp = connected_components(prs)
-        drop = (
-            comp.groupBy("component").agg(F.min("doc_id").alias("keep"))
-            .join(comp, "component")
-            .where(F.col("doc_id") != F.col("keep"))
-            .select("doc_id")
-        )
-        pages = pages.join(drop, "doc_id", "left_anti")
+        keys = cluster_keys(pages, prs)
+        keep = keys.where(F.col("doc_id") == F.col("key")).select("doc_id")
+        pages = pages.join(keep, "doc_id", "left_semi")
     pages = stage("after near-dup dedup", pages)
 
     # 7: dense ids + compressed block-max index
