@@ -2931,6 +2931,33 @@ def q_ann_ivfpq_loaded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "vec_id", F.round("sim", 4).alias("sim"))
 
 
+def q_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF under the index store/load gate: build -> save_ivf_index (raw
+    vectors clustered by list_id) -> load_ivf_index -> ivf_topk_served,
+    where candidate selection is a literal list_id IN-filter pushed into
+    the clustered parquet scan (footer pruning), never a join against the
+    base table. Result-identical to ann_ivf_topk with the same quantizer,
+    so it shares its oracle."""
+    import hashlib as _hl
+
+    from fulltextsearch_spark.operators.similarity import (
+        ivf_topk_served,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qvec"),
+    )
+    root = f"/tmp/fts_entry_ivf_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    save_ivf_index(emb, root, n_centroids=10)
+    idx = load_ivf_index(spark, root)
+    res = ivf_topk_served(spark, idx, q, nprobe=6, k=TOPK)
+    return res.select("query_id", "rank", "vec_id", F.round("sim", 4).alias("sim"))
+
+
 def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity: approximate kNN similarity JOIN — every vector's top-3
     cosine neighbors among its 3 nearest IVF lists' members (self
@@ -5079,7 +5106,91 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict order is the driver's sampling order (first 50 checked per round).
+    # Entries never yet hard-verified by a driver CORRECTNESS file lead; the
+    # 77 entries green in CORRECTNESS_r01-r03 follow.
     return {
+        "boosting_topk": q_boosting_topk,
+        "mix_weights": q_mix_weights,
+        "stratified_sample": q_stratified_sample,
+        "group_split": q_group_split,
+        "phrase_prefix_topk": q_phrase_prefix_topk,
+        "mmr_topk": q_mmr_topk,
+        "score_explain": q_score_explain,
+        "asof_click_view": q_asof_click_view,
+        "event_sessions": q_event_sessions,
+        "campaign_attribution": q_campaign_attribution,
+        "date_histogram": q_date_histogram,
+        "cms_term_counts": q_cms_term_counts,
+        "hll_distinct": q_hll_distinct,
+        "lang_distinct": q_lang_distinct,
+        "pipeline_aggs": q_pipeline_aggs,
+        "streaming_sessions": q_streaming_sessions,
+        "streaming_dedup": q_streaming_dedup,
+        "collocations_topk": q_collocations,
+        "similar_terms": q_similar_terms,
+        "corpus_drift": q_corpus_drift,
+        "bm25_topk_filtered": q_bm25_topk_filtered,
+        "bm25_topk_deleted": q_bm25_topk_deleted,
+        "index_stats": q_index_stats,
+        "pagerank_scores": q_pagerank_scores,
+        "ppr_scores": q_ppr_scores,
+        "hits_scores": q_hits_scores,
+        "lpa_communities": q_lpa_communities,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "hybrid_vector_topk": q_hybrid_vector_topk,
+        "ann_filtered_topk": q_ann_filtered_topk,
+        "anchor_bm25f_topk": q_anchor_bm25f,
+        "facet_counts": q_facet_counts,
+        "mlt_topk": q_mlt_topk,
+        "autocomplete": q_autocomplete,
+        "rocchio_topk": q_rocchio_topk,
+        "chunk_docs": q_chunk_docs,
+        "maxp_topk": q_maxp_topk,
+        "packed_sequences": q_packed_sequences,
+        "packed_tokens": q_packed_tokens,
+        "nb_quality": q_nb_quality,
+        "gopher_rules": q_gopher_rules,
+        "gopher_repetition": q_gopher_repetition,
+        "c4_filters": q_c4_filters,
+        "paragraph_dedup": q_paragraph_dedup,
+        "boilerplate_lines": q_boilerplate_lines,
+        "url_dedup": q_url_dedup,
+        "domain_caps": q_domain_caps,
+        "curate_web": q_curate_web,
+        "decontam_flags": q_decontam_flags,
+        "phrase_topk": q_phrase_topk,
+        "sdm_topk": q_sdm_topk,
+        "proximity_topk": q_proximity_topk,
+        "snippet_spans": q_snippet_spans,
+        "suggest_terms": q_suggest_terms,
+        "duplicate_spans": q_duplicate_spans,
+        "bm25f_topk": q_bm25f_topk,
+        "neardup_collapsed": q_neardup_collapsed,
+        "cross_contamination": q_cross_contamination,
+        "neardup_recall": q_neardup_recall,
+        "ann_dim_recall": q_ann_dim_recall,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_ivfpq_loaded": q_ann_ivfpq_loaded,
+        "ann_sq_topk": q_ann_sq_topk,
+        "ann_knn_join": q_ann_knn_join,
+        "semdedup_keep": q_semdedup_keep,
+        "image_ahash": q_image_ahash,
+        "lm_perplexity": q_lm_perplexity,
+        "vocab_stats": q_vocab_stats,
+        "top_hits_lang": q_top_hits_lang,
+        "rare_terms": q_rare_terms,
+        "adjacency_matrix": q_adjacency,
+        "span_first_topk": q_span_first_topk,
+        "msm_topk": q_msm_topk,
+        "composite_agg": q_composite_agg,
+        "has_child_topk": q_has_child_topk,
+        "dsir_weights": q_dsir_weights,
+        "matrix_stats": q_matrix_stats,
+        "percentile_ranks": q_percentile_ranks,
+        "lmjm_topk": q_lmjm_topk,
+        "dfr_topk": q_dfr_topk,
         "tf_table": q_tf_table,
         "doc_stats": q_doc_stats,
         "corpus_stats": q_corpus_stats,
@@ -5130,114 +5241,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "fuzzy_topk": q_fuzzy_topk,
         "autocorrect_topk": q_autocorrect_topk,
-        "boosting_topk": q_boosting_topk,
-        "mix_weights": q_mix_weights,
-        "stratified_sample": q_stratified_sample,
-        "group_split": q_group_split,
-        "phrase_prefix_topk": q_phrase_prefix_topk,
-        "mmr_topk": q_mmr_topk,
-        "score_explain": q_score_explain,
-        "asof_click_view": q_asof_click_view,
-        "event_sessions": q_event_sessions,
-        "campaign_attribution": q_campaign_attribution,
-        "date_histogram": q_date_histogram,
-        "cms_term_counts": q_cms_term_counts,
-        "hll_distinct": q_hll_distinct,
-        "lang_distinct": q_lang_distinct,
-        "pipeline_aggs": q_pipeline_aggs,
-        "streaming_sessions": q_streaming_sessions,
-        "streaming_dedup": q_streaming_dedup,
-        "collocations_topk": q_collocations,
-        "similar_terms": q_similar_terms,
-        "corpus_drift": q_corpus_drift,
-        "bm25_topk_filtered": q_bm25_topk_filtered,
-        "bm25_topk_deleted": q_bm25_topk_deleted,
-        "index_stats": q_index_stats,
-        "pagerank_scores": q_pagerank_scores,
-        "ppr_scores": q_ppr_scores,
-        "hits_scores": q_hits_scores,
-        "lpa_communities": q_lpa_communities,
-        "hybrid_rrf_topk": q_hybrid_rrf_topk,
-        "hybrid_vector_topk": q_hybrid_vector_topk,
-        "ann_filtered_topk": q_ann_filtered_topk,
-        "anchor_bm25f_topk": q_anchor_bm25f,
-        "facet_counts": q_facet_counts,
-        "mlt_topk": q_mlt_topk,
-        "autocomplete": q_autocomplete,
         "trigram_topk_loaded": q_trigram_topk_loaded,
         "tfidf_topk": q_tfidf_topk,
         "vsm_topk": q_vsm_topk,
-        "rocchio_topk": q_rocchio_topk,
         "bm25_topk_stemmed": q_bm25_topk_stemmed,
         "trigram_topk": q_trigram_topk,
         "stop_prune": q_stop_prune,
         "exact_dedup": q_exact_dedup,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
-        "chunk_docs": q_chunk_docs,
-        "maxp_topk": q_maxp_topk,
-        "packed_sequences": q_packed_sequences,
-        "packed_tokens": q_packed_tokens,
-        "nb_quality": q_nb_quality,
         "quality_score": q_quality_score,
-        "gopher_rules": q_gopher_rules,
-        "gopher_repetition": q_gopher_repetition,
-        "c4_filters": q_c4_filters,
-        "paragraph_dedup": q_paragraph_dedup,
-        "boilerplate_lines": q_boilerplate_lines,
-        "url_dedup": q_url_dedup,
-        "domain_caps": q_domain_caps,
-        "curate_web": q_curate_web,
         "lang_id": q_lang_id,
-        "decontam_flags": q_decontam_flags,
-        "phrase_topk": q_phrase_topk,
-        "sdm_topk": q_sdm_topk,
-        "proximity_topk": q_proximity_topk,
-        "snippet_spans": q_snippet_spans,
-        "suggest_terms": q_suggest_terms,
-        "duplicate_spans": q_duplicate_spans,
-        "bm25f_topk": q_bm25f_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "neardup_clusters": q_neardup_clusters,
-        "neardup_collapsed": q_neardup_collapsed,
         "dedup_canonical": q_dedup_canonical,
         "minhash_pairs": q_minhash_pairs,
-        "cross_contamination": q_cross_contamination,
-        "neardup_recall": q_neardup_recall,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_dim_recall": q_ann_dim_recall,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "ann_ivfpq_loaded": q_ann_ivfpq_loaded,
-        "ann_sq_topk": q_ann_sq_topk,
-        "ann_knn_join": q_ann_knn_join,
-        "semdedup_keep": q_semdedup_keep,
+        "ann_ivf_served": q_ann_ivf_served,
         "media_metadata": q_media_metadata,
-        "image_ahash": q_image_ahash,
         "image_stats": q_image_stats,
         "audio_features": q_audio_features,
         "resize_meta": q_resize_meta,
         "frame_sample": q_frame_sample,
         "curate_corpus": q_curate_corpus,
-        "lm_perplexity": q_lm_perplexity,
-        "vocab_stats": q_vocab_stats,
-        "top_hits_lang": q_top_hits_lang,
-        "rare_terms": q_rare_terms,
-        "adjacency_matrix": q_adjacency,
-        "span_first_topk": q_span_first_topk,
-        "msm_topk": q_msm_topk,
-        "composite_agg": q_composite_agg,
-        "has_child_topk": q_has_child_topk,
-        "dsir_weights": q_dsir_weights,
-        "matrix_stats": q_matrix_stats,
-        "percentile_ranks": q_percentile_ranks,
-        "lmjm_topk": q_lmjm_topk,
-        "dfr_topk": q_dfr_topk,
     }
 
 
@@ -9042,6 +9073,7 @@ FROM d JOIN labels l ON l.node = d.doc_id AND l.component = d.doc_id
 """,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
+        "ann_ivf_served": _ann_ivf_sql(),
         "ann_pq_topk": _ann_pq_sql(),
         "ann_ivfpq_topk": _ann_ivfpq_sql(),
         "ann_ivfpq_loaded": _ann_ivfpq_sql(),

@@ -87,6 +87,27 @@ def main() -> None:
 
     cfg = EngineConfig(k1=1.2, b=0.75, k=10, stem=True)
 
+    # --- calibrated warmup (untimed) ---------------------------------------
+    # The first build of a session pays one-off costs that are session
+    # artifacts, not operator throughput: JVM codegen/JIT for the scan +
+    # shuffle stages, python-worker spawn and the Arrow tokenizer import,
+    # and broadcast machinery. r03 recorded build_docs/bm25_topk as the
+    # first timed ops and absorbed that cold-start into their numbers
+    # (+27%/+19% vs r02 with identical code); a miniature sf0.001 build +
+    # query of BOTH index paths ahead of the clock removes it.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        wdocs = spark.read.parquet(f"{warm_dir}/documents.parquet")
+        widx = build_index(spark, wdocs, cfg, persist=False)
+        wq_warm = spark.createDataFrame([("w1", "join filter")], ["query_id", "content"])
+        search(widx, wq_warm, cfg).collect()
+        from fulltextsearch_spark.operators.compressed_index import (
+            build_compressed_index,
+        )
+
+        wc = build_compressed_index(spark, wdocs, cfg)
+        search_wand(wc, wq_warm, cfg).collect()
+
     # --- testdata documents ------------------------------------------------
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -170,6 +191,41 @@ def main() -> None:
     # terms' decode instead of the query path.
     timed("bm25_web50k", lambda: search_wand(wcidx, wq, cfg, prune=False).collect())
 
+    # --- WAND at a size where pruning pays ----------------------------------
+    # At 50k docs the per-query kernel is decode-bound and prune=False wins;
+    # block skipping only dominates once posting lists span many blocks. This
+    # section reruns the WAND-vs-exhaustive contrast at SPARK_GRAFT_WAND_DOCS
+    # (default 400k — the head-to-head corpus size) and logs the measured
+    # block-skip rate to the corpus dir's _lineage.jsonl.
+    wand_docs = int(os.environ.get("SPARK_GRAFT_WAND_DOCS", "400000"))
+    wand_stats = {}
+    if wand_docs > 0:
+        from fulltextsearch_spark.operators.wand import wand_pruning_stats
+
+        xl_path = os.path.join(CACHE, f"web{wand_docs}")
+        _ensure_web_corpus(xl_path, wand_docs)
+
+        def _build_xl():
+            xidx = build_compressed_index_pyfiles(spark, xl_path, cfg)
+            xidx.postings.persist().count()
+            return xidx
+
+        xlidx = timed("build_webxl", _build_xl)
+        timed("bm25_webxl_wand", lambda: search_wand(xlidx, wq, cfg).collect())
+        timed("bm25_webxl_full", lambda: search_wand(xlidx, wq, cfg, prune=False).collect())
+        srows = wand_pruning_stats(xlidx, wq, cfg).collect()
+        bt = sum(r["blocks_total"] for r in srows)
+        bd = sum(r["blocks_decoded"] for r in srows)
+        wand_stats = {
+            "wand_docs": wand_docs,
+            "blocks_total": bt,
+            "blocks_decoded": bd,
+            "blocks_skipped_pct": round(100.0 * (bt - bd) / max(bt, 1), 2),
+        }
+        with open(os.path.join(xl_path, "_lineage.jsonl"), "a") as f:
+            f.write(json.dumps({"stage": "wand_pruning", **wand_stats}) + "\n")
+        xlidx.postings.unpersist()
+
     # --- training-pipeline ops at sf ----------------------------------------
     # untimed worker warmup at the tiniest sf: the first Arrow UDF per module
     # pays the python-worker import of that module's closure deps (~10s
@@ -212,6 +268,36 @@ def main() -> None:
     timed("bpe_merges", lambda: entrymod.q_bpe_merges(spark, sf_dir).count())
     # IVF-PQ: build (sample + encode pass) + 3-query ADC probe
     timed("ann_ivfpq_topk", lambda: entrymod.q_ann_ivfpq_topk(spark, sf_dir).collect())
+
+    # persisted-ANN serving paths: build+save are untimed build artifacts;
+    # the timed number is the loaded-index query batch (the analogue of
+    # bm25_web50k_serve for the vector side)
+    from fulltextsearch_spark.operators.similarity import (
+        build_ivfpq,
+        ivf_topk_served,
+        ivfpq_adc_topk,
+        load_ivf_index,
+        load_ivfpq_index,
+        save_ivf_index,
+        save_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    annq = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    ivf_root = os.path.join(CACHE, "ivf_index")
+    save_ivf_index(emb, ivf_root, n_centroids=16)
+    ivf_idx = load_ivf_index(spark, ivf_root)
+    ivf_topk_served(spark, ivf_idx, annq.limit(1)).collect()  # warm plan
+    timed("ann_ivf_served", lambda: ivf_topk_served(spark, ivf_idx, annq, nprobe=4, k=10).collect())
+    ivfpq_root = os.path.join(CACHE, "ivfpq_index")
+    save_ivfpq_index(build_ivfpq(emb, n_centroids=16, m=4, n_codes=16, persist=False), ivfpq_root)
+    ivfpq_idx = load_ivfpq_index(spark, ivfpq_root)
+    ivfpq_adc_topk(ivfpq_idx, annq.limit(1)).collect()  # warm plan
+    timed("ann_ivfpq_served", lambda: ivfpq_adc_topk(ivfpq_idx, annq, nprobe=4, k=10).collect())
 
     # segment-merge compaction: two half-corpus segment indexes merged
     # through the partial-combine reduce (builds untimed — the merge is the
@@ -261,6 +347,7 @@ def main() -> None:
                 "serve_ms_per_query": serve_ms_per_query,
                 "serve_job_ms_per_query": serve_job_ms_per_query,
                 "codec_bytes": codec_bytes,
+                "wand_stats": wand_stats,
                 "cpus": cpus,
             }
         )

@@ -234,29 +234,57 @@ def write_training_shards(
     counts a training job validates before consuming.
     """
     import json
-    import os
 
     if seqs_per_shard < 1:
         raise ValueError("seqs_per_shard must be >= 1")
-    shards = sequences.select(
-        F.expr(f"seq_id div {seqs_per_shard}").alias("shard"),
-        "seq_id",
-        "n_toks",
-        "tokens",
-    )
-    shards.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
-    agg = sequences.agg(
-        F.count(F.lit(1)).alias("n_seqs"), F.sum("n_toks").alias("n_tokens")
-    ).collect()[0]
+    # Persist so the shard write and the manifest aggregate read ONE
+    # evaluation of `sequences` — a nondeterministic upstream re-eval could
+    # otherwise make the manifest counts disagree with the written shards.
+    sequences = sequences.persist()
+    try:
+        shards = sequences.select(
+            F.expr(f"seq_id div {seqs_per_shard}").alias("shard"),
+            "seq_id",
+            "n_toks",
+            "tokens",
+        )
+        shards.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+        agg = sequences.agg(
+            F.count(F.lit(1)).alias("n_seqs"), F.sum("n_toks").alias("n_tokens")
+        ).collect()[0]
+    finally:
+        sequences.unpersist()
     manifest = {
         "n_seqs": int(agg["n_seqs"]),
         "n_shards": -(-int(agg["n_seqs"]) // seqs_per_shard) if agg["n_seqs"] else 0,
         "n_tokens": int(agg["n_tokens"] or 0),
         "seqs_per_shard": seqs_per_shard,
     }
-    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
-        json.dump(manifest, f)
+    _write_manifest(out_dir, json.dumps(manifest))
     return manifest
+
+
+def _write_manifest(out_dir: str, payload: str) -> None:
+    """Write ``{out_dir}/_manifest.json`` on the same store the shard data
+    went to: non-local URI schemes (s3a://, hdfs://, gs://) resolve through
+    ``pyarrow.fs.FileSystem.from_uri`` rather than the driver's local disk —
+    a local ``open()`` on an object-store path would crash or silently
+    misplace the manifest next to nothing."""
+    name = "_manifest.json"
+    if "://" in out_dir and not out_dir.startswith("file://"):
+        from pyarrow import fs as pafs  # noqa: PLC0415
+
+        # s3a:// is the Hadoop spelling of s3://; pyarrow only knows s3://.
+        uri = out_dir.replace("s3a://", "s3://", 1)
+        filesystem, inner = pafs.FileSystem.from_uri(uri)
+        with filesystem.open_output_stream(inner.rstrip("/") + "/" + name) as f:
+            f.write(payload.encode())
+        return
+    import os
+
+    local = out_dir.removeprefix("file://")
+    with open(os.path.join(local, name), "w") as f:
+        f.write(payload)
 
 
 def search_maxp(

@@ -136,7 +136,7 @@ _REGEX_META = set(".*+?[](){}|\\^$")
 
 
 def required_literal_runs(pattern: str, min_len: int = 3) -> list[str]:
-    """Literal substrings every match of ``pattern`` must contain — the
+    r"""Literal substrings every match of ``pattern`` must contain — the
     required-factor extraction of Cox's trigram code search (conservative
     subset): maximal runs of plain characters, broken at any regex
     metacharacter, with a run's LAST character dropped when a quantifier
@@ -266,7 +266,11 @@ def search_regexp_trigram(
         ).select("query_id", "pattern", "term", "df")
         parts.append(fb)
     if not parts:
-        raise ValueError("no patterns")
+        # Mirror search_regexp: an empty pattern set yields an empty result
+        # frame, not an error — the two are documented result-identical.
+        return spark.createDataFrame(
+            [], "query_id string, rank int, doc_id bigint, score double"
+        )
     cand = parts[0]
     for p in parts[1:]:
         cand = cand.unionByName(p)

@@ -918,6 +918,130 @@ def load_ivfpq_index(spark, root: str) -> IVFPQIndex:
 
 
 @dataclass
+class SavedIVFIndex:
+    """Handle to an on-disk (non-PQ) IVF index: the ``vectors`` table under
+    ``root`` holds (vec_id, list_id, embedding) clustered by ``list_id``;
+    ``centroids`` is the trained coarse quantizer."""
+
+    root: str
+    centroids: np.ndarray
+
+
+def save_ivf_index(
+    embeddings: DataFrame,
+    root: str,
+    n_centroids: int = 16,
+    max_sample_rows: int | None = None,
+    iters: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ivf: IVFIndex | None = None,
+) -> SavedIVFIndex:
+    """Persist a full (non-PQ) IVF index for the SERVED query path: raw
+    vectors are written alongside their list assignment, repartitioned and
+    sorted by ``list_id``, so a query's nprobe lists resolve to a handful
+    of parquet row groups via footer min/max — candidate selection at
+    query time is a static filter pushed into the scan, never a join
+    against the base table. Centroids are a tiny row table. Appends a
+    footprint line like every other saved index (reference
+    fts_engine.hpp:50-60)."""
+    from fulltextsearch_spark.operators.util import record_footprint  # noqa: PLC0415
+
+    if ivf is None:
+        ivf = build_ivf(
+            embeddings, n_centroids, max_sample_rows, iters, seed,
+            id_col, vec_col, persist=False,
+        )
+    vecs = ivf.assigned.join(
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+        "vec_id",
+    ).select("vec_id", "list_id", "embedding")
+    vecs.repartition(F.col("list_id")).sortWithinPartitions("list_id").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/vectors")
+    spark = embeddings.sparkSession
+    nlist = ivf.centroids.shape[0]
+    spark.createDataFrame(
+        [(i, [float(v) for v in ivf.centroids[i]]) for i in range(nlist)],
+        "list_id LONG, cv ARRAY<DOUBLE>",
+    ).write.mode("overwrite").parquet(f"{root}/centroids")
+    record_footprint(
+        root, {"vectors": f"{root}/vectors", "centroids": f"{root}/centroids"}
+    )
+    return SavedIVFIndex(root=root, centroids=ivf.centroids)
+
+
+def load_ivf_index(spark, root: str) -> SavedIVFIndex:
+    """Inverse of :func:`save_ivf_index` (centroids survive parquet DOUBLE
+    exactly; vectors stay on disk until a query probes them)."""
+    cent_rows = sorted(
+        spark.read.parquet(f"{root}/centroids").collect(), key=lambda r: r["list_id"]
+    )
+    return SavedIVFIndex(
+        root=root, centroids=np.array([r["cv"] for r in cent_rows], dtype=np.float64)
+    )
+
+
+def ivf_topk_served(
+    spark,
+    index: SavedIVFIndex,
+    queries: DataFrame,
+    nprobe: int = 4,
+    k: int = 10,
+    q_id_col: str = "query_id",
+    q_vec_col: str = "qvec",
+) -> DataFrame:
+    """Served IVF query over a :func:`save_ivf_index` artifact — the vector
+    analogue of the text engine's persisted-index serving path: the probe
+    set becomes a literal ``list_id IN (...)`` filter on the clustered
+    vectors table (parquet footer pruning reads only the probed lists'
+    row groups), then one Arrow-batched cosine pass and the usual
+    deterministic top-k window. Result-identical to :func:`ivf_cosine_topk`
+    with the same quantizer (same lists probed, same exact scoring).
+    """
+    qids, qm = _collect_queries(queries, q_id_col, q_vec_col)
+    if qids.size == 0:
+        return spark.createDataFrame([], "query_id LONG, rank LONG, vec_id LONG, sim DOUBLE")
+    cent = index.centroids
+    d = ((qm[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probe_lists = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+    probes = [(int(q), int(l)) for q, row in zip(qids, probe_lists) for l in row]
+    probe_set = sorted({l for _, l in probes})
+    vecs = spark.read.parquet(f"{index.root}/vectors").where(
+        F.col("list_id").isin(probe_set)
+    )
+    probe_df = spark.createDataFrame(probes, "query_id LONG, list_id LONG")
+    cand_vecs = vecs.join(F.broadcast(probe_df), "list_id").select(
+        "query_id", "vec_id", "embedding"
+    )
+    qmap = {int(q): qm[i] for i, q in enumerate(qids)}
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            qarr = np.array([qmap[int(q)] for q in pdf["query_id"]])
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "sim": (m * qarr).sum(axis=1),
+                }
+            )
+
+    scored = cand_vecs.mapInPandas(_score, schema="query_id LONG, vec_id LONG, sim DOUBLE")
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "sim")
+    )
+
+
+@dataclass
 class SQIndex:
     """Scalar-quantization build artifacts: per-vector uint8 codes plus the
     per-dimension (min, scale) affine quantizer. The 4x-cheaper, zero-
@@ -1219,7 +1343,16 @@ def filtered_cosine_topk(
     low selectivity swap in the IVF path and filter per probed list —
     the documented upgrade).
     """
-    kept = embeddings.join(
-        allowed.select(F.col(allowed.columns[0]).alias(id_col)), id_col, "left_semi"
-    )
+    if id_col in allowed.columns:
+        allow_ids = allowed.select(id_col)
+    elif len(allowed.columns) == 1:
+        allow_ids = allowed.select(F.col(allowed.columns[0]).alias(id_col))
+    else:
+        # Guessing "first column" on a multi-column frame would semi-join on
+        # the wrong ids with no error — refuse instead.
+        raise ValueError(
+            f"allowed must contain column {id_col!r} or be a single-column "
+            f"id frame; got columns {allowed.columns}"
+        )
+    kept = embeddings.join(allow_ids, id_col, "left_semi")
     return brute_cosine_topk(kept, queries, k, id_col, vec_col, q_id_col, q_vec_col)

@@ -416,12 +416,15 @@ def vocab_stats(docs: DataFrame, text_col: str = "text", stem: bool = False) -> 
 
     Scale shape: one tf aggregate (the index build's A1 shuffle); the Zipf
     rank is NOT a global single-partition sort — it is decomposed as
-    ``offset(freq) + row_number within the freq class``: the offset table
-    is a window over the DISTINCT-FREQUENCY histogram (O(sqrt(n_tokens))
-    rows by Zipf, broadcastable), and the within-class window partitions by
-    ``freq``. The one skewed class (hapax, freq=1) is the upgrade point: if
-    it outgrows a partition, band it by a term-hash prefix and add banded
-    offsets the same way.
+    ``offset(freq) + row_number within the freq class``. The offset table
+    over the DISTINCT-FREQUENCY histogram (O(sqrt(n_tokens)) rows by Zipf)
+    is itself two-level so no unpartitioned window ever runs: freqs band by
+    ``floor(log2(freq))`` (≤64 bands for any long), per-band totals are a
+    64-row driver artifact cumulated in Python, and the within-band running
+    sum is a window PARTITIONED by band. The within-class window partitions
+    by ``freq``; the one skewed class (hapax, freq=1) is the upgrade point:
+    if it outgrows a partition, band it by a term-hash prefix and add
+    banded offsets the same way.
     """
     from fulltextsearch_spark.functions.tokenizer import tokenized_docs
 
@@ -430,9 +433,30 @@ def vocab_stats(docs: DataFrame, text_col: str = "text", stem: bool = False) -> 
     from pyspark.sql import Window
 
     hist = freq.groupBy("freq").agg(F.count(F.lit(1)).alias("n_in_class"))
-    wh = Window.orderBy(F.desc("freq")).rowsBetween(Window.unboundedPreceding, -1)
+    # Rank is by freq DESC, so bands cumulate from the HIGHEST band down.
+    hist = hist.withColumn("band", F.floor(F.log2(F.col("freq").cast("double"))))
+    band_rows = sorted(
+        hist.groupBy("band").agg(F.sum("n_in_class").alias("n")).collect(),
+        key=lambda r: -r["band"],
+    )  # bounded: <= 64 rows for any 64-bit freq
+    band_off, acc = {}, 0
+    for r in band_rows:
+        band_off[int(r["band"])] = acc
+        acc += int(r["n"])
+    off_map = F.create_map(
+        *[F.lit(x) for kv in band_off.items() for x in kv]
+    ) if band_off else F.create_map()
+    wh = (
+        Window.partitionBy("band")
+        .orderBy(F.desc("freq"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offs = hist.select(
-        "freq", F.coalesce(F.sum("n_in_class").over(wh), F.lit(0)).alias("offset")
+        "freq",
+        (
+            off_map[F.col("band")]
+            + F.coalesce(F.sum("n_in_class").over(wh), F.lit(0))
+        ).alias("offset"),
     )
     wt = Window.partitionBy("freq").orderBy(F.asc("term"))
     ranked = freq.join(F.broadcast(offs), "freq").withColumn(

@@ -51,7 +51,7 @@ from fulltextsearch_spark.operators.compression import (
 )
 from fulltextsearch_spark.operators.query import query_terms
 
-__all__ = ["maxscore_topk", "search_wand", "topk_from_joined"]
+__all__ = ["maxscore_topk", "search_wand", "topk_from_joined", "wand_pruning_stats"]
 
 
 def _decode_all(
@@ -335,3 +335,72 @@ def topk_from_joined(
         ]
     )
     return joined.groupBy("query_id").applyInPandas(_score_group, schema=schema)
+
+
+def wand_pruning_stats(
+    index: CompressedIndex,
+    queries: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int | None = None,
+) -> DataFrame:
+    """Per-query pruning counters for the block-max MaxScore kernel:
+    ``(query_id, terms, blocks_total, blocks_decoded)``. Same broadcast
+    probe join and per-query kernel as :func:`search_wand`, but the kernel
+    runs with its ``stats`` hook attached and the counters — not the top-k —
+    come back. Used by bench.py to log the measured skip rate to lineage
+    (the evidence that pruning actually skips block decodes at scale; the
+    reference has no analogue because it always decodes everything,
+    inverted_index_engine.cpp:119-135)."""
+    kk = k if k is not None else cfg.k
+    q_terms = query_terms(queries, stem=cfg.stem)
+    joined = index.postings.join(F.broadcast(q_terms), "term", "inner")
+    n_docs, avgdl, block_size = index.n_docs, index.avgdl, index.block_size
+    k1, b, codec = index.k1, index.b, index.codec
+
+    def _stats_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        df_total = pdf.groupby("term")["count"].transform("sum")
+        terms = []
+        for row, df_t in zip(pdf.to_dict("records"), df_total):
+            terms.append(
+                {
+                    "qtf": int(row["qtf"]),
+                    "codec": codec,
+                    "df": int(df_t),
+                    "count": int(row["count"]),
+                    "doc_ids_enc": bytes(row["doc_ids_enc"]),
+                    "tfs_enc": bytes(row["tfs_enc"]),
+                    "dls_enc": bytes(row["dls_enc"]),
+                    "block_first_doc": np.asarray(row["block_first_doc"], dtype=np.int64),
+                    "block_off_doc": np.asarray(row["block_off_doc"], dtype=np.int64),
+                    "block_off_tf": np.asarray(row["block_off_tf"], dtype=np.int64),
+                    "block_off_dl": np.asarray(row["block_off_dl"], dtype=np.int64),
+                    "block_max_tfpart": np.asarray(row["block_max_tfpart"], dtype=np.float64),
+                    "block_max_tfdl": np.asarray(row["block_max_tfdl"], dtype=np.float64),
+                }
+            )
+        stats: dict = {}
+        maxscore_topk(
+            terms, n_docs, avgdl, kk, scoring="bm25", k1=k1, b=b,
+            block_size=block_size, stats=stats,
+        )
+        return pd.DataFrame(
+            {
+                "query_id": [qid],
+                "terms": [int(stats["terms"])],
+                "blocks_total": [int(stats["blocks_total"])],
+                "blocks_decoded": [int(stats["blocks_decoded"])],
+            }
+        )
+
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", joined.schema["query_id"].dataType),
+            T.StructField("terms", T.LongType()),
+            T.StructField("blocks_total", T.LongType()),
+            T.StructField("blocks_decoded", T.LongType()),
+        ]
+    )
+    return joined.groupBy("query_id").applyInPandas(_stats_group, schema=schema)

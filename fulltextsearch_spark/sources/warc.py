@@ -82,7 +82,15 @@ def _parse_blob(blob: bytes) -> Iterator[tuple[str, str, bytes]]:
             )
         if first is None or not first.startswith(b"WARC/"):
             break
-        clen = int(headers.get("content-length", "0"))
+        try:
+            clen = int(headers.get("content-length", "0"))
+        except ValueError:
+            # A malformed Content-Length must quarantine ONE record, not
+            # poison the whole mapInPandas batch; with the length unknown
+            # the rest of this blob can't be framed, so stop walking it.
+            break
+        if clen < 0:
+            break
         body = blob[end_hdr + 4 : end_hdr + 4 + clen]
         pos = end_hdr + 4 + clen
         if headers.get("warc-type") != "response":

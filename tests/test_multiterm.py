@@ -283,3 +283,27 @@ def test_regexp_trigram_identical_to_plain_regexp(spark):
     # the trigram map itself: every vocab term >= 3 chars appears
     vocab3 = idx.postings.select("term").where("length(term) >= 3").distinct().count()
     assert tri.select("term").distinct().count() == vocab3
+
+
+def test_regexp_trigram_empty_patterns_returns_empty_frame(spark):
+    """No patterns -> empty result frame with the standard result schema,
+    mirroring search_regexp (documented result-identical), not an error."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.index_build import build_index
+    from fulltextsearch_spark.operators.multiterm import (
+        build_term_trigrams,
+        search_regexp_trigram,
+    )
+    from fulltextsearch_spark.sources.ingest import assign_dense_doc_ids
+    from fulltextsearch_spark.sources.webpages import generate_webpages
+
+    cfg = EngineConfig(k1=1.2, b=0.75, k=10, stem=False)
+    corpus = assign_dense_doc_ids(
+        generate_webpages(spark, 40, seed=13, num_partitions=2), order_col="url"
+    )
+    idx = build_index(spark, corpus, cfg, persist=False)
+    tri = build_term_trigrams(idx)
+    pats = spark.createDataFrame([], "query_id string, pattern string")
+    out = search_regexp_trigram(idx, tri, pats, cfg)
+    assert out.columns == ["query_id", "rank", "doc_id", "score"]
+    assert out.count() == 0

@@ -1047,3 +1047,65 @@ def test_filtered_cosine_is_prefilter_exact(spark, emb_df, emb_np):
             )
     want = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert [v for _, v in got] == [i for i, _ in want]
+
+
+def test_filtered_cosine_allowed_id_col_selection(spark, emb_df, emb_np):
+    """The allowed-set id column is found BY NAME on multi-column frames;
+    an ambiguous frame without the id column raises instead of silently
+    semi-joining on the wrong column."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fulltextsearch_spark.operators.similarity import filtered_cosine_topk
+
+    ids, _ = emb_np
+    allowed_ids = [int(i) for i in ids if i % 4 == 0]
+    qs = emb_df.where(F.col("vec_id") == int(ids[1])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    # id col NOT first — must still be picked by name
+    multi = spark.createDataFrame(
+        [("x", i) for i in allowed_ids], "junk STRING, vec_id LONG"
+    )
+    got = filtered_cosine_topk(emb_df, qs, multi, k=5).collect()
+    assert got and all(r["vec_id"] % 4 == 0 for r in got)
+    bad = spark.createDataFrame(
+        [("x", i) for i in allowed_ids], "junk STRING, other_id LONG"
+    )
+    with pytest.raises(ValueError, match="allowed must contain"):
+        filtered_cosine_topk(emb_df, qs, bad, k=5)
+
+
+def test_ivf_saved_serving_identical_to_live(spark, emb_df, tmp_path):
+    """save_ivf_index -> load_ivf_index -> ivf_topk_served is result-
+    identical to ivf_cosine_topk with the same trained quantizer (same
+    lists probed, same exact scoring), and the served scan carries the
+    literal list_id filter (partition/footer pruning, no base-table join)."""
+    from pyspark.sql import functions as F
+
+    from fulltextsearch_spark.operators.similarity import (
+        build_ivf,
+        ivf_cosine_topk,
+        ivf_topk_served,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    qs = emb_df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    ivf = build_ivf(emb_df, n_centroids=8, persist=False)
+    live = sorted(
+        map(tuple, ivf_cosine_topk(emb_df, qs, n_centroids=8, nprobe=3, k=5, ivf=ivf).collect())
+    )
+    root = str(tmp_path / "ivf")
+    save_ivf_index(emb_df, root, ivf=ivf)
+    served = ivf_topk_served(spark, load_ivf_index(spark, root), qs, nprobe=3, k=5)
+    # the probe set reaches the scan as a literal pushed filter
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "list_id" in plan and "PushedFilters: [In(list_id" in plan
+    assert sorted(map(tuple, served.collect())) == live
+    # footprint line recorded like every other saved index
+    import os
+
+    assert os.path.exists(os.path.join(root, "_lineage.jsonl"))

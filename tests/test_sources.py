@@ -290,3 +290,27 @@ def test_warc_parse_feeds_extraction(spark):
     out = extract_pages(parse_warc(df), out_col="text")
     got = {r["url"]: r["text"] for r in out.collect()}
     assert got == {f"https://s.test/{i}": f"doc {i} words" for i in range(4)}
+
+
+def test_warc_malformed_content_length_quarantines_not_raises(spark):
+    """A record with an unparseable or negative Content-Length must not
+    poison the whole mapInPandas batch: records before it still parse and
+    the walk stops at the unframeable record instead of raising."""
+    import datetime as dt
+
+    from fulltextsearch_spark.sources.warc import parse_warc, warc_record_bytes
+
+    ts = dt.datetime(2024, 5, 1, 12, 0, 0)
+    good = warc_record_bytes("https://ok.test/1", ts, b"<html>fine</html>")
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://bad.test/2\r\n"
+        b"WARC-Date: 2024-05-01T12:00:00Z\r\n"
+        b"Content-Length: 12abc\r\n\r\n<html>x</html>\r\n\r\n"
+    )
+    neg = bad.replace(b"12abc", b"-7")
+    df = spark.createDataFrame(
+        [(good + bad,), (good + neg,)], "content BINARY"
+    )
+    rows = parse_warc(df).collect()
+    assert sorted(r["url"] for r in rows) == ["https://ok.test/1"] * 2

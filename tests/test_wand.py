@@ -242,3 +242,22 @@ def test_pfor_saved_index_queries_identically(spark, cindex, tmp_path):
         assert sp.search_local([(qid, content)], CFG) == sv.search_local(
             [(qid, content)], CFG
         )
+
+
+def test_wand_pruning_stats_surface(spark, cindex):
+    """wand_pruning_stats returns one row per query with sane counters that
+    agree with the kernel's pruning guarantees (decoded <= total, and the
+    small-block index actually skips something on the canned query set)."""
+    from fulltextsearch_spark.operators.wand import wand_pruning_stats
+
+    wq = spark.createDataFrame(QUERY_SET, ["query_id", "content"])
+    rows = {r["query_id"]: r for r in wand_pruning_stats(cindex, wq, CFG).collect()}
+    # queries whose terms all miss the index produce no joined rows — the
+    # stats frame covers exactly the queries with >=1 matching term
+    assert rows
+    for r in rows.values():
+        assert 0 <= r["blocks_decoded"] <= r["blocks_total"]
+        assert r["terms"] >= 1
+    assert sum(r["blocks_decoded"] for r in rows.values()) < sum(
+        r["blocks_total"] for r in rows.values()
+    )
