@@ -216,11 +216,19 @@ def main() -> None:
         srows = wand_pruning_stats(xlidx, wq, cfg).collect()
         bt = sum(r["blocks_total"] for r in srows)
         bd = sum(r["blocks_decoded"] for r in srows)
+        # kernel-level A/B: the bm25_webxl_* job timings are dominated by the
+        # ~100ms/batch Spark dispatch floor; this isolates what a serving
+        # node actually pays per query with and without pruning
+        from fulltextsearch_spark.operators.wand import wand_kernel_ab
+
+        ab = wand_kernel_ab(xlidx, wq, cfg)
         wand_stats = {
             "wand_docs": wand_docs,
             "blocks_total": bt,
             "blocks_decoded": bd,
             "blocks_skipped_pct": round(100.0 * (bt - bd) / max(bt, 1), 2),
+            "kernel_prune_ms": ab["prune_ms"],
+            "kernel_full_ms": ab["full_ms"],
         }
         with open(os.path.join(xl_path, "_lineage.jsonl"), "a") as f:
             f.write(json.dumps({"stage": "wand_pruning", **wand_stats}) + "\n")

@@ -24,10 +24,21 @@ scores only grow):
    the remaining terms only update existing candidates ("candidates-only");
 3. a candidate with ``partial + S_rest < theta`` is dropped — its final score
    is strictly below the final kth;
-4. a block is decoded only if some candidate lives in it and
-   ``max_cand_partial_in_block + UB_block + S_after < theta`` fails — a doc in
-   a skipped block has final computed score ``< theta`` forever, so it cannot
-   surface in the returned top-k with a truncated score.
+4. a block is decoded only when
+   ``max(best_resident_candidate_partial, 0) + UB_block + S_after < theta``
+   fails — in EVERY phase, not just candidates-only: an unseen doc first
+   appearing in a skipped block is bounded by ``UB_block + S_after < theta``
+   (no earlier-term contribution exists to truncate), and a resident
+   candidate's final computed score stays ``< theta`` forever, so neither can
+   surface in the returned top-k with a truncated score;
+5. within a term, blocks are processed in DESCENDING static bound order
+   (block UB, plus the best resident candidate partial when candidates
+   exist) in growing chunks, re-reading theta between chunks: theta only
+   rises, and the static bounds are sorted, so the walk stops at the first
+   failing block and every later block fails the same inequality. When the
+   weakest remaining block still survives, the kernel falls back to the
+   one-pass stream decode (pruning that skips nothing must not pay the
+   per-block loop).
 
 Ties at the boundary keep ``>=`` (never pruned), so the deterministic
 (score DESC, doc_id ASC) order matches the exhaustive path exactly.
@@ -51,7 +62,13 @@ from fulltextsearch_spark.operators.compression import (
 )
 from fulltextsearch_spark.operators.query import query_terms
 
-__all__ = ["maxscore_topk", "search_wand", "topk_from_joined", "wand_pruning_stats"]
+__all__ = [
+    "maxscore_topk",
+    "search_wand",
+    "topk_from_joined",
+    "wand_kernel_ab",
+    "wand_pruning_stats",
+]
 
 
 def _decode_all(
@@ -175,9 +192,18 @@ def maxscore_topk(
     cand_scores = np.empty(0, dtype=np.float64)
     theta = -np.inf
 
+    def _decode_term_full(t):
+        cdc = t.get("codec", "varint")
+        deltas = _decode_all(t["doc_ids_enc"], t["count"], cdc, t["block_off_doc"])
+        t_docs = _docids_from_deltas(deltas, block_size)
+        t_tfs = _decode_all(t["tfs_enc"], t["count"], cdc, t["block_off_tf"])
+        t_dls = _decode_all(t["dls_enc"], t["count"], cdc, t["block_off_dl"])
+        return t_docs, t_tfs, t_dls
+
     for i, t in enumerate(terms):
         rest_after = suffix[i + 1]
         candidates_only = prune and cand_docs.size >= k and suffix[i] < theta
+        nblocks = int(t["bub"].size)
 
         if candidates_only:
             # (3) drop candidates that can no longer reach theta
@@ -185,7 +211,15 @@ def maxscore_topk(
             cand_docs, cand_scores = cand_docs[keep], cand_scores[keep]
             if cand_docs.size == 0:
                 break
-            # (4) needed blocks: block of each candidate, upper-bound-filtered
+            # (4) needed blocks: block of each candidate, upper-bound-filtered.
+            # Blocks are processed in DESCENDING (best-candidate-partial +
+            # block-UB) order in growing chunks, with theta re-read between
+            # chunks: the best combined docs surface first, theta rises to
+            # near its final value after the first chunks, and the walk stops
+            # at the first block whose static bound falls under the risen
+            # theta (the priority is static and sorted, so every later block
+            # fails too). Same per-block safety inequality as before — only
+            # evaluated against a tighter theta.
             bfd = np.asarray(t["block_first_doc"], dtype=np.int64)
             pos = np.searchsorted(bfd, cand_docs, side="right") - 1
             valid = pos >= 0
@@ -197,36 +231,168 @@ def maxscore_topk(
             blocks, first_idx = np.unique(blk_sorted, return_index=True)
             # max candidate partial per block + block UB + rest must reach theta
             max_part = np.maximum.reduceat(cd_scores[order], first_idx)
-            ok = max_part + t["bub"][blocks] + rest_after >= theta
-            blocks = blocks[ok]
-            stats["blocks_decoded"] += int(blocks.size)
-            t_docs, t_tfs, t_dls = _decode_blocks(t, blocks, block_size)
-            if t_docs.size == 0:
-                continue
-            comp = _tf_component(t_tfs, t_dls, scoring, k1, b, avgdl) * t["w"]
-            # add contributions only for docs that are candidates
-            idx = np.searchsorted(t_docs, cand_docs)
-            idx_c = np.minimum(idx, t_docs.size - 1)
-            hit = t_docs[idx_c] == cand_docs
-            cand_scores = cand_scores + np.where(hit, comp[idx_c], 0.0)
+            prio = max_part + t["bub"][blocks]
+            p_ord = np.argsort(-prio, kind="stable")
+            blocks, prio = blocks[p_ord], prio[p_ord]
+            done_blocks = np.zeros(nblocks, dtype=bool)
+            j, chunk = 0, 16
+            while j < blocks.size and prio[j] + rest_after >= theta:
+                # remaining blocks that still survive the risen theta (prio
+                # is sorted desc, so it's a prefix)
+                n_surv = int(
+                    np.searchsorted(-(prio[j:] + rest_after), -theta, side="right")
+                )
+                if n_surv == 0:
+                    break
+                # adaptive bulk fallback: per-block random decode costs ~2.5x
+                # the one-pass stream decode per block, so once the surviving
+                # set exceeds ~40% of the term's TOTAL blocks, stream-decode
+                # the whole term and scatter the not-yet-updated candidates
+                # in one vectorized pass
+                if n_surv > (2 * nblocks) // 5:
+                    stats["blocks_decoded"] += int(nblocks - done_blocks.sum())
+                    t_docs, t_tfs, t_dls = _decode_term_full(t)
+                    comp = _tf_component(t_tfs, t_dls, scoring, k1, b, avgdl) * t["w"]
+                    idx = np.searchsorted(t_docs, cand_docs)
+                    idx_c = np.minimum(idx, t_docs.size - 1)
+                    hit = t_docs[idx_c] == cand_docs
+                    pos_all = np.searchsorted(bfd, cand_docs, side="right") - 1
+                    fresh = ~done_blocks[np.maximum(pos_all, 0)] | (pos_all < 0)
+                    cand_scores = cand_scores + np.where(
+                        hit & fresh, comp[idx_c], 0.0
+                    )
+                    break
+                hi = j + min(chunk, n_surv)
+                blk = np.sort(blocks[j:hi])
+                stats["blocks_decoded"] += int(blk.size)
+                done_blocks[blk] = True
+                t_docs, t_tfs, t_dls = _decode_blocks(t, blk, block_size)
+                if t_docs.size:
+                    comp = _tf_component(t_tfs, t_dls, scoring, k1, b, avgdl) * t["w"]
+                    idx = np.searchsorted(t_docs, cand_docs)
+                    idx_c = np.minimum(idx, t_docs.size - 1)
+                    hit = t_docs[idx_c] == cand_docs
+                    cand_scores = cand_scores + np.where(hit, comp[idx_c], 0.0)
+                if cand_docs.size >= k:
+                    theta = max(
+                        theta,
+                        np.partition(cand_scores, cand_scores.size - k)[
+                            cand_scores.size - k
+                        ],
+                    )
+                j = hi
+                chunk = min(chunk * 2, 256)
+        elif prune and i == 0:
+            # first (highest-UB) term: blocks in DESCENDING block-UB order in
+            # growing chunks. theta becomes a valid lower bound as soon as k
+            # docs are scored (partial scores only grow), after which the
+            # walk stops at the first block with bub + rest_after < theta —
+            # any doc first seen there has final score <= that bound < theta
+            # <= the final kth, and no earlier-term contribution exists to
+            # truncate. Docs within one term are distinct, so chunk results
+            # concatenate without a union.
+            b_ord = np.argsort(-t["bub"], kind="stable")
+            bub_sorted = t["bub"][b_ord]
+            parts_docs, parts_comp = [], []
+            top_scores = np.empty(0, dtype=np.float64)
+            j, chunk = 0, 8
+            while j < nblocks and (theta == -np.inf or bub_sorted[j] + rest_after >= theta):
+                hi = min(j + chunk, nblocks)
+                if theta != -np.inf:
+                    hi = j + int(
+                        np.searchsorted(
+                            -(bub_sorted[j:hi] + rest_after), -theta, side="right"
+                        )
+                    )
+                    if hi == j:
+                        break
+                # adaptive bulk fallback: if even the WEAKEST remaining block
+                # survives the current theta, nothing left is skippable —
+                # decode the remainder in one stream pass instead of paying
+                # the per-block loop for zero skips
+                if theta != -np.inf and bub_sorted[-1] + rest_after >= theta:
+                    stats["blocks_decoded"] += int(nblocks - j)
+                    t_docs, t_tfs, t_dls = _decode_term_full(t)
+                    if parts_docs:
+                        done = np.sort(np.concatenate([np.asarray(x) for x in parts_docs]))
+                        m = np.isin(t_docs, done, invert=True, assume_unique=True)
+                        t_docs, t_tfs, t_dls = t_docs[m], t_tfs[m], t_dls[m]
+                    parts_docs.append(t_docs)
+                    parts_comp.append(
+                        _tf_component(t_tfs, t_dls, scoring, k1, b, avgdl) * t["w"]
+                    )
+                    j = nblocks
+                    break
+                blk = np.sort(b_ord[j:hi])
+                stats["blocks_decoded"] += int(blk.size)
+                t_docs, t_tfs, t_dls = _decode_blocks(t, blk, block_size)
+                comp = _tf_component(t_tfs, t_dls, scoring, k1, b, avgdl) * t["w"]
+                parts_docs.append(t_docs)
+                parts_comp.append(comp)
+                top_scores = np.concatenate((top_scores, comp))
+                if top_scores.size > k:
+                    top_scores = np.partition(top_scores, top_scores.size - k)[
+                        top_scores.size - k :
+                    ]
+                if top_scores.size >= k:
+                    theta = max(theta, float(top_scores.min()))
+                j = hi
+                chunk = min(chunk * 2, 256)
+            if parts_docs:
+                all_docs = np.concatenate(parts_docs)
+                all_comp = np.concatenate(parts_comp)
+                s_ord = np.argsort(all_docs, kind="stable")
+                cand_docs, cand_scores = all_docs[s_ord], all_comp[s_ord]
+            if cand_docs.size >= k:
+                theta = max(
+                    theta,
+                    np.partition(cand_scores, cand_scores.size - k)[
+                        cand_scores.size - k
+                    ],
+                )
         else:
-            # full decode of this term; union-merge into the accumulator
-            nblocks = (t["count"] + block_size - 1) // block_size
-            stats["blocks_decoded"] += nblocks
-            cdc = t.get("codec", "varint")
-            deltas = _decode_all(t["doc_ids_enc"], t["count"], cdc, t["block_off_doc"])
-            t_docs = _docids_from_deltas(deltas, block_size)
-            t_tfs = _decode_all(t["tfs_enc"], t["count"], cdc, t["block_off_tf"])
-            t_dls = _decode_all(t["dls_enc"], t["count"], cdc, t["block_off_dl"])
+            # later essential term (suffix[i] >= theta): one static block
+            # filter against the current theta — a block survives if the best
+            # doc it could still produce (an unseen doc bounded by bub, or
+            # its best resident candidate's partial + bub) plus rest_after
+            # reaches theta. With no theta yet, or nothing skippable, this is
+            # exactly the old full decode (one stream pass, one union).
+            skippable = prune and theta != -np.inf
+            if skippable:
+                p = t["bub"].copy()
+                if cand_docs.size:
+                    bfd = np.asarray(t["block_first_doc"], dtype=np.int64)
+                    pos = np.searchsorted(bfd, cand_docs, side="right") - 1
+                    valid = pos >= 0
+                    if valid.any():
+                        pos_v, cd_scores = pos[valid], cand_scores[valid]
+                        order = np.argsort(pos_v, kind="stable")
+                        blk_sorted = pos_v[order]
+                        bwc, first_idx = np.unique(blk_sorted, return_index=True)
+                        p[bwc] += np.maximum.reduceat(cd_scores[order], first_idx)
+                surv = np.flatnonzero(p + rest_after >= theta)
+            else:
+                surv = None
+            if surv is None or surv.size > nblocks // 2:
+                # nothing (or too little) skippable: stream decode
+                stats["blocks_decoded"] += nblocks
+                t_docs, t_tfs, t_dls = _decode_term_full(t)
+            else:
+                stats["blocks_decoded"] += int(surv.size)
+                t_docs, t_tfs, t_dls = _decode_blocks(t, surv, block_size)
             comp = _tf_component(t_tfs, t_dls, scoring, k1, b, avgdl) * t["w"]
             all_docs = np.union1d(cand_docs, t_docs)
             scores = np.zeros(all_docs.size, dtype=np.float64)
             scores[np.searchsorted(all_docs, cand_docs)] += cand_scores
             scores[np.searchsorted(all_docs, t_docs)] += comp
             cand_docs, cand_scores = all_docs, scores
-
-        if cand_docs.size >= k:
-            theta = np.partition(cand_scores, cand_scores.size - k)[cand_scores.size - k]
+            if cand_docs.size >= k:
+                theta = max(
+                    theta,
+                    np.partition(cand_scores, cand_scores.size - k)[
+                        cand_scores.size - k
+                    ],
+                )
 
     if cand_docs.size == 0:
         return cand_docs, cand_scores
@@ -265,6 +431,88 @@ def search_wand(
     )
 
 
+def _pdf_to_terms(pdf: pd.DataFrame, codec: str) -> list[dict]:
+    """One query's joined (qtf, <compressed posting row>) rows -> the kernel's
+    term-dict list. A doc-range-sharded head term contributes several
+    self-contained entries whose ``df`` is the TERM-total (sum of per-row
+    counts), never the row's slice."""
+    df_total = pdf.groupby("term")["count"].transform("sum")
+    terms = []
+    for row, df_t in zip(pdf.to_dict("records"), df_total):
+        terms.append(
+            {
+                "qtf": int(row["qtf"]),
+                "codec": codec,
+                "df": int(df_t),
+                "count": int(row["count"]),
+                "doc_ids_enc": bytes(row["doc_ids_enc"]),
+                "tfs_enc": bytes(row["tfs_enc"]),
+                "dls_enc": bytes(row["dls_enc"]),
+                "block_first_doc": np.asarray(row["block_first_doc"], dtype=np.int64),
+                "block_off_doc": np.asarray(row["block_off_doc"], dtype=np.int64),
+                "block_off_tf": np.asarray(row["block_off_tf"], dtype=np.int64),
+                "block_off_dl": np.asarray(row["block_off_dl"], dtype=np.int64),
+                "block_max_tfpart": np.asarray(row["block_max_tfpart"], dtype=np.float64),
+                "block_max_tfdl": np.asarray(row["block_max_tfdl"], dtype=np.float64),
+            }
+        )
+    return terms
+
+
+def wand_kernel_ab(
+    index: CompressedIndex,
+    queries: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int | None = None,
+    reps: int = 3,
+) -> dict:
+    """In-process A/B of the pruned vs exhaustive kernel over the SAME
+    posting rows: collects each query's joined rows once (bounded — query
+    terms only), then times ``maxscore_topk`` with and without pruning on
+    the driver, asserting identical (doc, score) output. Returns
+    ``{prune_ms, full_ms, blocks_total, blocks_decoded}`` (medians of
+    ``reps`` per query, summed over queries). This isolates the kernel —
+    the number a serving node pays per query — from the Spark job-dispatch
+    floor that dominates a 10-query batch at bench scale."""
+    import statistics  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    kk = k if k is not None else cfg.k
+    q_terms = query_terms(queries, stem=cfg.stem)
+    joined = index.postings.join(F.broadcast(q_terms), "term", "inner")
+    rows = joined.collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    out = {"prune_ms": 0.0, "full_ms": 0.0, "blocks_total": 0, "blocks_decoded": 0}
+    import time  # noqa: PLC0415
+
+    for rs in by_q.values():
+        pdf = pd.DataFrame([r.asDict() for r in rs])
+        terms = _pdf_to_terms(pdf, index.codec)
+        args = (terms, index.n_docs, index.avgdl, kk)
+        kw = dict(k1=index.k1, b=index.b, block_size=index.block_size)
+        maxscore_topk(*args, **kw)  # warm
+        tp, tf_ = [], []
+        st: dict = {}
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            d1, s1 = maxscore_topk(*args, stats=st, **kw)
+            tp.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            d2, s2 = maxscore_topk(*args, prune=False, **kw)
+            tf_.append(time.perf_counter() - t0)
+        assert np.array_equal(d1, d2) and np.array_equal(s1, s2)
+        out["prune_ms"] += statistics.median(tp) * 1000.0
+        out["full_ms"] += statistics.median(tf_) * 1000.0
+        out["blocks_total"] += int(st["blocks_total"])
+        out["blocks_decoded"] += int(st["blocks_decoded"])
+    out["prune_ms"] = round(out["prune_ms"], 2)
+    out["full_ms"] = round(out["full_ms"], 2)
+    return out
+
+
 def topk_from_joined(
     joined: DataFrame,
     n_docs: int,
@@ -281,34 +529,16 @@ def topk_from_joined(
     rows -> per-query top-k via :func:`maxscore_topk` (one pandas group per
     query). Used by :func:`search_wand` and the low-latency serving path
     (:mod:`fulltextsearch_spark.operators.serving`)."""
+    # doc-range shards (cfg.shard_postings): a head term may span several
+    # self-contained rows. Each row becomes its own kernel entry (every
+    # (term, doc) posting lives in exactly one shard, so per-entry partial
+    # scores sum correctly and block-max bounds stay safe); idf must use
+    # the TERM-total df = sum of per-row counts, not the row's slice —
+    # see _pdf_to_terms.
 
     def _score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = pdf["query_id"].iloc[0]
-        # doc-range shards (cfg.shard_postings): a head term may span several
-        # self-contained rows. Each row becomes its own kernel entry (every
-        # (term, doc) posting lives in exactly one shard, so per-entry partial
-        # scores sum correctly and block-max bounds stay safe); idf must use
-        # the TERM-total df = sum of per-row counts, not the row's slice.
-        df_total = pdf.groupby("term")["count"].transform("sum")
-        terms = []
-        for row, df_t in zip(pdf.to_dict("records"), df_total):
-            terms.append(
-                {
-                    "qtf": int(row["qtf"]),
-                    "codec": codec,
-                    "df": int(df_t),
-                    "count": int(row["count"]),
-                    "doc_ids_enc": bytes(row["doc_ids_enc"]),
-                    "tfs_enc": bytes(row["tfs_enc"]),
-                    "dls_enc": bytes(row["dls_enc"]),
-                    "block_first_doc": np.asarray(row["block_first_doc"], dtype=np.int64),
-                    "block_off_doc": np.asarray(row["block_off_doc"], dtype=np.int64),
-                    "block_off_tf": np.asarray(row["block_off_tf"], dtype=np.int64),
-                    "block_off_dl": np.asarray(row["block_off_dl"], dtype=np.int64),
-                    "block_max_tfpart": np.asarray(row["block_max_tfpart"], dtype=np.float64),
-                    "block_max_tfdl": np.asarray(row["block_max_tfdl"], dtype=np.float64),
-                }
-            )
+        terms = _pdf_to_terms(pdf, codec)
         doc_ids, scores = maxscore_topk(
             terms, n_docs, avgdl, kk, scoring=scoring, k1=k1, b=b,
             block_size=block_size, prune=prune,
@@ -359,26 +589,7 @@ def wand_pruning_stats(
 
     def _stats_group(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = pdf["query_id"].iloc[0]
-        df_total = pdf.groupby("term")["count"].transform("sum")
-        terms = []
-        for row, df_t in zip(pdf.to_dict("records"), df_total):
-            terms.append(
-                {
-                    "qtf": int(row["qtf"]),
-                    "codec": codec,
-                    "df": int(df_t),
-                    "count": int(row["count"]),
-                    "doc_ids_enc": bytes(row["doc_ids_enc"]),
-                    "tfs_enc": bytes(row["tfs_enc"]),
-                    "dls_enc": bytes(row["dls_enc"]),
-                    "block_first_doc": np.asarray(row["block_first_doc"], dtype=np.int64),
-                    "block_off_doc": np.asarray(row["block_off_doc"], dtype=np.int64),
-                    "block_off_tf": np.asarray(row["block_off_tf"], dtype=np.int64),
-                    "block_off_dl": np.asarray(row["block_off_dl"], dtype=np.int64),
-                    "block_max_tfpart": np.asarray(row["block_max_tfpart"], dtype=np.float64),
-                    "block_max_tfdl": np.asarray(row["block_max_tfdl"], dtype=np.float64),
-                }
-            )
+        terms = _pdf_to_terms(pdf, codec)
         stats: dict = {}
         maxscore_topk(
             terms, n_docs, avgdl, kk, scoring="bm25", k1=k1, b=b,

@@ -261,3 +261,29 @@ def test_wand_pruning_stats_surface(spark, cindex):
     assert sum(r["blocks_decoded"] for r in rows.values()) < sum(
         r["blocks_total"] for r in rows.values()
     )
+
+
+@pytest.mark.parametrize("seed", list(range(12)))
+def test_maxscore_chunked_pruning_rank_identical(seed):
+    """The impact-ordered chunked pruning paths (first-term desc-UB walk,
+    static later-term filter, chunked candidates-only walk) are rank- and
+    score-identical to the exhaustive kernel across random term mixes,
+    including single-term queries and duplicate-free top-k ties."""
+    rng = np.random.default_rng(1000 + seed)
+    n_docs, k1, b, block_size = 5000, 1.2, 0.75, 32
+    avgdl = 80.0
+    n_terms = int(rng.integers(1, 6))
+    terms, truth = _random_terms(
+        rng, n_docs, n_terms=n_terms, avgdl=avgdl, k1=k1, b=b, block_size=block_size
+    )
+    for k in (1, 10, 100):
+        st: dict = {}
+        pd_, ps = maxscore_topk(
+            terms, n_docs, avgdl, k, k1=k1, b=b, block_size=block_size, stats=st
+        )
+        fd, fs = maxscore_topk(
+            terms, n_docs, avgdl, k, k1=k1, b=b, block_size=block_size, prune=False
+        )
+        assert pd_.tolist() == fd.tolist()
+        np.testing.assert_allclose(ps, fs, rtol=0, atol=0)
+        assert st["blocks_decoded"] <= st["blocks_total"]
