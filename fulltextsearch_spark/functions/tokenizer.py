@@ -299,13 +299,17 @@ def _split_tokens_np(arr):
     return flat, doc_of
 
 
-def term_counts_flat(texts, do_stem: bool = True, memo: dict | None = None):
+def term_counts_flat(
+    texts, do_stem: bool = True, memo: dict | None = None, order: str = "doc"
+):
     """Flat variant of :func:`term_counts_batch` for fused consumers.
 
     Returns ``(dl ndarray, sorted_terms pa.StringArray, ud ndarray,
     uc ndarray, cnt ndarray)`` where ``(ud[i], uc[i], cnt[i])`` is one
     distinct (doc row index, term rank, term frequency) triple, sorted
-    doc-major then term-rank; ``sorted_terms`` is the batch vocabulary in
+    doc-major then term-rank (``order="doc"``, the ListArray consumers) or
+    term-rank-major then doc (``order="term"``, the posting packers — saves
+    their per-buffer lexsort); ``sorted_terms`` is the batch vocabulary in
     lexicographic order (``uc`` indexes into it).
     """
     import numpy as np  # noqa: PLC0415
@@ -371,10 +375,23 @@ def term_counts_flat(texts, do_stem: bool = True, memo: dict | None = None):
     # boundary differences — ~2x cheaper than bincount on this host
     dl = np.diff(np.searchsorted(d, np.arange(n + 1, dtype=np.int64)))
 
-    # doc-major pack; int32 when the key domain allows it (sort is memory-
+    # packed-key sort; int32 when the key domain allows it (sort is memory-
     # bandwidth-bound: 32-bit keys sort ~1.6x faster) — n and nt are batch-
-    # local so the narrow path covers every realistic Arrow batch
-    if n * nt < 2**31:
+    # local so the narrow path covers every realistic Arrow batch.
+    # order="doc" keys doc-major (the ListArray consumers); order="term"
+    # keys term-major — (term-rank, doc) ascending — which is EXACTLY the
+    # (term, doc) order the posting packer needs, so the fused index builds
+    # skip their per-buffer lexsort entirely.
+    if order == "term":
+        if n * nt < 2**31:
+            key = c.astype(np.int32)
+            key *= np.int32(n)
+            key += d.astype(np.int32)
+        else:
+            key = c
+            key *= n
+            key += d
+    elif n * nt < 2**31:
         key = d.astype(np.int32)
         key *= np.int32(nt)
         key += c.astype(np.int32)
@@ -382,9 +399,9 @@ def term_counts_flat(texts, do_stem: bool = True, memo: dict | None = None):
         key = d
         key *= nt
         key += c
-    # in-place: key is a fresh temporary, and it is already doc-major
-    # (doc_idx is non-decreasing) so the sort itself is near-linear; the
-    # copy np.sort() would make costs more than the sort on this host
+    # in-place: key is a fresh temporary, and for order="doc" it is already
+    # doc-major (doc_idx is non-decreasing) so the sort itself is near-
+    # linear; the copy np.sort() would make costs more than the sort
     key.sort()
     sk = key
     if sk.size:
@@ -395,8 +412,12 @@ def term_counts_flat(texts, do_stem: bool = True, memo: dict | None = None):
     else:
         ukey = sk.astype(np.int64)
         cnts = sk.astype(np.int64)
-    ud = ukey // nt
-    uc = ukey % nt
+    if order == "term":
+        uc = ukey // n
+        ud = ukey % n
+    else:
+        ud = ukey // nt
+        uc = ukey % nt
     return dl, sorted_terms, ud, uc, cnts
 
 

@@ -185,22 +185,33 @@ _MERGE_CHUNK_POSTINGS = 1 << 16
 
 
 class _PartialAccumulator:
-    """Accumulates packed per-term segments across a task's buffers."""
+    """Accumulates packed per-term segments across a task's buffers.
+
+    ``add_buffer`` does only vectorized work (sort, run boundaries, one
+    varint encode per stream) and stores the pack; Python-level per-term
+    work is deferred to :meth:`emit`. The common one-buffer-per-task case
+    (row-group-sized tasks) emits ZERO-COPY: the per-term binary cells are
+    adjacent slices of the encode buffer, so the output BinaryArrays are
+    built from (offsets, buffer) pairs directly — no per-run byte slicing,
+    no joins, no Python term boxing beyond the Arrow take.
+    """
 
     def __init__(self):
-        self.acc: dict = {}
+        self.packs: list = []
 
-    def add_buffer(self, uniq, codes, docs, tfs, dls):
-        """One buffered pack: lexsort by (term, doc), varint-encode each
-        stream once, slice per term run, append to the per-term accumulator.
+    def add_buffer(self, uniq, codes, docs, tfs, dls, presorted: bool = False):
+        """One buffered pack: sort by (term, doc) unless ``presorted``
+        (term_counts_flat(order="term") already is), varint-encode each
+        stream once, store run boundaries + encode buffers.
 
         ``uniq``/``codes`` are a pyarrow dictionary-encode of the per-posting
         term strings (C speed — boxing 14M Python strings per 400k docs was
         the entire cost of a pandas-object pack, measured ~5 us/posting);
         everything else is numpy on int64.
         """
-        order = np.lexsort((docs, codes))
-        codes, docs, tfs, dls = codes[order], docs[order], tfs[order], dls[order]
+        if not presorted:
+            order = np.lexsort((docs, codes))
+            codes, docs, tfs, dls = codes[order], docs[order], tfs[order], dls[order]
         starts = np.concatenate(([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1))
         ends = np.concatenate((starts[1:], [codes.size]))
         deltas = np.empty_like(docs)
@@ -214,27 +225,61 @@ class _PartialAccumulator:
         enc_d = varint_encode(deltas, nb_d)
         enc_t = varint_encode(tfs, nb_t)
         enc_l = varint_encode(dls, nb_l)
-        run_terms = uniq.take(__import__("pyarrow").array(codes[starts])).to_pylist()
-        first_docs = docs[starts]
-        acc = self.acc
-        for i, (s, e) in enumerate(zip(starts, ends)):
-            ent = acc.get(run_terms[i])
-            if ent is None:
-                ent = acc[run_terms[i]] = [int(first_docs[i]), [], [], [], []]
-            ent[1].append(int(e - s))
-            ent[2].append(enc_d[off_d[s] : off_d[e]])
-            ent[3].append(enc_t[off_t[s] : off_t[e]])
-            ent[4].append(enc_l[off_l[s] : off_l[e]])
+        self.packs.append(
+            (uniq, codes, starts, ends, docs[starts], enc_d, enc_t, enc_l,
+             off_d, off_t, off_l)
+        )
 
     def emit(self):
         """One RecordBatch with a single row per term seen by this task."""
         import pyarrow as pa  # noqa: PLC0415
 
-        if not self.acc:
+        packs, self.packs = self.packs, []
+        if not packs:
             return None
-        terms = list(self.acc.keys())
-        ents = [self.acc[t] for t in terms]
-        rb = pa.RecordBatch.from_arrays(
+        if len(packs) == 1:
+            uniq, codes, starts, ends, first_docs, enc_d, enc_t, enc_l, off_d, off_t, off_l = packs[0]
+            n_runs = starts.size
+            term_arr = uniq.take(pa.array(codes[starts]))
+            bounds = np.append(starts, codes.size)
+
+            def _bin(off, enc):
+                offs = np.ascontiguousarray(off[bounds], dtype=np.int32)
+                return pa.Array.from_buffers(
+                    pa.binary(), n_runs, [None, pa.py_buffer(offs), pa.py_buffer(enc)]
+                )
+
+            seg_lens = pa.ListArray.from_arrays(
+                np.arange(n_runs + 1, dtype=np.int32),
+                pa.array(ends - starts, type=pa.int64()),
+            )
+            return pa.RecordBatch.from_arrays(
+                [
+                    term_arr.cast(pa.string()),
+                    pa.array(first_docs, type=pa.int64()),
+                    seg_lens,
+                    _bin(off_d, enc_d),
+                    _bin(off_t, enc_t),
+                    _bin(off_l, enc_l),
+                ],
+                names=["term", "first_doc", "seg_lens", "doc_bytes", "tf_bytes", "dl_bytes"],
+            )
+        acc: dict = {}
+        for uniq, codes, starts, ends, first_docs, enc_d, enc_t, enc_l, off_d, off_t, off_l in packs:
+            run_terms = uniq.take(
+                __import__("pyarrow").array(codes[starts])
+            ).to_pylist()
+            for i, (s, e) in enumerate(zip(starts, ends)):
+                ent = acc.get(run_terms[i])
+                if ent is None:
+                    ent = acc[run_terms[i]] = [int(first_docs[i]), [], [], [], []]
+                ent[1].append(int(e - s))
+                ent[2].append(bytes(enc_d[off_d[s] : off_d[e]]))
+                ent[3].append(bytes(enc_t[off_t[s] : off_t[e]]))
+                ent[4].append(bytes(enc_l[off_l[s] : off_l[e]]))
+        terms = list(acc.keys())
+        ents = [acc[t] for t in terms]
+        return pa.RecordBatch.from_arrays(
             [
                 pa.array(terms, type=pa.string()),
                 pa.array([e[0] for e in ents], type=pa.int64()),
@@ -245,8 +290,6 @@ class _PartialAccumulator:
             ],
             names=["term", "first_doc", "seg_lens", "doc_bytes", "tf_bytes", "dl_bytes"],
         )
-        self.acc = {}
-        return rb
 
 
 def _partial_rows(doc_tf: DataFrame) -> DataFrame:
@@ -452,11 +495,15 @@ def _partial_rows_fused(
                     n_b = int(m.sum())
                     doc_ids[m] = np.arange(start, start + n_b, dtype=np.int64)
                     used[int(b)] = used.get(int(b), 0) + n_b
-            dl, sorted_terms, ud, uc, cnt = term_counts_flat(rb.column("text"), stem)
+            dl, sorted_terms, ud, uc, cnt = term_counts_flat(
+                rb.column("text"), stem, order="term"
+            )
             doc_parts.append(doc_ids)
             dl_parts.append(dl)
             if uc.size:
-                packer.add_buffer(sorted_terms, uc, doc_ids[ud], cnt, dl[ud])
+                packer.add_buffer(
+                        sorted_terms, uc, doc_ids[ud], cnt, dl[ud], presorted=True
+                    )
         out = packer.emit()
         if out is not None:
             yield out
@@ -1077,11 +1124,15 @@ def build_compressed_index_pyfiles(
                     doc_ids = np.arange(
                         start + i, start + i + len(chunk), dtype=np.int64
                     )
-                    dl, sorted_terms, ud, uc, cnt = term_counts_flat(chunk, stem)
+                    dl, sorted_terms, ud, uc, cnt = term_counts_flat(
+                        chunk, stem, order="term"
+                    )
                     doc_parts.append(doc_ids)
                     dl_parts.append(dl)
                     if uc.size:
-                        packer.add_buffer(sorted_terms, uc, doc_ids[ud], cnt, dl[ud])
+                        packer.add_buffer(
+                        sorted_terms, uc, doc_ids[ud], cnt, dl[ud], presorted=True
+                    )
         out = packer.emit()
         if out is not None:
             yield out

@@ -35,19 +35,20 @@ __all__ = [
 _MAX_BYTES = 10  # 64-bit values need at most 10 LEB128 bytes
 
 
+_LEB_BINS = (np.uint64(1) << (np.uint64(7) * np.arange(1, 10, dtype=np.uint64))).astype(
+    np.uint64
+)
+
+
 def varint_nbytes(values: np.ndarray) -> np.ndarray:
     """LEB128 bytes per value: ceil(bitlength/7), min 1 (vectorized).
 
-    Bit length via log2 on floats is unsafe near 2^53; shift loop (<=10
-    iterations) instead.
+    Bit length via log2 on floats is unsafe near 2^53; one searchsorted
+    against the nine 2^(7k) thresholds instead (exact on uint64, one C
+    pass — the old shift loop re-scanned the array once per output byte).
     """
     v = values.astype(np.uint64, copy=False)
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    shifted = v >> np.uint64(7)
-    while np.any(shifted > 0):
-        nbytes[shifted > 0] += 1
-        shifted = shifted >> np.uint64(7)
-    return nbytes
+    return np.searchsorted(_LEB_BINS, v, side="right").astype(np.int64) + 1
 
 
 def varint_encode(values: np.ndarray, nbytes: np.ndarray | None = None) -> bytes:

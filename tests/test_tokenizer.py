@@ -197,3 +197,47 @@ def test_term_counts_flat_int64_key_path():
     terms_py = terms.to_pylist()
     i = 12_345
     assert sorted(terms_py[j] for j in uc[ud == i]) == [f"u{i}a", f"u{i}b"]
+
+
+def test_term_counts_flat_order_term_equivalent():
+    """order="term" returns the SAME (doc, term, tf) triples as order="doc",
+    sorted term-major — the presorted contract the posting packers rely on."""
+    import numpy as np
+
+    from fulltextsearch_spark.functions.tokenizer import term_counts_flat
+
+    texts = [
+        "the cat sat on the mat",
+        "cats CATS cat zebra",
+        "",
+        "swim swimming swimmer the a an",
+    ]
+    dl_a, terms_a, ud_a, uc_a, cnt_a = term_counts_flat(texts, True)
+    dl_b, terms_b, ud_b, uc_b, cnt_b = term_counts_flat(texts, True, order="term")
+    assert np.array_equal(dl_a, dl_b)
+    assert terms_a.equals(terms_b)
+    trip_a = sorted(zip(ud_a.tolist(), uc_a.tolist(), cnt_a.tolist()))
+    trip_b = sorted(zip(ud_b.tolist(), uc_b.tolist(), cnt_b.tolist()))
+    assert trip_a == trip_b
+    # term-major: uc non-decreasing, doc ascending within a run
+    assert all(x <= y for x, y in zip(uc_b.tolist(), uc_b.tolist()[1:]))
+    for i in range(1, len(uc_b)):
+        if uc_b[i] == uc_b[i - 1]:
+            assert ud_b[i] > ud_b[i - 1]
+
+
+def test_varint_nbytes_thresholds():
+    """Exact LEB128 widths at every 2^(7k) boundary (the searchsorted bins)."""
+    import numpy as np
+
+    from fulltextsearch_spark.operators.compression import varint_nbytes
+
+    vals, want = [], []
+    for k in range(1, 10):
+        b = 1 << (7 * k)
+        vals += [b - 1, b]
+        want += [k, k + 1]
+    vals += [0, 1, 2**64 - 1]
+    want += [1, 1, 10]
+    got = varint_nbytes(np.array(vals, dtype=np.uint64)).tolist()
+    assert got == want
