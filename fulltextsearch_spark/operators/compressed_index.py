@@ -230,6 +230,49 @@ class _PartialAccumulator:
              off_d, off_t, off_l)
         )
 
+    @staticmethod
+    def _pack_batch(pack):
+        """One pack -> one RecordBatch, zero-copy: per-term binary cells are
+        adjacent slices of the encode buffer, so the BinaryArrays are built
+        from (offsets, buffer) pairs directly."""
+        import pyarrow as pa  # noqa: PLC0415
+
+        uniq, codes, starts, ends, first_docs, enc_d, enc_t, enc_l, off_d, off_t, off_l = pack
+        n_runs = starts.size
+        term_arr = uniq.take(pa.array(codes[starts]))
+        bounds = np.append(starts, codes.size)
+
+        def _bin(off, enc):
+            offs = np.ascontiguousarray(off[bounds], dtype=np.int32)
+            return pa.Array.from_buffers(
+                pa.binary(), n_runs, [None, pa.py_buffer(offs), pa.py_buffer(enc)]
+            )
+
+        seg_lens = pa.ListArray.from_arrays(
+            np.arange(n_runs + 1, dtype=np.int32),
+            pa.array(ends - starts, type=pa.int64()),
+        )
+        return pa.RecordBatch.from_arrays(
+            [
+                term_arr.cast(pa.string()),
+                pa.array(first_docs, type=pa.int64()),
+                seg_lens,
+                _bin(off_d, enc_d),
+                _bin(off_t, enc_t),
+                _bin(off_l, enc_l),
+            ],
+            names=["term", "first_doc", "seg_lens", "doc_bytes", "tf_bytes", "dl_bytes"],
+        )
+
+    def emit_batches(self) -> list:
+        """Zero-copy path for row-group-sized buffers: one RecordBatch PER
+        PACK (so per-term rows = vocab x row-groups rather than vocab x
+        tasks — a ~rg/task factor, not the per-50-doc-buffer blowup the
+        dict merge exists to prevent). The term-sharded merge already
+        combines multiple partial rows per term by (term, first_doc)."""
+        packs, self.packs = self.packs, []
+        return [self._pack_batch(p) for p in packs]
+
     def emit(self):
         """One RecordBatch with a single row per term seen by this task."""
         import pyarrow as pa  # noqa: PLC0415
@@ -238,32 +281,7 @@ class _PartialAccumulator:
         if not packs:
             return None
         if len(packs) == 1:
-            uniq, codes, starts, ends, first_docs, enc_d, enc_t, enc_l, off_d, off_t, off_l = packs[0]
-            n_runs = starts.size
-            term_arr = uniq.take(pa.array(codes[starts]))
-            bounds = np.append(starts, codes.size)
-
-            def _bin(off, enc):
-                offs = np.ascontiguousarray(off[bounds], dtype=np.int32)
-                return pa.Array.from_buffers(
-                    pa.binary(), n_runs, [None, pa.py_buffer(offs), pa.py_buffer(enc)]
-                )
-
-            seg_lens = pa.ListArray.from_arrays(
-                np.arange(n_runs + 1, dtype=np.int32),
-                pa.array(ends - starts, type=pa.int64()),
-            )
-            return pa.RecordBatch.from_arrays(
-                [
-                    term_arr.cast(pa.string()),
-                    pa.array(first_docs, type=pa.int64()),
-                    seg_lens,
-                    _bin(off_d, enc_d),
-                    _bin(off_t, enc_t),
-                    _bin(off_l, enc_l),
-                ],
-                names=["term", "first_doc", "seg_lens", "doc_bytes", "tf_bytes", "dl_bytes"],
-            )
+            return self._pack_batch(packs[0])
         acc: dict = {}
         for uniq, codes, starts, ends, first_docs, enc_d, enc_t, enc_l, off_d, off_t, off_l in packs:
             run_terms = uniq.take(
@@ -502,11 +520,9 @@ def _partial_rows_fused(
             dl_parts.append(dl)
             if uc.size:
                 packer.add_buffer(
-                        sorted_terms, uc, doc_ids[ud], cnt, dl[ud], presorted=True
-                    )
-        out = packer.emit()
-        if out is not None:
-            yield out
+                    sorted_terms, uc, doc_ids[ud], cnt, dl[ud], presorted=True
+                )
+        yield from packer.emit_batches()
         if doc_parts:
             yield _docstats_sentinel(doc_parts, dl_parts)
 
@@ -1131,11 +1147,10 @@ def build_compressed_index_pyfiles(
                     dl_parts.append(dl)
                     if uc.size:
                         packer.add_buffer(
-                        sorted_terms, uc, doc_ids[ud], cnt, dl[ud], presorted=True
-                    )
-        out = packer.emit()
-        if out is not None:
-            yield out
+                            sorted_terms, uc, doc_ids[ud], cnt, dl[ud],
+                            presorted=True,
+                        )
+        yield from packer.emit_batches()
         if doc_parts:
             yield _docstats_sentinel(doc_parts, dl_parts)
 

@@ -1,0 +1,175 @@
+#!/usr/bin/env python3
+"""Two-size scale probe with measured shuffle bytes for one pipeline stage.
+
+SCALE.md argues each stage's 100 TB behavior from its shuffle volume; this
+script turns that argument into a measurement for the two stages the
+round-3 review singled out (MinHash-LSH candidate pairs, IVF-PQ build +
+ADC probe): run the SAME stage at two input sizes in fresh sessions with
+event logs on, then parse the logs for total shuffle read/write bytes and
+report the bytes-per-input-row fit. Near-linear bytes growth (constant
+bytes/row) is the property that lets the SCALE.md extrapolation stand.
+
+    python scripts/scale_probe.py --op minhash --sizes 50000,400000
+    python scripts/scale_probe.py --op ivfpq  --sizes 2000,20000
+
+Writes BENCH/scale_probe_<op>.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CACHE = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/fts_bench_cache")
+
+
+def _parse_events(log_dir: str) -> dict:
+    """Sum shuffle + input metrics over all completed stages of all apps in
+    ``log_dir`` (single-app dirs in practice — one session per probe run)."""
+    tot = {"shuffle_write_bytes": 0, "shuffle_read_bytes": 0, "input_bytes": 0,
+           "stages": 0}
+    for name in os.listdir(log_dir):
+        path = os.path.join(log_dir, name)
+        lines: list[str] = []
+        if os.path.isdir(path):
+            for p in sorted(os.listdir(path)):
+                if p.startswith("events_"):
+                    with open(os.path.join(path, p), errors="replace") as f:
+                        lines += f.readlines()
+        else:
+            with open(path, errors="replace") as f:
+                lines = f.readlines()
+        for line in lines:
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if ev.get("Event") != "SparkListenerStageCompleted":
+                continue
+            tot["stages"] += 1
+            for acc in ev["Stage Info"].get("Accumulables", []):
+                n = acc.get("Name", "")
+                v = acc.get("Value", 0)
+                if not isinstance(v, int):
+                    continue
+                if n == "internal.metrics.shuffle.write.bytesWritten":
+                    tot["shuffle_write_bytes"] += v
+                elif n in (
+                    "internal.metrics.shuffle.read.localBytesRead",
+                    "internal.metrics.shuffle.read.remoteBytesRead",
+                ):
+                    tot["shuffle_read_bytes"] += v
+                elif n == "internal.metrics.input.bytesRead":
+                    tot["input_bytes"] += v
+    return tot
+
+
+def _run_minhash(spark, n_docs: int) -> int:
+    from fulltextsearch_spark.operators.dedup import minhash_lsh_pairs
+    from fulltextsearch_spark.sources.ingest import assign_dense_doc_ids
+
+    corpus = spark.read.parquet(os.path.join(CACHE, f"web{n_docs}"))
+    docs = assign_dense_doc_ids(corpus.select("url", "text"), order_col="url")
+    return minhash_lsh_pairs(docs, threshold=0.3, shingle_k=8).count()
+
+
+def _run_ivfpq(spark, n_rows: int) -> int:
+    from pyspark.sql import functions as F
+
+    from fulltextsearch_spark.operators.similarity import build_ivfpq, ivfpq_adc_topk
+
+    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    n_base = base.count()
+    reps = max(1, n_rows // n_base)
+    # deterministic tiling with distinct ids and a tiny per-copy rotation so
+    # the vectors are not literal duplicates (k-means would collapse)
+    emb = (
+        base.crossJoin(spark.range(reps).select(F.col("id").alias("copy")))
+        .select(
+            (F.col("vec_id") + F.col("copy") * n_base).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> x + 0.001 * copy * (1 + i % 7))"
+            ).alias("embedding"),
+        )
+    )
+    idx = build_ivfpq(emb, n_centroids=16, m=4, n_codes=16, persist=False)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivfpq_adc_topk(idx, q, nprobe=4, k=10).count()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--op", choices=["minhash", "ivfpq"], required=True)
+    ap.add_argument("--sizes", required=True, help="comma-separated input sizes")
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args()
+
+    from fulltextsearch_spark.session import get_spark
+
+    if args.op == "minhash":
+        from bench import _ensure_web_corpus  # reuse the deterministic generator
+
+    results = []
+    for size in [int(s) for s in args.sizes.split(",")]:
+        log_dir = f"/tmp/fts_probe_events_{args.op}_{size}"
+        os.makedirs(log_dir, exist_ok=True)
+        for f in os.listdir(log_dir):
+            p = os.path.join(log_dir, f)
+            if os.path.isfile(p):
+                os.unlink(p)
+        if args.op == "minhash":
+            _ensure_web_corpus(os.path.join(CACHE, f"web{size}"), size)
+        spark = get_spark(
+            app_name=f"scale-probe-{args.op}-{size}",
+            master=f"local[{args.cpus}]",
+            shuffle_partitions=args.cpus,
+            extra_conf={
+                "spark.eventLog.enabled": "true",
+                "spark.eventLog.dir": f"file://{log_dir}",
+            },
+        )
+        t0 = time.perf_counter()
+        rows = _run_minhash(spark, size) if args.op == "minhash" else _run_ivfpq(spark, size)
+        wall = round(time.perf_counter() - t0, 3)
+        spark.stop()
+        m = _parse_events(log_dir)
+        results.append({"size": size, "wall_s": wall, "out_rows": rows, **m})
+        print(json.dumps(results[-1]), flush=True)
+
+    if len(results) >= 2:
+        a, b = results[0], results[-1]
+        growth = b["size"] / a["size"]
+        sh = (b["shuffle_write_bytes"] or 1) / (a["shuffle_write_bytes"] or 1)
+        summary = {
+            "op": args.op,
+            "cpus": args.cpus,
+            "runs": results,
+            "size_growth": round(growth, 2),
+            "shuffle_bytes_growth": round(sh, 2),
+            "bytes_per_row": {
+                str(r["size"]): round(r["shuffle_write_bytes"] / r["size"], 1)
+                for r in results
+            },
+            "near_linear": bool(sh <= growth * 1.3),
+        }
+    else:
+        summary = {"op": args.op, "runs": results}
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    out = os.path.join(REPO, "BENCH", f"scale_probe_{args.op}.json")
+    with open(out, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
