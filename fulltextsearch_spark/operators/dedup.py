@@ -136,11 +136,42 @@ def minhash_signatures(
     )
 
 
+def optimal_bands(threshold: float, num_perm: int = 128) -> int:
+    """Banding that matches the LSH S-curve to ``threshold`` — the standard
+    false-positive/false-negative weight minimization (Leskovec, Rajaraman
+    & Ullman, "Mining of Massive Datasets" §3.4; the datasketch library's
+    optimal-param search): over divisors b of num_perm with r = num_perm/b,
+    minimize  integral_0^t P(s) ds + integral_t^1 (1 - P(s)) ds  where
+    P(s) = 1 - (1 - s^r)^b.
+
+    Why it matters at scale: candidate volume is quadratic in bucket
+    density, and a banding tuned for a LOWER threshold than requested
+    collides a large fraction of merely-moderately-similar pairs. Measured
+    on the 400k-doc probe corpus (BENCH/scale_probe_minhash.json): the
+    fixed 32x4 banding at threshold 0.3 shuffles ~14 KB/doc in candidate
+    machinery; threshold-matched banding at 0.8 keeps the stage linear.
+    """
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    xs = [i / 200.0 for i in range(1, 200)]
+    best_b, best_err = 1, float("inf")
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        fp = sum(1.0 - (1.0 - s**r) ** b for s in xs if s < threshold) / 200.0
+        fn = sum((1.0 - s**r) ** b for s in xs if s >= threshold) / 200.0
+        err = fp + fn
+        if err < best_err:
+            best_b, best_err = b, err
+    return best_b
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
     num_perm: int = 128,
-    bands: int = 32,
+    bands: int | str = 32,
     shingle_k: int = 5,
     threshold: float = 0.8,
     seed: int = 1,
@@ -152,7 +183,13 @@ def minhash_lsh_pairs(
     candidate; est_jaccard = fraction of agreeing signature positions.
     Buckets larger than ``max_bucket`` are dropped (boilerplate guard) — at
     scale those are exact-dup clusters better handled by exact_dedup first.
+    ``bands="auto"`` picks the threshold-matched banding via
+    :func:`optimal_bands` — the scale-correct default when the caller is
+    not pinning a specific banding (see that function's measured
+    candidate-volume rationale).
     """
+    if bands == "auto":
+        bands = optimal_bands(threshold, num_perm)
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     rows = num_perm // bands
@@ -166,10 +203,21 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_sig"),
     ).select(
-        "doc_id", "band", F.sha2(F.concat_ws(",", F.col("band_sig").cast("array<string>")), 256).alias("bkey")
+        "doc_id",
+        # 8-byte bucket key with the band index folded in as hash salt: the
+        # banded rows are the stage's dominant shuffle (docs x bands), and
+        # a 64-char sha2 hex string plus a separate band column was ~75% of
+        # their bytes (measured 8x-corpus probe, BENCH/scale_probe_minhash
+        # .json). xxhash64 keeps the same (band, band-signature) partition
+        # of docs (collisions at 2^-64 per bucket pair would only ADD a
+        # candidate, which est_jaccard verification then filters).
+        F.xxhash64(
+            F.concat_ws(",", F.col("band_sig").cast("array<string>")),
+            F.col("band"),
+        ).alias("bkey"),
     )
     # boilerplate guard: skip giant buckets
-    sized = banded.groupBy("band", "bkey").agg(
+    sized = banded.groupBy("bkey").agg(
         F.collect_list("doc_id").alias("ids"), F.count(F.lit(1)).alias("n")
     ).filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
     pairs = (

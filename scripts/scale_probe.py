@@ -34,21 +34,30 @@ def _parse_events(log_dir: str) -> dict:
     ``log_dir`` (single-app dirs in practice — one session per probe run)."""
     tot = {"shuffle_write_bytes": 0, "shuffle_read_bytes": 0, "input_bytes": 0,
            "stages": 0}
+    def _read(p: str) -> list[str]:
+        if p.endswith(".zstd"):
+            import subprocess
+
+            out = subprocess.run(["zstd", "-dc", p], capture_output=True, text=True)
+            return out.stdout.splitlines()
+        with open(p, errors="replace") as f:
+            return f.readlines()
+
     for name in os.listdir(log_dir):
         path = os.path.join(log_dir, name)
         lines: list[str] = []
         if os.path.isdir(path):
             for p in sorted(os.listdir(path)):
                 if p.startswith("events_"):
-                    with open(os.path.join(path, p), errors="replace") as f:
-                        lines += f.readlines()
+                    lines += _read(os.path.join(path, p))
         else:
-            with open(path, errors="replace") as f:
-                lines = f.readlines()
+            lines = _read(path)
         for line in lines:
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
+                continue
+            if not isinstance(ev, dict):
                 continue
             if ev.get("Event") != "SparkListenerStageCompleted":
                 continue
@@ -70,13 +79,14 @@ def _parse_events(log_dir: str) -> dict:
     return tot
 
 
-def _run_minhash(spark, n_docs: int) -> int:
+def _run_minhash(spark, n_docs: int, threshold: float = 0.3, bands="default") -> int:
     from fulltextsearch_spark.operators.dedup import minhash_lsh_pairs
     from fulltextsearch_spark.sources.ingest import assign_dense_doc_ids
 
     corpus = spark.read.parquet(os.path.join(CACHE, f"web{n_docs}"))
     docs = assign_dense_doc_ids(corpus.select("url", "text"), order_col="url")
-    return minhash_lsh_pairs(docs, threshold=0.3, shingle_k=8).count()
+    kw = {} if bands == "default" else {"bands": bands}
+    return minhash_lsh_pairs(docs, threshold=threshold, shingle_k=8, **kw).count()
 
 
 def _run_ivfpq(spark, n_rows: int) -> int:
@@ -112,6 +122,9 @@ def main() -> None:
     ap.add_argument("--op", choices=["minhash", "ivfpq"], required=True)
     ap.add_argument("--sizes", required=True, help="comma-separated input sizes")
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--threshold", type=float, default=0.3)
+    ap.add_argument("--bands", default="default", help='"auto", "default", or int')
+    ap.add_argument("--tag", default="", help="suffix for the output json name")
     args = ap.parse_args()
 
     from fulltextsearch_spark.session import get_spark
@@ -121,12 +134,11 @@ def main() -> None:
 
     results = []
     for size in [int(s) for s in args.sizes.split(",")]:
-        log_dir = f"/tmp/fts_probe_events_{args.op}_{size}"
+        log_dir = f"/tmp/fts_probe_events_{args.op}{args.tag}_{size}"
+        import shutil
+
+        shutil.rmtree(log_dir, ignore_errors=True)
         os.makedirs(log_dir, exist_ok=True)
-        for f in os.listdir(log_dir):
-            p = os.path.join(log_dir, f)
-            if os.path.isfile(p):
-                os.unlink(p)
         if args.op == "minhash":
             _ensure_web_corpus(os.path.join(CACHE, f"web{size}"), size)
         spark = get_spark(
@@ -139,7 +151,11 @@ def main() -> None:
             },
         )
         t0 = time.perf_counter()
-        rows = _run_minhash(spark, size) if args.op == "minhash" else _run_ivfpq(spark, size)
+        if args.op == "minhash":
+            bands = args.bands if args.bands in ("auto", "default") else int(args.bands)
+            rows = _run_minhash(spark, size, args.threshold, bands)
+        else:
+            rows = _run_ivfpq(spark, size)
         wall = round(time.perf_counter() - t0, 3)
         spark.stop()
         m = _parse_events(log_dir)
@@ -151,7 +167,7 @@ def main() -> None:
         growth = b["size"] / a["size"]
         sh = (b["shuffle_write_bytes"] or 1) / (a["shuffle_write_bytes"] or 1)
         summary = {
-            "op": args.op,
+            "op": args.op + args.tag,
             "cpus": args.cpus,
             "runs": results,
             "size_growth": round(growth, 2),
@@ -165,7 +181,7 @@ def main() -> None:
     else:
         summary = {"op": args.op, "runs": results}
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    out = os.path.join(REPO, "BENCH", f"scale_probe_{args.op}.json")
+    out = os.path.join(REPO, "BENCH", f"scale_probe_{args.op}{args.tag}.json")
     with open(out, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))

@@ -1109,3 +1109,33 @@ def test_ivf_saved_serving_identical_to_live(spark, emb_df, tmp_path):
     import os
 
     assert os.path.exists(os.path.join(root, "_lineage.jsonl"))
+
+
+def test_optimal_bands_matches_threshold_curve():
+    """The FP+FN-weight banding search is monotone in the threshold and
+    reproduces the known operating points for num_perm=128."""
+    from fulltextsearch_spark.operators.dedup import optimal_bands
+
+    assert optimal_bands(0.3, 128) == 32  # the entry's fixed banding
+    assert optimal_bands(0.8, 128) == 8
+    prev = 129
+    for t in (0.1, 0.3, 0.5, 0.7, 0.9):
+        b = optimal_bands(t, 128)
+        assert 128 % b == 0
+        assert b <= prev
+        prev = b
+    import pytest
+
+    with pytest.raises(ValueError):
+        optimal_bands(0.0)
+
+
+def test_minhash_auto_banding_runs(spark, dup_docs):
+    """bands="auto" resolves to a valid banding and still finds the planted
+    near-duplicates at the dedup threshold."""
+    from fulltextsearch_spark.operators.dedup import minhash_lsh_pairs
+
+    docs, _ = dup_docs
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, bands="auto", shingle_k=5)
+    got = {(r["doc_id_a"], r["doc_id_b"]) for r in pairs.collect()}
+    assert got  # the dup_docs fixture plants near-identical docs

@@ -314,3 +314,50 @@ def test_warc_malformed_content_length_quarantines_not_raises(spark):
     )
     rows = parse_warc(df).collect()
     assert sorted(r["url"] for r in rows) == ["https://ok.test/1"] * 2
+
+
+def test_iceberg_round_trip_when_jars_present(tmp_path):
+    """Iceberg-format integration: gated on SPARK_GRAFT_ICEBERG_JAR (absent
+    in this sandbox, free on the first cluster with the runtime jar). Builds
+    a session with a local hadoop catalog, writes the web-page table via the
+    io seam, reads it back, and round-trips a small index."""
+    import os
+
+    import pytest
+
+    jar = os.environ.get("SPARK_GRAFT_ICEBERG_JAR")
+    if not jar:
+        pytest.skip("set SPARK_GRAFT_ICEBERG_JAR=/path/to/iceberg-spark-runtime.jar")
+    from pyspark.sql import SparkSession
+
+    from fulltextsearch_spark.sources.io import (
+        iceberg_available,
+        read_table,
+        write_table,
+    )
+
+    wh = str(tmp_path / "warehouse")
+    spark = (
+        SparkSession.builder.appName("iceberg-it")
+        .master("local[2]")
+        .config("spark.jars", jar)
+        .config(
+            "spark.sql.extensions",
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        )
+        .config("spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog")
+        .config("spark.sql.catalog.local.type", "hadoop")
+        .config("spark.sql.catalog.local.warehouse", wh)
+        .getOrCreate()
+    )
+    try:
+        assert iceberg_available(spark)
+        from fulltextsearch_spark.sources.webpages import generate_webpages
+
+        pages = generate_webpages(spark, 50, seed=3, num_partitions=2)
+        write_table(pages, "local.db.pages", fmt="iceberg")
+        back = read_table(spark, "local.db.pages", fmt="iceberg")
+        assert back.count() == 50
+        assert sorted(back.columns) == sorted(pages.columns)
+    finally:
+        spark.stop()
