@@ -5191,6 +5191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_ranks": q_percentile_ranks,
         "lmjm_topk": q_lmjm_topk,
         "dfr_topk": q_dfr_topk,
+        "ann_ivf_served": q_ann_ivf_served,
         "tf_table": q_tf_table,
         "doc_stats": q_doc_stats,
         "corpus_stats": q_corpus_stats,
@@ -5262,7 +5263,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_served": q_ann_ivf_served,
         "media_metadata": q_media_metadata,
         "image_stats": q_image_stats,
         "audio_features": q_audio_features,
