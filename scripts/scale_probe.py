@@ -89,6 +89,29 @@ def _run_minhash(spark, n_docs: int, threshold: float = 0.3, bands="default") ->
     return minhash_lsh_pairs(docs, threshold=threshold, shingle_k=8, **kw).count()
 
 
+def _run_build(spark, n_docs: int) -> int:
+    """Fused compressed-index build; returns the varint stream bytes of the
+    resulting postings so the probe can compare measured shuffle bytes to
+    the SCALE.md claim that build shuffle ~= compressed index size."""
+    from pyspark.sql import functions as F
+
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.compressed_index import (
+        build_compressed_index_pyfiles,
+    )
+
+    cfg = EngineConfig(k1=1.2, b=0.75, k=10, stem=True)
+    idx = build_compressed_index_pyfiles(spark, os.path.join(CACHE, f"web{n_docs}"), cfg)
+    r = idx.postings.agg(
+        (
+            F.sum(F.length("doc_ids_enc"))
+            + F.sum(F.length("tfs_enc"))
+            + F.sum(F.length("dls_enc"))
+        ).alias("b")
+    ).collect()[0]
+    return int(r["b"])
+
+
 def _run_ivfpq(spark, n_rows: int) -> int:
     from pyspark.sql import functions as F
 
@@ -119,7 +142,7 @@ def _run_ivfpq(spark, n_rows: int) -> int:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--op", choices=["minhash", "ivfpq"], required=True)
+    ap.add_argument("--op", choices=["minhash", "ivfpq", "build"], required=True)
     ap.add_argument("--sizes", required=True, help="comma-separated input sizes")
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--threshold", type=float, default=0.3)
@@ -129,7 +152,7 @@ def main() -> None:
 
     from fulltextsearch_spark.session import get_spark
 
-    if args.op == "minhash":
+    if args.op in ("minhash", "build"):
         from bench import _ensure_web_corpus  # reuse the deterministic generator
 
     results = []
@@ -139,7 +162,7 @@ def main() -> None:
 
         shutil.rmtree(log_dir, ignore_errors=True)
         os.makedirs(log_dir, exist_ok=True)
-        if args.op == "minhash":
+        if args.op in ("minhash", "build"):
             _ensure_web_corpus(os.path.join(CACHE, f"web{size}"), size)
         spark = get_spark(
             app_name=f"scale-probe-{args.op}-{size}",
@@ -154,6 +177,8 @@ def main() -> None:
         if args.op == "minhash":
             bands = args.bands if args.bands in ("auto", "default") else int(args.bands)
             rows = _run_minhash(spark, size, args.threshold, bands)
+        elif args.op == "build":
+            rows = _run_build(spark, size)
         else:
             rows = _run_ivfpq(spark, size)
         wall = round(time.perf_counter() - t0, 3)
