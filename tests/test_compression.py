@@ -258,3 +258,79 @@ def test_ef_cost_tracks_density():
     ef2, _ = ef_encode(d2)
     u_over_n = ids[-1] / ids.size
     assert 8.0 * len(ef2) / ids.size < 2 + np.log2(max(u_over_n, 1.0)) + 1.5
+
+
+def test_partial_accumulator_emit_paths_equivalent():
+    """The three emit shapes — single-pack zero-copy, multi-pack dict merge
+    (emit), and per-pack batches (emit_batches) — carry identical posting
+    content for the same buffered input."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fulltextsearch_spark.operators.compressed_index import _PartialAccumulator
+
+    def buf(seed, base):
+        rng = np.random.default_rng(seed)
+        n = 500
+        terms = pa.array([f"t{int(x)}" for x in rng.integers(0, 40, n)])
+        enc = terms.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        docs = base + np.sort(rng.choice(10_000, n, replace=False))
+        tfs = rng.integers(1, 9, n)
+        dls = rng.integers(20, 300, n)
+        # group by (code, doc) like the real feed
+        order = np.lexsort((docs, codes))
+        return (
+            enc.dictionary,
+            codes[order],
+            docs[order],
+            tfs[order],
+            dls[order],
+        )
+
+    def content(batches):
+        out = {}
+        for rb in batches:
+            for i in range(rb.num_rows):
+                t = rb.column(0)[i].as_py()
+                row = (
+                    rb.column(1)[i].as_py(),
+                    tuple(rb.column(2)[i].as_py()),
+                    rb.column(3)[i].as_py(),
+                    rb.column(4)[i].as_py(),
+                    rb.column(5)[i].as_py(),
+                )
+                out.setdefault(t, []).append(row)
+        # normalize: order a term's partial rows by first_doc, then fuse
+        norm = {}
+        for t, rows in out.items():
+            rows.sort(key=lambda r: r[0])
+            segs = tuple(x for r in rows for x in r[1])
+            bts = tuple(b"".join(r[i] for r in rows) for i in (2, 3, 4))
+            norm[t] = (rows[0][0], segs) + bts
+        return norm
+
+    b1, b2 = buf(1, 0), buf(2, 20_000)
+
+    one = _PartialAccumulator()
+    one.add_buffer(*b1, presorted=True)
+    single = content([one.emit()])
+
+    ref = _PartialAccumulator()
+    ref.add_buffer(*b1, presorted=True)
+    ref.add_buffer(*b2, presorted=True)
+    merged = content([ref.emit()])  # multi-pack dict path
+
+    per = _PartialAccumulator()
+    per.add_buffer(*b1, presorted=True)
+    per.add_buffer(*b2, presorted=True)
+    batched = content(per.emit_batches())  # one batch per pack
+
+    assert merged == batched
+    # the single-buffer subset agrees with the merged view restricted to it
+    two = _PartialAccumulator()
+    two.add_buffer(*b2, presorted=True)
+    only2 = content([two.emit()])
+    for t, v in single.items():
+        if t not in only2:
+            assert merged[t] == v
