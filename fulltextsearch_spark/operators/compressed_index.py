@@ -209,6 +209,17 @@ class _PartialAccumulator:
         the entire cost of a pandas-object pack, measured ~5 us/posting);
         everything else is numpy on int64.
         """
+        if presorted:
+            # The caller sorted by (term-rank, batch-row-index); that is
+            # (term, doc) order only when doc_ids are monotone in row order
+            # (true for the manifest builds' arange ids, NOT for arbitrary
+            # user frames or bucket-steered ids). Guard with one vectorized
+            # check — scrambled ids would still merge correctly via the
+            # reduce-side sort fallback, but with bloated negative-delta
+            # varints and the slow per-unit path, so fall back here instead.
+            if codes.size > 1:
+                same = codes[1:] == codes[:-1]
+                presorted = not bool(np.any(same & (docs[1:] <= docs[:-1])))
         if not presorted:
             order = np.lexsort((docs, codes))
             codes, docs, tfs, dls = codes[order], docs[order], tfs[order], dls[order]
@@ -676,8 +687,11 @@ def _merge_partials(
             not_last = np.flatnonzero(terms != terms[-1])
             cut = int(not_last[-1]) + 1 if not_last.size else 0
             if cut == 0:
-                # whole batch is one term — hold it (a term has at most one
-                # partial row per map task, so the carry stays small)
+                # whole batch is one term — hold it. Bound: a term has at
+                # most one partial row per map TASK from the dict-merge
+                # emit, or one per row-group pack from emit_batches — so
+                # the carry holds at most tasks x packs-per-task rows of
+                # ONE term's compact byte partials, not posting rows.
                 carry = pdf
                 continue
             rows.extend(_encode_chunk(pdf.iloc[:cut]))

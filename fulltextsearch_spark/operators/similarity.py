@@ -428,8 +428,18 @@ def ivf_cosine_topk(
     probe_df = spark.createDataFrame(probes, "query_id LONG, list_id LONG")
     cand = assigned.join(F.broadcast(probe_df), "list_id").select("query_id", "vec_id")
     cand_vecs = cand.join(embeddings.select(F.col(id_col).alias("vec_id"), vec_col), "vec_id")
-
     qmap = {int(q): qm[i] for i, q in enumerate(qids)}
+    return _cosine_score_topk(cand_vecs, qmap, k, vec_col)
+
+
+def _cosine_score_topk(cand_vecs: DataFrame, qmap: dict, k: int, vec_col: str) -> DataFrame:
+    """Shared IVF back half: ``(query_id, vec_id, <vec_col>)`` candidate
+    rows -> ``(query_id, rank, vec_id, sim)`` via one Arrow-batched cosine
+    pass (candidate vectors normalized; per-query ranking is invariant to
+    the query norm) and the deterministic (sim DESC, vec_id ASC) top-k
+    window. Used by both the live probe (:func:`ivf_cosine_topk`) and the
+    persisted serving path (:func:`ivf_topk_served`) — one kernel, so the
+    two stay result-identical by construction."""
 
     def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1016,29 +1026,7 @@ def ivf_topk_served(
         "query_id", "vec_id", "embedding"
     )
     qmap = {int(q): qm[i] for i, q in enumerate(qids)}
-
-    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-            qarr = np.array([qmap[int(q)] for q in pdf["query_id"]])
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
-                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "sim": (m * qarr).sum(axis=1),
-                }
-            )
-
-    scored = cand_vecs.mapInPandas(_score, schema="query_id LONG, vec_id LONG, sim DOUBLE")
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "sim")
-    )
+    return _cosine_score_topk(cand_vecs, qmap, k, "embedding")
 
 
 @dataclass

@@ -414,17 +414,20 @@ def vocab_stats(docs: DataFrame, text_col: str = "text", stem: bool = False) -> 
     slope is ``covar_pop/var_pop`` over per-term (ln rank, ln freq) pairs —
     exactly the SQL definition, so the oracle is closed-form.
 
-    Scale shape: one tf aggregate (the index build's A1 shuffle); the Zipf
-    rank is NOT a global single-partition sort — it is decomposed as
-    ``offset(freq) + row_number within the freq class``. The offset table
-    over the DISTINCT-FREQUENCY histogram (O(sqrt(n_tokens)) rows by Zipf)
-    is itself two-level so no unpartitioned window ever runs: freqs band by
-    ``floor(log2(freq))`` (≤64 bands for any long), per-band totals are a
-    64-row driver artifact cumulated in Python, and the within-band running
-    sum is a window PARTITIONED by band. The within-class window partitions
-    by ``freq``; the one skewed class (hapax, freq=1) is the upgrade point:
-    if it outgrows a partition, band it by a term-hash prefix and add
-    banded offsets the same way.
+    Scale shape: one tf aggregate (the index build's A1 shuffle — shared
+    across both lineage branches via exchange reuse: everything stays in
+    ONE lazy plan, no driver collect). The Zipf rank is NOT a global
+    single-partition sort — it is decomposed as ``offset(freq) +
+    row_number within the freq class``. The offset table over the
+    DISTINCT-FREQUENCY histogram (O(sqrt(n_tokens)) rows by Zipf) is
+    itself two-level so no unpartitioned window ever runs: freqs band by
+    ``floor(log2(freq))`` (≤64 bands for any long), cross-band offsets
+    come from a broadcast triangular self-join of the ≤64-row band-total
+    table, and the within-band running sum is a window PARTITIONED by
+    band. The within-class window partitions by ``freq``; the one skewed
+    class (hapax, freq=1) is the upgrade point: if it outgrows a
+    partition, band it by a term-hash prefix and add banded offsets the
+    same way.
     """
     from fulltextsearch_spark.functions.tokenizer import tokenized_docs
 
@@ -433,28 +436,30 @@ def vocab_stats(docs: DataFrame, text_col: str = "text", stem: bool = False) -> 
     from pyspark.sql import Window
 
     hist = freq.groupBy("freq").agg(F.count(F.lit(1)).alias("n_in_class"))
-    # Rank is by freq DESC, so bands cumulate from the HIGHEST band down.
+    # Rank is by freq DESC, so bands cumulate from the HIGHEST band down:
+    # offset(band) = sum of counts in all HIGHER bands, via a broadcast
+    # triangular join of the <=64-row band-total table (lazy, windowless).
     hist = hist.withColumn("band", F.floor(F.log2(F.col("freq").cast("double"))))
-    band_rows = sorted(
-        hist.groupBy("band").agg(F.sum("n_in_class").alias("n")).collect(),
-        key=lambda r: -r["band"],
-    )  # bounded: <= 64 rows for any 64-bit freq
-    band_off, acc = {}, 0
-    for r in band_rows:
-        band_off[int(r["band"])] = acc
-        acc += int(r["n"])
-    off_map = F.create_map(
-        *[F.lit(x) for kv in band_off.items() for x in kv]
-    ) if band_off else F.create_map()
+    band_tot = hist.groupBy("band").agg(F.sum("n_in_class").alias("n"))
+    band_off = (
+        band_tot.alias("b")
+        .join(
+            F.broadcast(band_tot.alias("hi")),
+            F.col("hi.band") > F.col("b.band"),
+            "left",
+        )
+        .groupBy(F.col("b.band").alias("band"))
+        .agg(F.coalesce(F.sum("hi.n"), F.lit(0)).alias("band_offset"))
+    )
     wh = (
         Window.partitionBy("band")
         .orderBy(F.desc("freq"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offs = hist.select(
+    offs = hist.join(F.broadcast(band_off), "band").select(
         "freq",
         (
-            off_map[F.col("band")]
+            F.col("band_offset")
             + F.coalesce(F.sum("n_in_class").over(wh), F.lit(0))
         ).alias("offset"),
     )

@@ -256,8 +256,9 @@ def maxscore_topk(
                     idx = np.searchsorted(t_docs, cand_docs)
                     idx_c = np.minimum(idx, t_docs.size - 1)
                     hit = t_docs[idx_c] == cand_docs
-                    pos_all = np.searchsorted(bfd, cand_docs, side="right") - 1
-                    fresh = ~done_blocks[np.maximum(pos_all, 0)] | (pos_all < 0)
+                    # pos over the kept cand_docs was computed at branch
+                    # entry and cand_docs has not changed since — reuse it
+                    fresh = ~done_blocks[np.maximum(pos, 0)] | (pos < 0)
                     cand_scores = cand_scores + np.where(
                         hit & fresh, comp[idx_c], 0.0
                     )
@@ -572,6 +573,7 @@ def wand_pruning_stats(
     queries: DataFrame,
     cfg: EngineConfig = DEFAULT_CONFIG,
     k: int | None = None,
+    scoring: str = "bm25",
 ) -> DataFrame:
     """Per-query pruning counters for the block-max MaxScore kernel:
     ``(query_id, terms, blocks_total, blocks_decoded)``. Same broadcast
@@ -592,7 +594,7 @@ def wand_pruning_stats(
         terms = _pdf_to_terms(pdf, codec)
         stats: dict = {}
         maxscore_topk(
-            terms, n_docs, avgdl, kk, scoring="bm25", k1=k1, b=b,
+            terms, n_docs, avgdl, kk, scoring=scoring, k1=k1, b=b,
             block_size=block_size, stats=stats,
         )
         return pd.DataFrame(
