@@ -2958,6 +2958,34 @@ def q_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "vec_id", F.round("sim", 4).alias("sim"))
 
 
+def q_ann_lsh_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH under the index store/load gate: build ->
+    save_lsh_index (vectors clustered by the fused table*2^p+bucket key) ->
+    load_lsh_index -> lsh_topk_served, where the probe set is a literal
+    tb IN-filter pushed into the clustered scan. Result-identical to
+    ann_lsh_topk with the same params (planes regenerate from the stored
+    seed, same hamming-1 probe policy, same scoring kernel), so it shares
+    its oracle."""
+    import hashlib as _hl
+
+    from fulltextsearch_spark.operators.similarity import (
+        load_lsh_index,
+        lsh_topk_served,
+        save_lsh_index,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qvec"),
+    )
+    root = f"/tmp/fts_entry_lsh_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    save_lsh_index(emb, root, dim=64, n_planes=6, n_tables=16)
+    idx = load_lsh_index(spark, root)
+    res = lsh_topk_served(spark, idx, q, k=TOPK)
+    return res.select("query_id", "rank", "vec_id", F.round("sim", 4).alias("sim"))
+
+
 def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity: approximate kNN similarity JOIN — every vector's top-3
     cosine neighbors among its 3 nearest IVF lists' members (self
@@ -5192,6 +5220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lmjm_topk": q_lmjm_topk,
         "dfr_topk": q_dfr_topk,
         "ann_ivf_served": q_ann_ivf_served,
+        "ann_lsh_served": q_ann_lsh_served,
         "tf_table": q_tf_table,
         "doc_stats": q_doc_stats,
         "corpus_stats": q_corpus_stats,
@@ -9074,6 +9103,7 @@ FROM d JOIN labels l ON l.node = d.doc_id AND l.component = d.doc_id
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "ann_ivf_served": _ann_ivf_sql(),
+        "ann_lsh_served": _ann_lsh_sql(),
         "ann_pq_topk": _ann_pq_sql(),
         "ann_ivfpq_topk": _ann_ivfpq_sql(),
         "ann_ivfpq_loaded": _ann_ivfpq_sql(),

@@ -306,6 +306,17 @@ def main() -> None:
     ivfpq_idx = load_ivfpq_index(spark, ivfpq_root)
     ivfpq_adc_topk(ivfpq_idx, annq.limit(1)).collect()  # warm plan
     timed("ann_ivfpq_served", lambda: ivfpq_adc_topk(ivfpq_idx, annq, nprobe=4, k=10).collect())
+    from fulltextsearch_spark.operators.similarity import (
+        load_lsh_index,
+        lsh_topk_served,
+        save_lsh_index,
+    )
+
+    lsh_root = os.path.join(CACHE, "lsh_index")
+    save_lsh_index(emb, lsh_root, dim=64, n_planes=6, n_tables=16)
+    lsh_idx = load_lsh_index(spark, lsh_root)
+    lsh_topk_served(spark, lsh_idx, annq.limit(1)).collect()  # warm plan
+    timed("ann_lsh_served", lambda: lsh_topk_served(spark, lsh_idx, annq, k=10).collect())
 
     # segment-merge compaction: two half-corpus segment indexes merged
     # through the partial-combine reduce (builds untimed — the merge is the

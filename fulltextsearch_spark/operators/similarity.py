@@ -208,13 +208,7 @@ def lsh_cosine_topk(
             [], "query_id LONG, rank LONG, vec_id LONG, sim DOUBLE"
         )
     qb = _sign_buckets(qm, planes)  # nq x L
-    probes = []
-    for qi, qid in enumerate(qids):
-        for t in range(n_tables):
-            base = int(qb[qi, t])
-            probes.append((int(qid), t, base))
-            for bit in range(n_planes):
-                probes.append((int(qid), t, base ^ (1 << bit)))
+    probes = _lsh_probe_rows(qids, qb, n_planes, n_tables)
     spark = embeddings.sparkSession
     probe_df = spark.createDataFrame(probes, "query_id LONG, table LONG, bucket LONG")
 
@@ -224,31 +218,122 @@ def lsh_cosine_topk(
         .distinct()
     )
     cand_vecs = cand.join(embeddings.select(F.col(id_col).alias("vec_id"), vec_col), "vec_id")
-
     qmap = {int(q): qm[i] for i, q in enumerate(qids)}
+    return _cosine_score_topk(cand_vecs, qmap, k, vec_col)
 
-    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-            qarr = np.array([qmap[int(q)] for q in pdf["query_id"]])
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
-                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "sim": (m * qarr).sum(axis=1),
-                }
-            )
 
-    scored = cand_vecs.mapInPandas(_score, schema="query_id LONG, vec_id LONG, sim DOUBLE")
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "sim")
+def _lsh_probe_rows(
+    qids: np.ndarray, qb: np.ndarray, n_planes: int, n_tables: int
+) -> list[tuple[int, int, int]]:
+    """(query_id, table, bucket) probe rows: own bucket + hamming-1 ring —
+    the one probe policy shared by the live and served LSH paths."""
+    probes = []
+    for qi, qid in enumerate(qids):
+        for t in range(n_tables):
+            base = int(qb[qi, t])
+            probes.append((int(qid), t, base))
+            for bit in range(n_planes):
+                probes.append((int(qid), t, base ^ (1 << bit)))
+    return probes
+
+
+@dataclass
+class SavedLSHIndex:
+    """Handle to an on-disk multi-table LSH index: the ``vectors`` table
+    under ``root`` holds (tb, vec_id, embedding) clustered by the fused
+    ``tb = table * 2^n_planes + bucket`` key; the hyperplanes regenerate
+    deterministically from the stored params."""
+
+    root: str
+    dim: int
+    n_planes: int
+    n_tables: int
+    seed: int
+
+
+def save_lsh_index(
+    embeddings: DataFrame,
+    root: str,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> SavedLSHIndex:
+    """Persist the LSH index for the SERVED query path: each vector is
+    written once per table next to its bucket assignment, clustered by the
+    fused (table, bucket) key so a query's probe set resolves to parquet
+    row groups via footer min/max. Storage is n_tables x the vector bytes
+    — the standard multi-table LSH trade (recall grows with L); params are
+    a one-row table so load regenerates the identical hyperplanes."""
+    from fulltextsearch_spark.operators.util import record_footprint  # noqa: PLC0415
+
+    buckets = hyperplane_lsh_buckets(
+        embeddings, dim, n_planes, n_tables, seed, id_col, vec_col
     )
+    vecs = buckets.join(
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+        "vec_id",
+    ).select(
+        (F.col("table") * (1 << n_planes) + F.col("bucket")).alias("tb"),
+        "vec_id",
+        "embedding",
+    )
+    vecs.repartition(F.col("tb")).sortWithinPartitions("tb").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/vectors")
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(dim, n_planes, n_tables, seed)],
+        "dim LONG, n_planes LONG, n_tables LONG, seed LONG",
+    ).write.mode("overwrite").parquet(f"{root}/params")
+    record_footprint(
+        root, {"vectors": f"{root}/vectors", "params": f"{root}/params"}
+    )
+    return SavedLSHIndex(root, dim, n_planes, n_tables, seed)
+
+
+def load_lsh_index(spark, root: str) -> SavedLSHIndex:
+    p = spark.read.parquet(f"{root}/params").collect()[0]
+    return SavedLSHIndex(
+        root, int(p["dim"]), int(p["n_planes"]), int(p["n_tables"]), int(p["seed"])
+    )
+
+
+def lsh_topk_served(
+    spark,
+    index: SavedLSHIndex,
+    queries: DataFrame,
+    k: int = 10,
+    q_id_col: str = "query_id",
+    q_vec_col: str = "qvec",
+) -> DataFrame:
+    """Served LSH query over a :func:`save_lsh_index` artifact: the probe
+    set (own bucket + hamming-1 per table) becomes a literal ``tb IN``
+    filter on the clustered vectors table (footer pruning), candidates
+    dedup across tables, then the shared exact-cosine top-k. Result-
+    identical to :func:`lsh_cosine_topk` with the same params (same
+    planes from the stored seed, same probe policy, same kernel)."""
+    planes = _hyperplanes(index.dim, index.n_planes, index.n_tables, index.seed)
+    qids, qm = _collect_queries(queries, q_id_col, q_vec_col)
+    if qids.size == 0:
+        return spark.createDataFrame([], "query_id LONG, rank LONG, vec_id LONG, sim DOUBLE")
+    qb = _sign_buckets(qm, planes)
+    probes = _lsh_probe_rows(qids, qb, index.n_planes, index.n_tables)
+    shift = 1 << index.n_planes
+    probe_df = spark.createDataFrame(
+        [(q, t * shift + b) for q, t, b in probes], "query_id LONG, tb LONG"
+    )
+    tb_set = sorted({t * shift + b for _, t, b in probes})
+    vecs = spark.read.parquet(f"{index.root}/vectors").where(F.col("tb").isin(tb_set))
+    cand_vecs = (
+        vecs.join(F.broadcast(probe_df), "tb")
+        .select("query_id", "vec_id", "embedding")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    qmap = {int(q): qm[i] for i, q in enumerate(qids)}
+    return _cosine_score_topk(cand_vecs, qmap, k, "embedding")
 
 
 def _sqdist_argmin(m: np.ndarray, cent: np.ndarray, chunk: int = 256) -> np.ndarray:

@@ -1139,3 +1139,31 @@ def test_minhash_auto_banding_runs(spark, dup_docs):
     pairs = minhash_lsh_pairs(docs, threshold=0.5, bands="auto", shingle_k=5)
     got = {(r["doc_id_a"], r["doc_id_b"]) for r in pairs.collect()}
     assert got  # the dup_docs fixture plants near-identical docs
+
+
+def test_lsh_saved_serving_identical_to_live(spark, emb_df, tmp_path):
+    """save_lsh_index -> load_lsh_index -> lsh_topk_served is result-
+    identical to lsh_cosine_topk with the same params (planes from the
+    stored seed, same hamming-1 probe policy, shared scoring kernel), and
+    the probe set reaches the clustered scan as a pushed tb IN filter."""
+    from pyspark.sql import functions as F
+
+    from fulltextsearch_spark.operators.similarity import (
+        load_lsh_index,
+        lsh_cosine_topk,
+        lsh_topk_served,
+        save_lsh_index,
+    )
+
+    qs = emb_df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    live = sorted(
+        map(tuple, lsh_cosine_topk(emb_df, qs, dim=64, k=5, n_planes=6, n_tables=8).collect())
+    )
+    root = str(tmp_path / "lsh")
+    save_lsh_index(emb_df, root, dim=64, n_planes=6, n_tables=8)
+    served = lsh_topk_served(spark, load_lsh_index(spark, root), qs, k=5)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(tb" in plan
+    assert sorted(map(tuple, served.collect())) == live
