@@ -287,3 +287,15 @@ def test_maxscore_chunked_pruning_rank_identical(seed):
         assert pd_.tolist() == fd.tolist()
         np.testing.assert_allclose(ps, fs, rtol=0, atol=0)
         assert st["blocks_decoded"] <= st["blocks_total"]
+
+
+def test_wand_pruning_stats_tfidf_scoring(spark, cindex):
+    """The stats surface honors the scoring parameter — tfidf counters use
+    the tf/dl block bounds, and the basic invariants hold there too."""
+    from fulltextsearch_spark.operators.wand import wand_pruning_stats
+
+    wq = spark.createDataFrame(QUERY_SET[:4], ["query_id", "content"])
+    rows = wand_pruning_stats(cindex, wq, CFG, scoring="tfidf").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["blocks_decoded"] <= r["blocks_total"]
