@@ -286,8 +286,11 @@ def main() -> None:
         ivfpq_adc_topk,
         load_ivf_index,
         load_ivfpq_index,
+        load_lsh_index,
+        lsh_topk_served,
         save_ivf_index,
         save_ivfpq_index,
+        save_lsh_index,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
@@ -306,12 +309,6 @@ def main() -> None:
     ivfpq_idx = load_ivfpq_index(spark, ivfpq_root)
     ivfpq_adc_topk(ivfpq_idx, annq.limit(1)).collect()  # warm plan
     timed("ann_ivfpq_served", lambda: ivfpq_adc_topk(ivfpq_idx, annq, nprobe=4, k=10).collect())
-    from fulltextsearch_spark.operators.similarity import (
-        load_lsh_index,
-        lsh_topk_served,
-        save_lsh_index,
-    )
-
     lsh_root = os.path.join(CACHE, "lsh_index")
     save_lsh_index(emb, lsh_root, dim=64, n_planes=6, n_tables=16)
     lsh_idx = load_lsh_index(spark, lsh_root)

@@ -59,6 +59,14 @@ __all__ = [
     "ivfpq_adc_topk",
     "save_ivfpq_index",
     "load_ivfpq_index",
+    "SavedIVFIndex",
+    "save_ivf_index",
+    "load_ivf_index",
+    "ivf_topk_served",
+    "SavedLSHIndex",
+    "save_lsh_index",
+    "load_lsh_index",
+    "lsh_topk_served",
     "SQIndex",
     "build_sq",
     "sq_cosine_topk",

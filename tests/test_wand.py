@@ -290,12 +290,47 @@ def test_maxscore_chunked_pruning_rank_identical(seed):
 
 
 def test_wand_pruning_stats_tfidf_scoring(spark, cindex):
-    """The stats surface honors the scoring parameter — tfidf counters use
-    the tf/dl block bounds, and the basic invariants hold there too."""
-    from fulltextsearch_spark.operators.wand import wand_pruning_stats
+    """The stats surface honors the scoring parameter: the tfidf counters
+    match a driver-side kernel run with scoring="tfidf" over the same
+    joined rows (a silent bm25 fallback would diverge whenever the tf/dl
+    block bounds skip differently), and the invariants hold."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fulltextsearch_spark.operators.query import query_terms
+    from fulltextsearch_spark.operators.wand import (
+        _pdf_to_terms,
+        wand_pruning_stats,
+    )
 
     wq = spark.createDataFrame(QUERY_SET[:4], ["query_id", "content"])
-    rows = wand_pruning_stats(cindex, wq, CFG, scoring="tfidf").collect()
+    rows = {
+        r["query_id"]: r
+        for r in wand_pruning_stats(cindex, wq, CFG, scoring="tfidf").collect()
+    }
     assert rows
-    for r in rows:
-        assert 0 <= r["blocks_decoded"] <= r["blocks_total"]
+    joined = cindex.postings.join(
+        F.broadcast(query_terms(wq, stem=CFG.stem)), "term", "inner"
+    ).collect()
+    by_q: dict = {}
+    for r in joined:
+        by_q.setdefault(r["query_id"], []).append(r.asDict())
+    for qid, recs in by_q.items():
+        st: dict = {}
+        maxscore_topk(
+            _pdf_to_terms(pd.DataFrame(recs), cindex.codec),
+            cindex.n_docs,
+            cindex.avgdl,
+            CFG.k,
+            scoring="tfidf",
+            k1=cindex.k1,
+            b=cindex.b,
+            block_size=cindex.block_size,
+            stats=st,
+        )
+        got = rows[qid]
+        assert 0 <= got["blocks_decoded"] <= got["blocks_total"]
+        assert (got["blocks_total"], got["blocks_decoded"]) == (
+            st["blocks_total"],
+            st["blocks_decoded"],
+        )
