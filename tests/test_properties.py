@@ -324,3 +324,26 @@ def test_trigram_parser_matches_byte_oracle(data):
     from tests.trigram_oracle import oracle_trigrams
 
     assert trigram_values(data).tolist() == oracle_trigrams(data)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_TEXT, min_size=1, max_size=12), st.booleans())
+def test_term_counts_flat_order_term_prop(texts, do_stem):
+    """order="term" carries the same (doc, term, tf) triples as order="doc"
+    in term-major order — the presorted contract of the posting packers —
+    over arbitrary text incl. empties, non-ASCII, and control bytes."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fulltextsearch_spark.functions.tokenizer import term_counts_flat
+
+    dl_a, ta, ud_a, uc_a, cnt_a = term_counts_flat(pa.array(texts), do_stem)
+    dl_b, tb, ud_b, uc_b, cnt_b = term_counts_flat(
+        pa.array(texts), do_stem, order="term"
+    )
+    assert np.array_equal(dl_a, dl_b) and ta.equals(tb)
+    assert sorted(zip(ud_a.tolist(), uc_a.tolist(), cnt_a.tolist())) == sorted(
+        zip(ud_b.tolist(), uc_b.tolist(), cnt_b.tolist())
+    )
+    key = [(int(c), int(d)) for d, c in zip(ud_b, uc_b)]
+    assert key == sorted(key)
