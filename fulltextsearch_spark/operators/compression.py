@@ -79,22 +79,44 @@ def varint_encode(values: np.ndarray, nbytes: np.ndarray | None = None) -> bytes
 
 
 def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
-    """Decode a LEB128 byte string back to uint64 values."""
+    """Decode a LEB128 byte string back to uint64 values.
+
+    Posting streams are dominated by 1-2-byte groups (tfs are almost all
+    single bytes, doc deltas 1-2, dls 1-2), so narrow streams take an
+    unrolled per-byte-slot path: whole-stream single-byte decodes are one
+    cast (measured ~250 Mvals/s vs ~66 for the general scatter/reduceat
+    path); <=3-byte streams use three where-gated gathers. Wider values
+    fall back to the general grouped-reduce."""
     arr = np.frombuffer(buf, dtype=np.uint8)
     if arr.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_last = (arr & 0x80) == 0
-    # group start = position after each last-byte (and position 0)
-    starts = np.empty(int(is_last.sum()), dtype=np.int64)
-    starts[0] = 0
-    if starts.size > 1:
-        starts[1:] = np.flatnonzero(is_last)[:-1] + 1
-    # position of each byte within its group
-    within = np.arange(arr.size, dtype=np.int64) - np.repeat(
-        starts, np.diff(np.append(starts, arr.size))
-    )
-    contrib = (arr & 0x7F).astype(np.uint64) << (within.astype(np.uint64) * np.uint64(7))
-    values = np.bitwise_or.reduceat(contrib, starts)
+    ends = np.flatnonzero(is_last)
+    starts = np.empty_like(ends)
+    if ends.size:
+        starts[0] = 0
+        starts[1:] = ends[:-1] + 1
+    width = ends - starts  # extra bytes beyond the first
+    wmax = int(width.max()) if width.size else 0
+    if wmax == 0:
+        values = arr.astype(np.uint64)
+    elif wmax <= 2:
+        values = (arr[starts] & 0x7F).astype(np.uint64)
+        last = arr.size - 1
+        b2 = (arr[np.minimum(starts + 1, last)] & 0x7F).astype(np.uint64)
+        values |= np.where(width >= 1, b2 << np.uint64(7), np.uint64(0))
+        if wmax == 2:
+            b3 = (arr[np.minimum(starts + 2, last)] & 0x7F).astype(np.uint64)
+            values |= np.where(width >= 2, b3 << np.uint64(14), np.uint64(0))
+    else:
+        # position of each byte within its group
+        within = np.arange(arr.size, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, arr.size))
+        )
+        contrib = (arr & 0x7F).astype(np.uint64) << (
+            within.astype(np.uint64) * np.uint64(7)
+        )
+        values = np.bitwise_or.reduceat(contrib, starts)
     if count is not None and values.size != count:
         raise ValueError(f"decoded {values.size} values, expected {count}")
     return values

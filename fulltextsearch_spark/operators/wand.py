@@ -81,6 +81,22 @@ def _decode_all(
     return varint_decode(bytes(enc), n).astype(np.int64)
 
 
+def decode_term_streams(
+    term: dict, block_size: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full (docs, tfs, dls) decode of one compressed term entry — the
+    population step of a serving node's decoded-postings cache (attach the
+    result as ``docs``/``tfs``/``dls`` on the kernel term dict and both
+    decode paths become slicing)."""
+    cdc = term.get("codec", "varint")
+    deltas = _decode_all(term["doc_ids_enc"], term["count"], cdc, term["block_off_doc"])
+    return (
+        _docids_from_deltas(deltas, block_size),
+        _decode_all(term["tfs_enc"], term["count"], cdc, term["block_off_tf"]),
+        _decode_all(term["dls_enc"], term["count"], cdc, term["block_off_dl"]),
+    )
+
+
 def _docids_from_deltas(deltas: np.ndarray, block_size: int) -> np.ndarray:
     """Undo block-restarting delta encoding, fully vectorized.
 
@@ -99,8 +115,27 @@ def _docids_from_deltas(deltas: np.ndarray, block_size: int) -> np.ndarray:
 def _decode_blocks(
     term: dict, blocks: np.ndarray, block_size: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode only the given block indices (skip-pointer path)."""
+    """Decode only the given block indices (skip-pointer path).
+
+    A term dict may carry pre-decoded ``docs``/``tfs``/``dls`` arrays (the
+    serving node's decoded-postings cache — the analogue of the reference
+    holding uncompressed postings in RAM); block "decode" is then pure
+    slicing, so pruning keeps its skip benefit while decode cost vanishes.
+    """
     n = term["count"]
+    if term.get("docs") is not None:
+        sl = [
+            slice(int(j) * block_size, min((int(j) + 1) * block_size, n))
+            for j in blocks
+        ]
+        if not sl:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.copy(), z.copy()
+        return (
+            np.concatenate([term["docs"][s] for s in sl]),
+            np.concatenate([term["tfs"][s] for s in sl]),
+            np.concatenate([term["dls"][s] for s in sl]),
+        )
     off_d, off_t, off_l = term["block_off_doc"], term["block_off_tf"], term["block_off_dl"]
     docs_parts, tf_parts, dl_parts = [], [], []
     cdc = term.get("codec", "varint")
@@ -193,6 +228,8 @@ def maxscore_topk(
     theta = -np.inf
 
     def _decode_term_full(t):
+        if t.get("docs") is not None:
+            return t["docs"], t["tfs"], t["dls"]
         cdc = t.get("codec", "varint")
         deltas = _decode_all(t["doc_ids_enc"], t["count"], cdc, t["block_off_doc"])
         t_docs = _docids_from_deltas(deltas, block_size)
@@ -253,15 +290,17 @@ def maxscore_topk(
                     stats["blocks_decoded"] += int(nblocks - done_blocks.sum())
                     t_docs, t_tfs, t_dls = _decode_term_full(t)
                     comp = _tf_component(t_tfs, t_dls, scoring, k1, b, avgdl) * t["w"]
-                    idx = np.searchsorted(t_docs, cand_docs)
-                    idx_c = np.minimum(idx, t_docs.size - 1)
-                    hit = t_docs[idx_c] == cand_docs
+                    # search the decoded docs INTO the candidate array (each
+                    # side sorted+unique, so slots are unique and a direct
+                    # fancy += scatter is exact) — O(|stream| log |cand|)
+                    idx = np.searchsorted(cand_docs, t_docs)
+                    idx_c = np.minimum(idx, cand_docs.size - 1)
+                    hit = cand_docs[idx_c] == t_docs
+                    slots = idx_c[hit]
                     # pos over the kept cand_docs was computed at branch
                     # entry and cand_docs has not changed since — reuse it
-                    fresh = ~done_blocks[np.maximum(pos, 0)] | (pos < 0)
-                    cand_scores = cand_scores + np.where(
-                        hit & fresh, comp[idx_c], 0.0
-                    )
+                    fresh = (~done_blocks[np.maximum(pos, 0)] | (pos < 0))[slots]
+                    cand_scores[slots[fresh]] += comp[hit][fresh]
                     break
                 hi = j + min(chunk, n_surv)
                 blk = np.sort(blocks[j:hi])
@@ -270,10 +309,12 @@ def maxscore_topk(
                 t_docs, t_tfs, t_dls = _decode_blocks(t, blk, block_size)
                 if t_docs.size:
                     comp = _tf_component(t_tfs, t_dls, scoring, k1, b, avgdl) * t["w"]
-                    idx = np.searchsorted(t_docs, cand_docs)
-                    idx_c = np.minimum(idx, t_docs.size - 1)
-                    hit = t_docs[idx_c] == cand_docs
-                    cand_scores = cand_scores + np.where(hit, comp[idx_c], 0.0)
+                    # chunk docs searched into the (much larger) candidate
+                    # array — O(|chunk| log |cand|), not |cand| log |chunk|
+                    idx = np.searchsorted(cand_docs, t_docs)
+                    idx_c = np.minimum(idx, cand_docs.size - 1)
+                    hit = cand_docs[idx_c] == t_docs
+                    cand_scores[idx_c[hit]] += comp[hit]
                 if cand_docs.size >= k:
                     theta = max(
                         theta,

@@ -166,3 +166,42 @@ def test_fts_cli_file_mode(tmp_path):
         qid, rank, doc_id, score, trailing = line.split("|")
         assert qid == "t1" and trailing == ""
         int(rank); int(doc_id); float(score)
+
+
+def test_search_local_decoded_cache_identical_and_bounded(spark, tmp_path):
+    """Repeat batches populate the decoded-postings LRU (second sight) and
+    stay rank- and score-identical to the cold path; the cache honors its
+    byte budget."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.compressed_index import (
+        build_compressed_index,
+        save_compressed_index,
+    )
+    from fulltextsearch_spark.operators.serving import QueryServer
+    from fulltextsearch_spark.sources.ingest import assign_dense_doc_ids
+    from fulltextsearch_spark.sources.webpages import QUERY_SET, generate_webpages
+
+    cfg = EngineConfig(k1=1.2, b=0.75, k=10, stem=True)
+    corpus = assign_dense_doc_ids(
+        generate_webpages(spark, 300, seed=11, num_partitions=3), order_col="url"
+    )
+    root = str(tmp_path / "idx")
+    save_compressed_index(build_compressed_index(spark, corpus, cfg), root)
+    srv = QueryServer.load(spark, root)
+    first = srv.search_local(QUERY_SET, cfg)
+    # second sight only: terms occurring once in the batch are not cached
+    # yet (terms shared by several queries ARE — that is second sight too)
+    once_terms = {k for k, _ in srv._dec_seen.items() if srv._dec_seen[k] == 1}
+    assert once_terms and not (once_terms & set(srv._dec_cache))
+    second = srv.search_local(QUERY_SET, cfg)
+    assert srv._dec_cache  # repeat batch populated the rest
+    third = srv.search_local(QUERY_SET, cfg)  # served from cache
+    assert first == second == third
+    assert srv._dec_bytes <= srv.decoded_cache_mb * (1 << 20)
+    assert srv._dec_bytes == sum(v[3] for v in srv._dec_cache.values())
+    # a tiny budget evicts rather than grows
+    tiny = QueryServer.load(spark, root)
+    tiny.decoded_cache_mb = 0
+    tiny.search_local(QUERY_SET, cfg)
+    r2 = tiny.search_local(QUERY_SET, cfg)
+    assert r2 == first and not tiny._dec_cache
