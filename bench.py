@@ -216,6 +216,14 @@ def main() -> None:
         srows = wand_pruning_stats(xlidx, wq, cfg).collect()
         bt = sum(r["blocks_total"] for r in srows)
         bd = sum(r["blocks_decoded"] for r in srows)
+        # per-query spread: the aggregate understates pruning because the
+        # adaptive bulk fallback counts stream decodes as "decoded" — the
+        # single-term queries skip ~99% while flat-tf multi-term queries
+        # legitimately decode most blocks
+        per_q = sorted(
+            round(100.0 * (r["blocks_total"] - r["blocks_decoded"]) / max(r["blocks_total"], 1), 1)
+            for r in srows
+        )
         # kernel-level A/B: the bm25_webxl_* job timings are dominated by the
         # ~100ms/batch Spark dispatch floor; this isolates what a serving
         # node actually pays per query with and without pruning
@@ -227,6 +235,9 @@ def main() -> None:
             "blocks_total": bt,
             "blocks_decoded": bd,
             "blocks_skipped_pct": round(100.0 * (bt - bd) / max(bt, 1), 2),
+            "per_query_skip_pct_min_med_max": [
+                per_q[0], per_q[len(per_q) // 2], per_q[-1]
+            ],
             "kernel_prune_ms": ab["prune_ms"],
             "kernel_full_ms": ab["full_ms"],
         }
