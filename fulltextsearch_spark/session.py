@@ -19,6 +19,17 @@ def get_spark(
     factory encodes the same defaults for local runs: AQE on (runtime shuffle
     coalescing + skew handling), Arrow enabled for the pandas UDF hot path.
     """
+    # Local-mode python workers inherit PYTHONPATH (not the driver's
+    # sys.path mutations), so a driver launched from OUTSIDE the repo root
+    # would satisfy its own imports yet fail inside every UDF with
+    # ModuleNotFoundError. Pin the package root into the env before the
+    # first worker spawns; a real cluster ships the zip via --py-files.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if repo_root not in parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join(
+            [repo_root] + [p for p in parts if p]
+        )
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     builder = (
         SparkSession.builder.appName(app_name)
