@@ -2931,6 +2931,33 @@ def q_ann_ivfpq_loaded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "vec_id", F.round("sim", 4).alias("sim"))
 
 
+def q_ann_ivfpq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ under the SERVED gate: build -> save_ivfpq_index (codes
+    clustered by list_id) -> ivfpq_topk_served, where the union of probe
+    lists is a literal list_id IN-filter pushed into the clustered codes
+    scan (parquet footer pruning) before the ADC kernel. Result-identical
+    to ann_ivfpq_topk with the same quantizer, so it shares its oracle."""
+    import hashlib as _hl
+
+    from fulltextsearch_spark.operators.similarity import (
+        build_ivfpq,
+        ivfpq_topk_served,
+        save_ivfpq_index,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qvec"),
+    )
+    root = f"/tmp/fts_entry_ivfpqs_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    save_ivfpq_index(
+        build_ivfpq(emb, n_centroids=10, m=4, n_codes=16, persist=False), root
+    )
+    res = ivfpq_topk_served(spark, root, q, nprobe=6, k=TOPK)
+    return res.select("query_id", "rank", "vec_id", F.round("sim", 4).alias("sim"))
+
+
 def q_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF under the index store/load gate: build -> save_ivf_index (raw
     vectors clustered by list_id) -> load_ivf_index -> ivf_topk_served,
@@ -5135,9 +5162,61 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is the driver's sampling order (first 50 checked per round).
-    # Entries never yet hard-verified by a driver CORRECTNESS file lead; the
-    # 77 entries green in CORRECTNESS_r01-r03 follow.
+    # Round-5 rotation: the 33 entries never driver-checked through r4
+    # (CORRECTNESS_r01-r04 union) lead, plus the new ann_ivfpq_served = 34;
+    # then 16 rotation-filler entries whose last driver check was r2 (the
+    # oldest verification on record); the r3/r4-green remainder follows.
     return {
+        "sdm_topk": q_sdm_topk,
+        "proximity_topk": q_proximity_topk,
+        "snippet_spans": q_snippet_spans,
+        "suggest_terms": q_suggest_terms,
+        "duplicate_spans": q_duplicate_spans,
+        "bm25f_topk": q_bm25f_topk,
+        "neardup_collapsed": q_neardup_collapsed,
+        "cross_contamination": q_cross_contamination,
+        "neardup_recall": q_neardup_recall,
+        "ann_dim_recall": q_ann_dim_recall,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_ivfpq_loaded": q_ann_ivfpq_loaded,
+        "ann_ivfpq_served": q_ann_ivfpq_served,
+        "ann_sq_topk": q_ann_sq_topk,
+        "ann_knn_join": q_ann_knn_join,
+        "semdedup_keep": q_semdedup_keep,
+        "image_ahash": q_image_ahash,
+        "lm_perplexity": q_lm_perplexity,
+        "vocab_stats": q_vocab_stats,
+        "top_hits_lang": q_top_hits_lang,
+        "rare_terms": q_rare_terms,
+        "adjacency_matrix": q_adjacency,
+        "span_first_topk": q_span_first_topk,
+        "msm_topk": q_msm_topk,
+        "composite_agg": q_composite_agg,
+        "has_child_topk": q_has_child_topk,
+        "dsir_weights": q_dsir_weights,
+        "matrix_stats": q_matrix_stats,
+        "percentile_ranks": q_percentile_ranks,
+        "lmjm_topk": q_lmjm_topk,
+        "dfr_topk": q_dfr_topk,
+        "ann_ivf_served": q_ann_ivf_served,
+        "ann_lsh_served": q_ann_lsh_served,
+        "exact_dedup": q_exact_dedup,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "neardup_clusters": q_neardup_clusters,
+        "dedup_canonical": q_dedup_canonical,
+        "embedding_neardup": q_embedding_neardup,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "tfidf_topk": q_tfidf_topk,
+        "vsm_topk": q_vsm_topk,
+        "bm25_topk_stemmed": q_bm25_topk_stemmed,
+        "trigram_topk": q_trigram_topk,
+        "trigram_topk_loaded": q_trigram_topk_loaded,
         "boosting_topk": q_boosting_topk,
         "mix_weights": q_mix_weights,
         "stratified_sample": q_stratified_sample,
@@ -5188,39 +5267,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_web": q_curate_web,
         "decontam_flags": q_decontam_flags,
         "phrase_topk": q_phrase_topk,
-        "sdm_topk": q_sdm_topk,
-        "proximity_topk": q_proximity_topk,
-        "snippet_spans": q_snippet_spans,
-        "suggest_terms": q_suggest_terms,
-        "duplicate_spans": q_duplicate_spans,
-        "bm25f_topk": q_bm25f_topk,
-        "neardup_collapsed": q_neardup_collapsed,
-        "cross_contamination": q_cross_contamination,
-        "neardup_recall": q_neardup_recall,
-        "ann_dim_recall": q_ann_dim_recall,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "ann_ivfpq_loaded": q_ann_ivfpq_loaded,
-        "ann_sq_topk": q_ann_sq_topk,
-        "ann_knn_join": q_ann_knn_join,
-        "semdedup_keep": q_semdedup_keep,
-        "image_ahash": q_image_ahash,
-        "lm_perplexity": q_lm_perplexity,
-        "vocab_stats": q_vocab_stats,
-        "top_hits_lang": q_top_hits_lang,
-        "rare_terms": q_rare_terms,
-        "adjacency_matrix": q_adjacency,
-        "span_first_topk": q_span_first_topk,
-        "msm_topk": q_msm_topk,
-        "composite_agg": q_composite_agg,
-        "has_child_topk": q_has_child_topk,
-        "dsir_weights": q_dsir_weights,
-        "matrix_stats": q_matrix_stats,
-        "percentile_ranks": q_percentile_ranks,
-        "lmjm_topk": q_lmjm_topk,
-        "dfr_topk": q_dfr_topk,
-        "ann_ivf_served": q_ann_ivf_served,
-        "ann_lsh_served": q_ann_lsh_served,
         "tf_table": q_tf_table,
         "doc_stats": q_doc_stats,
         "corpus_stats": q_corpus_stats,
@@ -5271,27 +5317,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "fuzzy_topk": q_fuzzy_topk,
         "autocorrect_topk": q_autocorrect_topk,
-        "trigram_topk_loaded": q_trigram_topk_loaded,
-        "tfidf_topk": q_tfidf_topk,
-        "vsm_topk": q_vsm_topk,
-        "bm25_topk_stemmed": q_bm25_topk_stemmed,
-        "trigram_topk": q_trigram_topk,
         "stop_prune": q_stop_prune,
-        "exact_dedup": q_exact_dedup,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
-        "ngram_jaccard": q_ngram_jaccard,
-        "neardup_clusters": q_neardup_clusters,
-        "dedup_canonical": q_dedup_canonical,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "embedding_neardup": q_embedding_neardup,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "media_metadata": q_media_metadata,
         "image_stats": q_image_stats,
         "audio_features": q_audio_features,
@@ -9107,6 +9137,7 @@ FROM d JOIN labels l ON l.node = d.doc_id AND l.component = d.doc_id
         "ann_pq_topk": _ann_pq_sql(),
         "ann_ivfpq_topk": _ann_ivfpq_sql(),
         "ann_ivfpq_loaded": _ann_ivfpq_sql(),
+        "ann_ivfpq_served": _ann_ivfpq_sql(),
         "ann_sq_topk": _SQ_SQL,
         "ann_knn_join": _ann_knn_join_sql(),
         "semdedup_keep": _semdedup_sql(),

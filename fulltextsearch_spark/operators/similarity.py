@@ -1020,6 +1020,45 @@ def load_ivfpq_index(spark, root: str) -> IVFPQIndex:
     )
 
 
+def ivfpq_topk_served(
+    spark,
+    root: str,
+    queries: DataFrame,
+    nprobe: int = 4,
+    k: int = 10,
+    q_id_col: str = "query_id",
+    q_vec_col: str = "qvec",
+) -> DataFrame:
+    """Served IVF-PQ query over a :func:`save_ivfpq_index` artifact — the
+    PQ analogue of :func:`ivf_topk_served`: the union of the queries' probe
+    lists becomes a literal ``list_id IN (...)`` filter pushed into the
+    clustered codes scan (parquet footer min/max prunes to the probed
+    lists' row groups), then the exact same ADC kernel as
+    :func:`ivfpq_adc_topk` runs over the pruned scan. Result-identical to
+    ``ivfpq_adc_topk`` on the loaded index with the same parameters (the
+    per-query probe join inside the kernel re-selects the same lists
+    deterministically), so it shares its oracle."""
+    idx = load_ivfpq_index(spark, root)
+    qids, qm = _collect_queries(queries, q_id_col, q_vec_col)
+    if qids.size == 0:
+        return spark.createDataFrame(
+            [], "query_id LONG, rank LONG, vec_id LONG, sim DOUBLE"
+        )
+    cent = idx.centroids
+    nlist = cent.shape[0]
+    d = ((qm[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probe_lists = np.argsort(d, axis=1, kind="stable")[:, : min(nprobe, nlist)]
+    probe_set = sorted({int(l) for row in probe_lists for l in row})
+    pruned = IVFPQIndex(
+        assigned_codes=idx.assigned_codes.where(F.col("list_id").isin(probe_set)),
+        centroids=idx.centroids,
+        codebooks=idx.codebooks,
+    )
+    return ivfpq_adc_topk(
+        pruned, queries, nprobe=nprobe, k=k, q_id_col=q_id_col, q_vec_col=q_vec_col
+    )
+
+
 @dataclass
 class SavedIVFIndex:
     """Handle to an on-disk (non-PQ) IVF index: the ``vectors`` table under
