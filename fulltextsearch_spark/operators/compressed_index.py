@@ -254,6 +254,13 @@ class _PartialAccumulator:
         bounds = np.append(starts, codes.size)
 
         def _bin(off, enc):
+            # int32 BinaryArray offsets wrap silently past 2 GiB — packs are
+            # row-group-sized today so this is a tripwire, not a live path
+            if off[bounds][-1] > np.iinfo(np.int32).max:
+                raise OverflowError(
+                    "_pack_batch: encoded pack exceeds 2 GiB; shrink the pack "
+                    "(rows per pack) or switch this cell to pa.large_binary()"
+                )
             offs = np.ascontiguousarray(off[bounds], dtype=np.int32)
             return pa.Array.from_buffers(
                 pa.binary(), n_runs, [None, pa.py_buffer(offs), pa.py_buffer(enc)]

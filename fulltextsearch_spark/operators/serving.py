@@ -232,7 +232,13 @@ class QueryServer:
             self._dec_cache[ckey] = self._dec_cache.pop(ckey)  # LRU touch
             ent["docs"], ent["tfs"], ent["dls"] = cached[0], cached[1], cached[2]
             return
-        seen = self._dec_seen.get(ckey, 0) + 1
+        # bound the first-sighting ledger: a heavy-tail query vocabulary
+        # would otherwise grow it one entry per distinct (term, shard)
+        # forever; LRU-evict the stalest sightings at a cap well above the
+        # cache's own key count so warm terms never lose their streak
+        seen = self._dec_seen.pop(ckey, 0) + 1
+        while len(self._dec_seen) >= 64 * 1024:
+            self._dec_seen.pop(next(iter(self._dec_seen)))
         self._dec_seen[ckey] = seen
         if seen < 2:
             return

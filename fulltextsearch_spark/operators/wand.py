@@ -545,7 +545,13 @@ def wand_kernel_ab(
             t0 = time.perf_counter()
             d2, s2 = maxscore_topk(*args, prune=False, **kw)
             tf_.append(time.perf_counter() - t0)
-        assert np.array_equal(d1, d2) and np.array_equal(s1, s2)
+        # explicit raise, not assert: `python -O` strips asserts and would
+        # silently time a kernel whose correctness was never checked
+        if not (np.array_equal(d1, d2) and np.array_equal(s1, s2)):
+            raise RuntimeError(
+                f"wand_kernel_ab: pruned and exhaustive top-k diverged for "
+                f"query {pdf['query_id'].iloc[0]!r}"
+            )
         out["prune_ms"] += statistics.median(tp) * 1000.0
         out["full_ms"] += statistics.median(tf_) * 1000.0
         out["blocks_total"] += int(st["blocks_total"])

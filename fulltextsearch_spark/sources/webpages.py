@@ -50,6 +50,52 @@ _VOCAB = [
 ] + [f"word{i}" for i in range(130)]
 
 _STOPS = ["the", "and", "of", "to", "a", "in", "is", "it", "for", "with", "was", "on"]
+
+_BURSTY_CACHE: tuple[list[str], list[float]] | None = None
+
+
+def _bursty_vocab() -> tuple[list[str], list[float]]:
+    """Vocabulary for the ``bursty=True`` corpus: a realistic 30k-type Zipf
+    tail with the named content words placed at log-spaced ranks ~25..2500,
+    so query terms have doc frequencies spanning ~10%..0.1% and therefore
+    SPREAD IDFs. (The flat 200-word vocab makes every query term an
+    equal-UB head term — MaxScore term skipping mathematically cannot
+    engage there; real web vocabularies put query terms mid-frequency.)
+    Cumulative weights are precomputed once so per-doc sampling is
+    O(types x log V) bisects, not O(V)."""
+    global _BURSTY_CACHE  # noqa: PLW0603
+    if _BURSTY_CACHE is None:
+        import itertools
+
+        named = [w for w in _VOCAB if not w.startswith("word")]
+        vocab = [f"w{i}" for i in range(60_000)]
+        # QUERY_SET words get deliberate ranks so each multi-term bench query
+        # mixes a genuinely RARE anchor term (df ~50-300 at 400k docs —
+        # processed first by MaxScore, its df bounds the candidate set) with
+        # VERY COMMON terms (df ~4-10%, hundreds of 128-posting blocks —
+        # what candidates-only block skipping then avoids decoding; skipping
+        # is only possible when candidates << common-term blocks). This is
+        # the realistic shape: web query terms span df 10%..0.01%
+        # (idf ~2..9), not a flat 200-word head.
+        ranks = {
+            "salmon": 39, "swimming": 28, "national": 76, "com": 85,
+            "running": 100, "www": 200, "nation": 600, "rational": 2000,
+            "cat": 12_000, "eats": 14_000, "day": 14_600, "swimmer": 18_000,
+            "fresh": 19_300, "communication": 20_000, "hoping": 25_000,
+            "hopeful": 26_000, "hope": 28_000,
+        }
+        rest = [w for w in named if w not in ranks]
+        # remaining named words: log-spaced filler ranks, deterministic order
+        perm = list(range(len(rest)))
+        random.Random(1234).shuffle(perm)
+        for j, w in enumerate(rest):
+            ranks[w] = int(150 * (130 ** (perm[j] / max(len(rest) - 1, 1))))
+        for w, r in sorted(ranks.items(), key=lambda kv: kv[1]):
+            vocab.insert(min(r, len(vocab)), w)
+        weights = [1.0 / (i + 1) ** 1.05 for i in range(len(vocab))]
+        cum = list(itertools.accumulate(weights))
+        _BURSTY_CACHE = (vocab, cum)
+    return _BURSTY_CACHE
 _SPECIAL = ["c++", "a+b", "100%", "$100", "@user", "me&you", "r&d", "$ave", "50%off"]
 _NONASCII = ["résumé", "naïve", "café", "über", "日本語"]
 
@@ -70,15 +116,44 @@ QUERY_SET = [
 ]
 
 
-def generate_webpages_pdf(n_docs: int, seed: int = 42) -> pd.DataFrame:
+def generate_webpages_pdf(n_docs: int, seed: int = 42, bursty: bool = False) -> pd.DataFrame:
+    """``bursty=False`` (default) is the original flat-tf corpus: words drawn
+    i.i.d. Zipf, so within-doc tf is almost always 1 and doc lengths are
+    uniform 20-120 — every posting block looks alike and block-max pruning
+    has nothing to separate.
+
+    ``bursty=True`` adds the two dispersion properties real web text has
+    (Church & Gale 1995 term burstiness; lognormal page lengths): a document
+    first samples distinct word TYPES, then each type's occurrence count is
+    1 almost always but occasionally runs hot (a deep burst), and doc length
+    is lognormal. Both high-impact events (deep burst, very short page) are
+    per-posting-rare, so 128-posting block maxima separate and safe pruning
+    can skip — the corpus the WAND/MaxScore benches use.
+    """
     rng = random.Random(seed)
     epoch = _dt.datetime(2024, 1, 1)
     # Zipf-ish sampling weights over the vocabulary (alpha ~= 1.1).
     weights = [1.0 / (i + 1) ** 1.1 for i in range(len(_VOCAB))]
     rows = []
     for i in range(n_docs):
-        n_words = rng.randint(20, 120)
-        words = rng.choices(_VOCAB, weights=weights, k=n_words)
+        if bursty:
+            bv, bcum = _bursty_vocab()
+            n_types = max(6, min(300, int(rng.lognormvariate(3.5, 0.7))))
+            types = rng.choices(bv, cum_weights=bcum, k=n_types)
+            words = []
+            for t in types:
+                r = rng.random()
+                if r < 0.0015:  # rare deep burst: tf 6..~45, saturates BM25
+                    c = 6 + int(rng.expovariate(0.12))
+                elif r < 0.04:  # mild repetition
+                    c = 2
+                else:
+                    c = 1
+                words.extend([t] * min(c, 48))
+            rng.shuffle(words)
+        else:
+            n_words = rng.randint(20, 120)
+            words = rng.choices(_VOCAB, weights=weights, k=n_words)
         # head term in ~95% of docs (skew driver)
         if rng.random() < 0.95:
             words.insert(rng.randrange(len(words) + 1), "http")
