@@ -131,12 +131,41 @@ def _pack_map(counts: DataFrame, seq_len: int, bucket_span: int) -> DataFrame:
 
     n_toks = counts.where(F.col("n") > 0)
     n_toks = n_toks.withColumn("bucket", F.expr(f"doc_id div {bucket_span}"))
-    # level 1: cumulative total BEFORE each bucket (bucket-count-sized window)
-    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    b_off = (
+    # level 1: cumulative total BEFORE each bucket. Not a global-ORDER-BY
+    # window (that is a single-partition WindowExec — the one anti-pattern
+    # this module exists to avoid): buckets band by a second-level span,
+    # band offsets come from a broadcast triangular self-join of the tiny
+    # band-total table (10^12 docs -> ~230 bands), and the within-band
+    # running sum is a window PARTITIONED by band (<= band_span rows per
+    # partition) — same shape as the vocab_stats rank cumulation
+    # (textstats.py).
+    band_span = 65536
+    b_tot = (
         n_toks.groupBy("bucket")
         .agg(F.sum("n").alias("b_tot"))
-        .select("bucket", F.coalesce(F.sum("b_tot").over(wb), F.lit(0)).alias("b_off"))
+        .withColumn("band", F.expr(f"bucket div {band_span}"))
+    )
+    band_tot = b_tot.groupBy("band").agg(F.sum("b_tot").alias("n"))
+    band_off = (
+        band_tot.alias("b")
+        .join(
+            F.broadcast(band_tot.alias("lo")),
+            F.col("lo.band") < F.col("b.band"),
+            "left",
+        )
+        .groupBy(F.col("b.band").alias("band"))
+        .agg(F.coalesce(F.sum("lo.n"), F.lit(0)).alias("band_off"))
+    )
+    wb = (
+        Window.partitionBy("band")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b_off = b_tot.join(F.broadcast(band_off), "band").select(
+        "bucket",
+        (F.col("band_off") + F.coalesce(F.sum("b_tot").over(wb), F.lit(0))).alias(
+            "b_off"
+        ),
     )
     # level 2: intra-bucket running sum before each doc
     wd = (

@@ -118,3 +118,40 @@ def test_vsm_query_plan_reuses_norms_and_joins_before_explode(spark, web_dir):
         ), plan
     finally:
         vsm.norms.unpersist()
+
+
+def test_no_unpartitioned_windows_in_package_source():
+    """Tripwire: a window spec that starts with Window.orderBy(...) is a
+    single-partition WindowExec at corpus scale (Spark logs 'No Partition
+    Defined for Window operation'). Every window in the package must start
+    from Window.partitionBy; global cumulations decompose into banded
+    offsets + partitioned windows (chunking._pack_map, textstats
+    vocab_stats)."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "fulltextsearch_spark"
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        src = py.read_text()
+        for m in re.finditer(r"Window\s*\.\s*orderBy\s*\(", src):
+            line = src[: m.start()].count("\n") + 1
+            offenders.append(f"{py.name}:{line}")
+    assert not offenders, f"unpartitioned Window specs: {offenders}"
+
+
+def test_pack_map_level1_window_is_partitioned(spark):
+    """The pack-map bucket cumulation must keep its level-1 window
+    partitioned by band — the executed plan's Window nodes all carry a
+    partition spec (no 'Window [...], [bucket ASC ...]' without one)."""
+    from fulltextsearch_spark.operators.chunking import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} " * (i % 7 + 1)) for i in range(50)], "doc_id LONG, text STRING"
+    )
+    plan = _plan(pack_sequences(df, seq_len=8, bucket_span=16))
+    for line in plan.splitlines():
+        ls = line.strip()
+        if ls.startswith("Window ["):
+            # formatted-plan Window line: Window [funcs], [partition], [order]
+            assert ls.count("], [") >= 2, f"unpartitioned window: {ls}"
