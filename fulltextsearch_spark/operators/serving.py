@@ -65,6 +65,15 @@ _KERNEL_COLS = [
     "block_max_tfdl",
 ]
 
+_BLOCK_META_KEYS = (
+    "block_first_doc",
+    "block_off_doc",
+    "block_off_tf",
+    "block_off_dl",
+    "block_max_tfpart",
+    "block_max_tfdl",
+)
+
 
 @dataclass
 class QueryServer:
@@ -93,6 +102,15 @@ class QueryServer:
     _dec_cache: dict = field(default_factory=dict, repr=False)  # key -> (d,t,l,nbytes)
     _dec_seen: dict = field(default_factory=dict, repr=False)
     _dec_bytes: int = field(default=0, repr=False)
+    # kernel-ready matched-rows cache for search_local: term -> list of
+    # per-shard base entry dicts (encoded bytes + numpy block metadata,
+    # qtf-free). Without it every WARM batch re-reads the term's row
+    # groups and re-converts arrow -> python (to_pylist / bytes / asarray)
+    # — that assembly, not decode or pruning, was the matched-size serving
+    # gap vs the reference's in-RAM loop. LRU-bounded like _dec_cache.
+    row_cache_mb: int = 256
+    _row_cache: dict = field(default_factory=dict, repr=False)  # term -> (rows, nbytes)
+    _row_bytes: int = field(default=0, repr=False)
 
     @classmethod
     def load(cls, spark: SparkSession, root: str) -> "QueryServer":
@@ -200,24 +218,74 @@ class QueryServer:
         self._rg_manifest = manifest
 
     def _matched_rows(self, terms: list[str]) -> dict[str, list[dict]]:
-        """Read ONLY the row groups whose [min, max] term range can contain a
-        query term, filter to exact matches, return rows grouped by term."""
+        """Kernel-ready base entries (qtf-free) for the given terms, grouped
+        by term. Warm terms come straight from the LRU row cache; only the
+        misses pay a parquet pass — read ONLY the row groups whose
+        [min, max] term range can contain a missing term, filter to exact
+        matches, convert once to (bytes, numpy) kernel form, cache."""
         import bisect  # noqa: PLC0415
 
         import pyarrow as pa  # noqa: PLC0415
         import pyarrow.compute as pc  # noqa: PLC0415
 
-        term_set = pa.array(terms, type=pa.string())
         by_term: dict[str, list[dict]] = {}
+        missing: list[str] = []
+        for t in terms:
+            hit = self._row_cache.get(t)
+            if hit is not None:
+                self._row_cache[t] = self._row_cache.pop(t)  # LRU touch
+                by_term[t] = hit[0]
+            else:
+                missing.append(t)
+        if not missing:
+            return by_term
+
+        term_set = pa.array(missing, type=pa.string())
+        fetched: dict[str, list[dict]] = {}
         for path, rg, mn, mx in self._rg_manifest:
             if mn is not None and mx is not None:
-                i = bisect.bisect_left(terms, mn)
-                if i >= len(terms) or terms[i] > mx:
-                    continue  # no query term inside this row group's range
+                i = bisect.bisect_left(missing, mn)
+                if i >= len(missing) or missing[i] > mx:
+                    continue  # no missing term inside this row group's range
             tbl = self._pf_cache[path].read_row_group(rg, columns=_KERNEL_COLS)
             tbl = tbl.filter(pc.is_in(tbl.column("term"), value_set=term_set))
-            for row in tbl.to_pylist():  # O(query terms x shards) rows
-                by_term.setdefault(row["term"], []).append(row)
+            for row in tbl.to_pylist():  # O(missing terms x shards) rows
+                fetched.setdefault(row["term"], []).append(row)
+        budget = self.row_cache_mb * (1 << 20)
+        for t in missing:
+            rows = []
+            trows = fetched.get(t, [])
+            df_t = sum(int(r["count"]) for r in trows)  # term-total df
+            nb = 0
+            for r in trows:
+                ent = {
+                    "df": df_t,
+                    "codec": self.codec,
+                    "count": int(r["count"]),
+                    "doc_ids_enc": bytes(r["doc_ids_enc"]),
+                    "tfs_enc": bytes(r["tfs_enc"]),
+                    "dls_enc": bytes(r["dls_enc"]),
+                    "block_first_doc": np.asarray(r["block_first_doc"], dtype=np.int64),
+                    "block_off_doc": np.asarray(r["block_off_doc"], dtype=np.int64),
+                    "block_off_tf": np.asarray(r["block_off_tf"], dtype=np.int64),
+                    "block_off_dl": np.asarray(r["block_off_dl"], dtype=np.int64),
+                    "block_max_tfpart": np.asarray(
+                        r["block_max_tfpart"], dtype=np.float64
+                    ),
+                    "block_max_tfdl": np.asarray(r["block_max_tfdl"], dtype=np.float64),
+                }
+                nb += (
+                    len(ent["doc_ids_enc"]) + len(ent["tfs_enc"]) + len(ent["dls_enc"])
+                    + sum(ent[key].nbytes for key in _BLOCK_META_KEYS)
+                )
+                rows.append(ent)
+            by_term[t] = rows
+            if nb <= budget:
+                while self._row_bytes + nb > budget and self._row_cache:
+                    oldest = next(iter(self._row_cache))
+                    self._row_bytes -= self._row_cache.pop(oldest)[1]
+                self._row_cache[t] = (rows, nb)
+                self._row_bytes += nb
         return by_term
 
     def _attach_decoded(self, term: str, shard: int, ent: dict) -> None:
@@ -231,6 +299,7 @@ class QueryServer:
         if cached is not None:
             self._dec_cache[ckey] = self._dec_cache.pop(ckey)  # LRU touch
             ent["docs"], ent["tfs"], ent["dls"] = cached[0], cached[1], cached[2]
+            ent["tfpart"] = cached[4]
             return
         # bound the first-sighting ledger: a heavy-tail query vocabulary
         # would otherwise grow it one entry per distinct (term, shard)
@@ -242,19 +311,28 @@ class QueryServer:
         self._dec_seen[ckey] = seen
         if seen < 2:
             return
-        nb = 24 * int(ent["count"])  # three int64 streams
+        nb = 32 * int(ent["count"])  # three int64 streams + float64 tf part
         budget = self.decoded_cache_mb * (1 << 20)
         if nb > budget:
             return
-        from fulltextsearch_spark.operators.wand import decode_term_streams  # noqa: PLC0415
+        from fulltextsearch_spark.operators.wand import (  # noqa: PLC0415
+            _tf_component,
+            decode_term_streams,
+        )
 
         d_, t_, l_ = decode_term_streams(ent, self.block_size)
+        # the per-posting BM25 tf component is query-independent (only
+        # k1/b/avgdl, which search_local pins to the index's values) — cache
+        # it alongside the streams so warm terms skip that compute entirely;
+        # produced by the SAME kernel function, so scores stay bit-identical
+        part = _tf_component(t_, l_, "bm25", self.k1, self.b, self.avgdl)
         while self._dec_bytes + nb > budget and self._dec_cache:
             oldest = next(iter(self._dec_cache))
             self._dec_bytes -= self._dec_cache.pop(oldest)[3]
-        self._dec_cache[ckey] = (d_, t_, l_, nb)
+        self._dec_cache[ckey] = (d_, t_, l_, nb, part)
         self._dec_bytes += nb
         ent["docs"], ent["tfs"], ent["dls"] = d_, t_, l_
+        ent["tfpart"] = part
 
     def search_local(
         self,
@@ -290,38 +368,14 @@ class QueryServer:
                 trows = by_term.get(term)
                 if not trows:
                     continue  # find() miss — term drops out
-                df_t = sum(int(r["count"]) for r in trows)  # term-total df
-                for ri, r in enumerate(trows):  # one entry per doc-range shard row
-                    entries.append(
-                        {
-                            "qtf": int(qtf),
-                            "df": df_t,
-                            "codec": self.codec,
-                            "count": int(r["count"]),
-                            "doc_ids_enc": bytes(r["doc_ids_enc"]),
-                            "tfs_enc": bytes(r["tfs_enc"]),
-                            "dls_enc": bytes(r["dls_enc"]),
-                            "block_first_doc": np.asarray(
-                                r["block_first_doc"], dtype=np.int64
-                            ),
-                            "block_off_doc": np.asarray(
-                                r["block_off_doc"], dtype=np.int64
-                            ),
-                            "block_off_tf": np.asarray(
-                                r["block_off_tf"], dtype=np.int64
-                            ),
-                            "block_off_dl": np.asarray(
-                                r["block_off_dl"], dtype=np.int64
-                            ),
-                            "block_max_tfpart": np.asarray(
-                                r["block_max_tfpart"], dtype=np.float64
-                            ),
-                            "block_max_tfdl": np.asarray(
-                                r["block_max_tfdl"], dtype=np.float64
-                            ),
-                        }
-                    )
-                    self._attach_decoded(term, ri, entries[-1])
+                for ri, base in enumerate(trows):  # one entry per shard row
+                    # shallow copy of the cached kernel-ready base: the
+                    # encoded bytes / block arrays are shared (read-only in
+                    # the kernel), only qtf and the attached decode differ
+                    ent = dict(base)
+                    ent["qtf"] = int(qtf)
+                    entries.append(ent)
+                    self._attach_decoded(term, ri, ent)
             doc_ids, scores = maxscore_topk(
                 entries,
                 self.n_docs,

@@ -174,7 +174,19 @@ def _tf_component(
 ) -> np.ndarray:
     tf = tfs.astype(np.float64)
     if scoring == "bm25":
-        return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * (dls.astype(np.float64) / avgdl)))
+        # tf*(k1+1) / (tf + k1*(1-b + b*(dl/avgdl))) with the SAME op order
+        # as the naive expression (bit-identical scores) but in-place: two
+        # allocations instead of seven temporaries
+        den = dls.astype(np.float64)
+        den /= avgdl
+        den *= b
+        den += 1.0 - b
+        den *= k1
+        den += tf
+        num = tf
+        num *= k1 + 1.0  # tf buffer not reused below
+        np.divide(num, den, out=den)
+        return den
     dl = dls.astype(np.float64)
     return np.divide(tf, dl, out=np.zeros_like(tf), where=dl > 0)
 
@@ -237,6 +249,14 @@ def maxscore_topk(
         t_dls = _decode_all(t["dls_enc"], t["count"], cdc, t["block_off_dl"])
         return t_docs, t_tfs, t_dls
 
+    def _part_full(t):
+        """Query-independent tf component of the FULL stream, if a serving
+        cache attached it (``tfpart``, computed with this index's k1/b/avgdl
+        by the same _tf_component — bit-identical); None -> compute."""
+        if scoring == "bm25":
+            return t.get("tfpart")
+        return None
+
     for i, t in enumerate(terms):
         rest_after = suffix[i + 1]
         candidates_only = prune and cand_docs.size >= k and suffix[i] < theta
@@ -248,6 +268,49 @@ def maxscore_topk(
             cand_docs, cand_scores = cand_docs[keep], cand_scores[keep]
             if cand_docs.size == 0:
                 break
+            if (
+                cand_docs.size * 2 >= int(t["count"])
+                and int(cand_docs[-1]) < n_docs
+                and nblocks > 0
+            ):
+                # candidates cover most of this list: per-block bookkeeping
+                # (pos/argsort/unique/reduceat over the candidate array)
+                # cannot skip enough decodes to pay for itself — one dense
+                # full-stream probe instead. Safe: decoding MORE than the
+                # needed blocks never changes results, only skips the skip.
+                stats["blocks_decoded"] += nblocks
+                t_docs, t_tfs, t_dls = _decode_term_full(t)
+                if t_docs.size and int(t_docs[-1]) < n_docs:
+                    upd = np.zeros(n_docs, dtype=bool)
+                    upd[cand_docs] = True
+                    hit = upd[t_docs]
+                    if hit.any():
+                        part = _part_full(t)
+                        comp = (
+                            part[hit]
+                            if part is not None
+                            else _tf_component(
+                                t_tfs[hit], t_dls[hit], scoring, k1, b, avgdl
+                            )
+                        ) * t["w"]
+                        dense = np.zeros(n_docs, dtype=np.float64)
+                        dense[cand_docs] = cand_scores
+                        dense[t_docs[hit]] += comp
+                        cand_scores = dense[cand_docs]
+                elif t_docs.size:
+                    comp = _tf_component(t_tfs, t_dls, scoring, k1, b, avgdl) * t["w"]
+                    idx = np.searchsorted(cand_docs, t_docs)
+                    idx_c = np.minimum(idx, cand_docs.size - 1)
+                    hit = cand_docs[idx_c] == t_docs
+                    cand_scores[idx_c[hit]] += comp[hit]
+                if cand_docs.size >= k:
+                    theta = max(
+                        theta,
+                        np.partition(cand_scores, cand_scores.size - k)[
+                            cand_scores.size - k
+                        ],
+                    )
+                continue
             # (4) needed blocks: block of each candidate, upper-bound-filtered.
             # Blocks are processed in DESCENDING (best-candidate-partial +
             # block-UB) order in growing chunks, with theta re-read between
@@ -289,18 +352,49 @@ def maxscore_topk(
                 if n_surv > (2 * nblocks) // 5:
                     stats["blocks_decoded"] += int(nblocks - done_blocks.sum())
                     t_docs, t_tfs, t_dls = _decode_term_full(t)
-                    comp = _tf_component(t_tfs, t_dls, scoring, k1, b, avgdl) * t["w"]
-                    # search the decoded docs INTO the candidate array (each
-                    # side sorted+unique, so slots are unique and a direct
-                    # fancy += scatter is exact) — O(|stream| log |cand|)
-                    idx = np.searchsorted(cand_docs, t_docs)
-                    idx_c = np.minimum(idx, cand_docs.size - 1)
-                    hit = cand_docs[idx_c] == t_docs
-                    slots = idx_c[hit]
                     # pos over the kept cand_docs was computed at branch
-                    # entry and cand_docs has not changed since — reuse it
-                    fresh = (~done_blocks[np.maximum(pos, 0)] | (pos < 0))[slots]
-                    cand_scores[slots[fresh]] += comp[hit][fresh]
+                    # entry and cand_docs has not changed since — reuse it.
+                    # "fresh" = candidates not already updated per-block.
+                    fresh_c = ~done_blocks[np.maximum(pos, 0)] | (pos < 0)
+                    if t_docs.size + cand_docs.size > n_docs // 16 and (
+                        t_docs.size == 0 or int(t_docs[-1]) < n_docs
+                    ) and int(cand_docs[-1]) < n_docs:
+                        # dense membership probe: ONE gather over the stream
+                        # instead of searchsorted + compare + triple mask,
+                        # and the tf component is computed only on the hits
+                        # (|cand|-sized, not |stream|-sized)
+                        upd = np.zeros(n_docs, dtype=bool)
+                        upd[cand_docs[fresh_c]] = True
+                        hit = upd[t_docs]
+                        if hit.any():
+                            part = _part_full(t)
+                            comp = (
+                                part[hit]
+                                if part is not None
+                                else _tf_component(
+                                    t_tfs[hit], t_dls[hit], scoring, k1, b, avgdl
+                                )
+                            ) * t["w"]
+                            dense = np.zeros(n_docs, dtype=np.float64)
+                            dense[cand_docs] = cand_scores
+                            dense[t_docs[hit]] += comp
+                            cand_scores = dense[cand_docs]
+                    else:
+                        part = _part_full(t)
+                        comp = (
+                            part
+                            if part is not None
+                            else _tf_component(t_tfs, t_dls, scoring, k1, b, avgdl)
+                        ) * t["w"]
+                        # search the decoded docs INTO the candidate array
+                        # (each side sorted+unique, so slots are unique and
+                        # a direct fancy += scatter is exact)
+                        idx = np.searchsorted(cand_docs, t_docs)
+                        idx_c = np.minimum(idx, cand_docs.size - 1)
+                        hit = cand_docs[idx_c] == t_docs
+                        slots = idx_c[hit]
+                        fresh = fresh_c[slots]
+                        cand_scores[slots[fresh]] += comp[hit][fresh]
                     break
                 hi = j + min(chunk, n_surv)
                 blk = np.sort(blocks[j:hi])
@@ -355,13 +449,21 @@ def maxscore_topk(
                 if theta != -np.inf and bub_sorted[-1] + rest_after >= theta:
                     stats["blocks_decoded"] += int(nblocks - j)
                     t_docs, t_tfs, t_dls = _decode_term_full(t)
+                    part = _part_full(t)
                     if parts_docs:
                         done = np.sort(np.concatenate([np.asarray(x) for x in parts_docs]))
                         m = np.isin(t_docs, done, invert=True, assume_unique=True)
                         t_docs, t_tfs, t_dls = t_docs[m], t_tfs[m], t_dls[m]
+                        if part is not None:
+                            part = part[m]
                     parts_docs.append(t_docs)
                     parts_comp.append(
-                        _tf_component(t_tfs, t_dls, scoring, k1, b, avgdl) * t["w"]
+                        (
+                            part
+                            if part is not None
+                            else _tf_component(t_tfs, t_dls, scoring, k1, b, avgdl)
+                        )
+                        * t["w"]
                     )
                     j = nblocks
                     break
@@ -400,6 +502,12 @@ def maxscore_topk(
             # reaches theta. With no theta yet, or nothing skippable, this is
             # exactly the old full decode (one stream pass, one union).
             skippable = prune and theta != -np.inf
+            if skippable and nblocks and float(t["bub"].min()) + rest_after >= theta:
+                # even the weakest block survives UNBOOSTED — the candidate
+                # boost pass (searchsorted/argsort/reduceat over the whole
+                # candidate array) cannot make any block fail, so skip the
+                # bookkeeping and stream-decode directly
+                skippable = False
             if skippable:
                 p = t["bub"].copy()
                 if cand_docs.size:
@@ -419,15 +527,41 @@ def maxscore_topk(
                 # nothing (or too little) skippable: stream decode
                 stats["blocks_decoded"] += nblocks
                 t_docs, t_tfs, t_dls = _decode_term_full(t)
+                part = _part_full(t)
             else:
                 stats["blocks_decoded"] += int(surv.size)
                 t_docs, t_tfs, t_dls = _decode_blocks(t, surv, block_size)
-            comp = _tf_component(t_tfs, t_dls, scoring, k1, b, avgdl) * t["w"]
-            all_docs = np.union1d(cand_docs, t_docs)
-            scores = np.zeros(all_docs.size, dtype=np.float64)
-            scores[np.searchsorted(all_docs, cand_docs)] += cand_scores
-            scores[np.searchsorted(all_docs, t_docs)] += comp
-            cand_docs, cand_scores = all_docs, scores
+                part = None
+            comp = (
+                part
+                if part is not None
+                else _tf_component(t_tfs, t_dls, scoring, k1, b, avgdl)
+            ) * t["w"]
+            if (
+                cand_docs.size + t_docs.size > n_docs // 16
+                and (t_docs.size == 0 or int(t_docs[-1]) < n_docs)
+                and (cand_docs.size == 0 or int(cand_docs[-1]) < n_docs)
+            ):
+                # dense-accumulator merge for big essential lists (the
+                # reference's in-RAM loop shape, hash_index.hpp): O(n_docs)
+                # scatter + flatnonzero beats the O(m log m) sorted union +
+                # double searchsorted by ~10x at head-term sizes. Docs are
+                # dense ids < n_docs; value arithmetic is identical
+                # (assign-then-add, ascending doc order preserved).
+                dense = np.zeros(n_docs, dtype=np.float64)
+                seen = np.zeros(n_docs, dtype=bool)
+                dense[cand_docs] = cand_scores
+                seen[cand_docs] = True
+                dense[t_docs] += comp
+                seen[t_docs] = True
+                all_docs = np.flatnonzero(seen)
+                cand_docs, cand_scores = all_docs, dense[all_docs]
+            else:
+                all_docs = np.union1d(cand_docs, t_docs)
+                scores = np.zeros(all_docs.size, dtype=np.float64)
+                scores[np.searchsorted(all_docs, cand_docs)] += cand_scores
+                scores[np.searchsorted(all_docs, t_docs)] += comp
+                cand_docs, cand_scores = all_docs, scores
             if cand_docs.size >= k:
                 theta = max(
                     theta,
