@@ -453,10 +453,17 @@ def _open_parquet(path: str):
 # Cannot collide with a real term: tokens consist only of the 67 whitelist
 # chars, and \x00 is a delimiter byte.
 _DOCSTATS_TERM = "\x00docstats"
+# Scalar sibling of the docstats sentinel: one row per task carrying the
+# task's pre-aggregated (max doc_id in first_doc, [n_docs, sum_dl] in
+# seg_lens) so n_docs/avgdl reduce with a pure-JVM agg over the cached
+# partials — no Python decode stage on the build's critical path (it was
+# ~12% of a 2-core build).
+_DOCAGG_TERM = "\x00docagg"
 
 
 def _docstats_sentinel(doc_parts: list[np.ndarray], dl_parts: list[np.ndarray]):
-    """One sentinel partial row carrying this task's (doc_id, dl) streams."""
+    """TWO sentinel partial rows: this task's (doc_id, dl) streams plus the
+    scalar pre-aggregate row (see ``_DOCAGG_TERM``)."""
     import pyarrow as pa  # noqa: PLC0415
 
     docs_all = np.concatenate(doc_parts)
@@ -468,12 +475,15 @@ def _docstats_sentinel(doc_parts: list[np.ndarray], dl_parts: list[np.ndarray]):
     deltas[1:] = np.diff(docs_all)
     return pa.RecordBatch.from_arrays(
         [
-            pa.array([_DOCSTATS_TERM], type=pa.string()),
-            pa.array([int(docs_all[0])], type=pa.int64()),
-            pa.array([[int(docs_all.size)]], type=pa.list_(pa.int64())),
-            pa.array([varint_encode(deltas)], type=pa.binary()),
-            pa.array([b""], type=pa.binary()),
-            pa.array([varint_encode(dls_all)], type=pa.binary()),
+            pa.array([_DOCSTATS_TERM, _DOCAGG_TERM], type=pa.string()),
+            pa.array([int(docs_all[0]), int(docs_all[-1])], type=pa.int64()),
+            pa.array(
+                [[int(docs_all.size)], [int(docs_all.size), int(dls_all.sum())]],
+                type=pa.list_(pa.int64()),
+            ),
+            pa.array([varint_encode(deltas), b""], type=pa.binary()),
+            pa.array([b"", b""], type=pa.binary()),
+            pa.array([varint_encode(dls_all), b""], type=pa.binary()),
         ],
         names=["term", "first_doc", "seg_lens", "doc_bytes", "tf_bytes", "dl_bytes"],
     )
@@ -1185,16 +1195,28 @@ def _index_from_partials(raw_partials: DataFrame, cfg: EngineConfig) -> Compress
 
     partials = raw_partials.persist(StorageLevel.MEMORY_AND_DISK)
     doc_stats = _decode_doc_stats(partials.filter(F.col("term") == _DOCSTATS_TERM))
-    stats_row = doc_stats.agg(
-        (F.max("doc_id") + F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
-    ).collect()[0]
+    # scalar agg rows reduce JVM-side (no Python decode stage); partials
+    # checkpointed before the agg rows existed fall back to the decode path
+    stats_row = (
+        partials.filter(F.col("term") == _DOCAGG_TERM)
+        .agg(
+            (F.max("first_doc") + F.lit(1)).alias("n_docs"),
+            F.sum(F.element_at("seg_lens", 2)).alias("total_dl"),
+        )
+        .collect()[0]
+    )
+    if stats_row["n_docs"] is None:
+        stats_row = doc_stats.agg(
+            (F.max("doc_id") + F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_dl"),
+        ).collect()[0]
     n_docs = int(stats_row["n_docs"]) if stats_row["n_docs"] is not None else 0
     avgdl = float(stats_row["total_dl"]) / float(n_docs) if n_docs else 0.0
 
     # persist the ENCODED postings: query batches must join the compressed
     # rows, not re-run the shuffle+encode per query batch
     compressed = _merge_partials(
-        partials.filter(F.col("term") != _DOCSTATS_TERM), avgdl, cfg
+        partials.filter(~F.col("term").isin(_DOCSTATS_TERM, _DOCAGG_TERM)), avgdl, cfg
     ).persist(StorageLevel.MEMORY_AND_DISK)
     return CompressedIndex(
         postings=compressed,
