@@ -256,7 +256,10 @@ class QueryServer:
             rows = []
             trows = fetched.get(t, [])
             df_t = sum(int(r["count"]) for r in trows)  # term-total df
-            nb = 0
+            # 512 B/entry floor: dict+key overhead, and it makes NEGATIVE
+            # entries (queried-but-absent terms — the typo/rare heavy tail)
+            # count toward the budget so the LRU eviction bounds them too
+            nb = 512
             for r in trows:
                 ent = {
                     "df": df_t,

@@ -1037,13 +1037,20 @@ def ivfpq_topk_served(
     :func:`ivfpq_adc_topk` runs over the pruned scan. Result-identical to
     ``ivfpq_adc_topk`` on the loaded index with the same parameters (the
     per-query probe join inside the kernel re-selects the same lists
-    deterministically), so it shares its oracle."""
+    deterministically), so it shares its oracle.
+
+    ``queries`` is collected ONCE and re-materialized as a local frame
+    before being handed to the kernel — a nondeterministic queries plan
+    (unseeded sample, unordered limit) must not be able to produce probe
+    lists that disagree with the outer IN-filter."""
     idx = load_ivfpq_index(spark, root)
-    qids, qm = _collect_queries(queries, q_id_col, q_vec_col)
-    if qids.size == 0:
+    raw = queries.select(q_id_col, q_vec_col).collect()  # single evaluation
+    if not raw:
         return spark.createDataFrame(
             [], "query_id LONG, rank LONG, vec_id LONG, sim DOUBLE"
         )
+    qm = np.array([r[1] for r in raw], dtype=np.float64)
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
     cent = idx.centroids
     nlist = cent.shape[0]
     d = ((qm[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
@@ -1054,8 +1061,14 @@ def ivfpq_topk_served(
         centroids=idx.centroids,
         codebooks=idx.codebooks,
     )
+    # re-materialize the RAW vectors so the kernel normalizes/assigns from
+    # byte-identical inputs (float64 survives the local round-trip exactly)
+    stable_q = spark.createDataFrame(
+        [(int(r[0]), [float(v) for v in r[1]]) for r in raw],
+        f"{q_id_col} LONG, {q_vec_col} ARRAY<DOUBLE>",
+    )
     return ivfpq_adc_topk(
-        pruned, queries, nprobe=nprobe, k=k, q_id_col=q_id_col, q_vec_col=q_vec_col
+        pruned, stable_q, nprobe=nprobe, k=k, q_id_col=q_id_col, q_vec_col=q_vec_col
     )
 
 

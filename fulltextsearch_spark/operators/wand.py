@@ -280,7 +280,16 @@ def maxscore_topk(
                 # needed blocks never changes results, only skips the skip.
                 stats["blocks_decoded"] += nblocks
                 t_docs, t_tfs, t_dls = _decode_term_full(t)
-                if t_docs.size and int(t_docs[-1]) < n_docs:
+                if (
+                    t_docs.size
+                    and cand_docs.size + t_docs.size > n_docs // 16
+                    and int(t_docs[-1]) < n_docs
+                    and int(cand_docs[-1]) < n_docs
+                ):
+                    # dense probe only when the lists justify the O(n_docs)
+                    # allocation (same volume guard as the other dense
+                    # paths — a pair of RARE terms on a huge index must not
+                    # zero gigabytes per term)
                     upd = np.zeros(n_docs, dtype=bool)
                     upd[cand_docs] = True
                     hit = upd[t_docs]
@@ -298,7 +307,12 @@ def maxscore_topk(
                         dense[t_docs[hit]] += comp
                         cand_scores = dense[cand_docs]
                 elif t_docs.size:
-                    comp = _tf_component(t_tfs, t_dls, scoring, k1, b, avgdl) * t["w"]
+                    part = _part_full(t)
+                    comp = (
+                        part
+                        if part is not None
+                        else _tf_component(t_tfs, t_dls, scoring, k1, b, avgdl)
+                    ) * t["w"]
                     idx = np.searchsorted(cand_docs, t_docs)
                     idx_c = np.minimum(idx, cand_docs.size - 1)
                     hit = cand_docs[idx_c] == t_docs

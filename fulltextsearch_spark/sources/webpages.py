@@ -55,14 +55,15 @@ _BURSTY_CACHE: tuple[list[str], list[float]] | None = None
 
 
 def _bursty_vocab() -> tuple[list[str], list[float]]:
-    """Vocabulary for the ``bursty=True`` corpus: a realistic 30k-type Zipf
-    tail with the named content words placed at log-spaced ranks ~25..2500,
-    so query terms have doc frequencies spanning ~10%..0.1% and therefore
-    SPREAD IDFs. (The flat 200-word vocab makes every query term an
-    equal-UB head term — MaxScore term skipping mathematically cannot
-    engage there; real web vocabularies put query terms mid-frequency.)
-    Cumulative weights are precomputed once so per-doc sampling is
-    O(types x log V) bisects, not O(V)."""
+    """Vocabulary for the ``bursty=True`` corpus: a 60k-type Zipf tail
+    (alpha 1.05) with the QUERY_SET words placed at deliberate ranks from
+    ~28 up to 28,000, so query terms have doc frequencies spanning ~10%
+    down to ~0.01% and therefore SPREAD IDFs (~2..9); the remaining named
+    words get log-spaced filler ranks 150..~20,000. (The flat 200-word
+    vocab makes every query term an equal-UB head term — MaxScore term
+    skipping mathematically cannot engage there; real web vocabularies put
+    query terms mid-frequency.) Cumulative weights are precomputed once so
+    per-doc sampling is O(types x log V) bisects, not O(V)."""
     global _BURSTY_CACHE  # noqa: PLW0603
     if _BURSTY_CACHE is None:
         import itertools
@@ -124,11 +125,13 @@ def generate_webpages_pdf(n_docs: int, seed: int = 42, bursty: bool = False) -> 
 
     ``bursty=True`` adds the two dispersion properties real web text has
     (Church & Gale 1995 term burstiness; lognormal page lengths): a document
-    first samples distinct word TYPES, then each type's occurrence count is
-    1 almost always but occasionally runs hot (a deep burst), and doc length
-    is lognormal. Both high-impact events (deep burst, very short page) are
-    per-posting-rare, so 128-posting block maxima separate and safe pruning
-    can skip — the corpus the WAND/MaxScore benches use.
+    first samples word TYPES (Zipf with replacement, so head types repeat
+    beyond the burst mechanism), then each sampled type's occurrence count
+    is 1 almost always but occasionally runs hot (a deep burst), and doc
+    length is lognormal. Both high-impact events (deep burst, very short
+    page) are per-posting-rare, so 128-posting block maxima separate and
+    safe pruning can skip — the corpus the WAND/MaxScore benches use, over
+    the spread-df vocabulary of :func:`_bursty_vocab`.
     """
     rng = random.Random(seed)
     epoch = _dt.datetime(2024, 1, 1)
