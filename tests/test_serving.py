@@ -205,3 +205,50 @@ def test_search_local_decoded_cache_identical_and_bounded(spark, tmp_path):
     tiny.search_local(QUERY_SET, cfg)
     r2 = tiny.search_local(QUERY_SET, cfg)
     assert r2 == first and not tiny._dec_cache
+
+
+def test_search_local_row_cache_bounded_and_identical(spark, tmp_path):
+    """The kernel-ready matched-rows LRU serves warm batches identically,
+    honors its byte budget, and bounds NEGATIVE entries (queried-but-absent
+    terms) via the per-entry floor — a typo-heavy workload must not grow
+    the dict forever."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.compressed_index import (
+        build_compressed_index,
+        save_compressed_index,
+    )
+    from fulltextsearch_spark.operators.serving import QueryServer
+    from fulltextsearch_spark.sources.ingest import assign_dense_doc_ids
+    from fulltextsearch_spark.sources.webpages import QUERY_SET, generate_webpages
+
+    cfg = EngineConfig(k1=1.2, b=0.75, k=10, stem=True)
+    corpus = assign_dense_doc_ids(
+        generate_webpages(spark, 200, seed=13, num_partitions=2), order_col="url"
+    )
+    root = str(tmp_path / "idx")
+    save_compressed_index(build_compressed_index(spark, corpus, cfg), root)
+
+    srv = QueryServer.load(spark, root)
+    first = srv.search_local(QUERY_SET, cfg)
+    assert srv._row_cache  # populated on first sight
+    warm = srv.search_local(QUERY_SET, cfg)
+    assert warm == first
+    assert srv._row_bytes <= srv.row_cache_mb * (1 << 20)
+    assert srv._row_bytes == sum(v[1] for v in srv._row_cache.values())
+    # negative entries are cached (no re-scan) AND carry the byte floor
+    srv.search_local([("m1", "zzqqxxnope")], cfg)
+    neg = srv._row_cache.get("zzqqxxnope")
+    assert neg is not None and neg[0] == [] and neg[1] >= 512
+
+    # a tiny budget evicts instead of growing, results unchanged
+    tiny = QueryServer.load(spark, root)
+    tiny.row_cache_mb = 0
+    assert tiny.search_local(QUERY_SET, cfg) == first
+    assert not tiny._row_cache
+    # a budget of ~100 entries' floors bounds a typo flood
+    flood = QueryServer.load(spark, root)
+    flood.row_cache_mb = 1
+    for i in range(300):
+        flood.search_local([(f"t{i}", f"zzqq{i}nope")], cfg)
+    assert flood._row_bytes <= flood.row_cache_mb * (1 << 20)
+    assert flood.search_local(QUERY_SET, cfg) == first
