@@ -334,3 +334,51 @@ def test_wand_pruning_stats_tfidf_scoring(spark, cindex):
             st["blocks_total"],
             st["blocks_decoded"],
         )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6, 7])
+def test_maxscore_warm_cache_paths_bit_identical(seed):
+    """The serving-node warm paths — decoded (docs, tfs, dls) arrays plus
+    the cached query-independent BM25 tf component attached to the term
+    dicts — must be BIT-identical to the cold compressed-stream kernel,
+    pruned and exhaustive, across random term mixes. Pins the r5 dense
+    membership probes, the degenerate-case shortcuts, and the tfpart
+    fast path."""
+    from fulltextsearch_spark.operators.wand import (
+        _tf_component,
+        decode_term_streams,
+    )
+
+    rng = np.random.default_rng(7000 + seed)
+    n_docs, k1, b, block_size = 4000, 1.2, 0.75, 32
+    avgdl = 70.0
+    n_terms = int(rng.integers(1, 6))
+    terms, _ = _random_terms(
+        rng, n_docs, n_terms=n_terms, avgdl=avgdl, k1=k1, b=b, block_size=block_size
+    )
+
+    def _fresh(warm: bool):
+        out = []
+        for t in terms:
+            ent = {k: v for k, v in t.items() if k not in ("idf", "w", "bub", "ub")}
+            if warm:
+                d_, tf_, dl_ = decode_term_streams(ent, block_size)
+                ent["docs"], ent["tfs"], ent["dls"] = d_, tf_, dl_
+                ent["tfpart"] = _tf_component(tf_, dl_, "bm25", k1, b, avgdl)
+            out.append(ent)
+        return out
+
+    for k in (1, 10, 50):
+        cold_d, cold_s = maxscore_topk(
+            _fresh(False), n_docs, avgdl, k, k1=k1, b=b, block_size=block_size
+        )
+        warm_d, warm_s = maxscore_topk(
+            _fresh(True), n_docs, avgdl, k, k1=k1, b=b, block_size=block_size
+        )
+        warm_fd, warm_fs = maxscore_topk(
+            _fresh(True), n_docs, avgdl, k, k1=k1, b=b, block_size=block_size,
+            prune=False,
+        )
+        assert cold_d.tolist() == warm_d.tolist() == warm_fd.tolist()
+        np.testing.assert_allclose(warm_s, cold_s, rtol=0, atol=0)
+        np.testing.assert_allclose(warm_fs, cold_s, rtol=0, atol=0)
