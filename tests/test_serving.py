@@ -252,3 +252,39 @@ def test_search_local_row_cache_bounded_and_identical(spark, tmp_path):
         flood.search_local([(f"t{i}", f"zzqq{i}nope")], cfg)
     assert flood._row_bytes <= flood.row_cache_mb * (1 << 20)
     assert flood.search_local(QUERY_SET, cfg) == first
+
+
+def test_prewarm_populates_caches_and_preserves_results(spark, tmp_path):
+    """prewarm() hot-loads the matched-rows and decoded-postings caches
+    before any traffic (no second-sight requirement) without changing
+    results; accepts query tuples or raw terms; empty input is a no-op."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.compressed_index import (
+        build_compressed_index,
+        save_compressed_index,
+    )
+    from fulltextsearch_spark.operators.serving import QueryServer
+    from fulltextsearch_spark.sources.ingest import assign_dense_doc_ids
+    from fulltextsearch_spark.sources.webpages import QUERY_SET, generate_webpages
+
+    cfg = EngineConfig(k1=1.2, b=0.75, k=10, stem=True)
+    corpus = assign_dense_doc_ids(
+        generate_webpages(spark, 200, seed=17, num_partitions=2), order_col="url"
+    )
+    root = str(tmp_path / "idx")
+    save_compressed_index(build_compressed_index(spark, corpus, cfg), root)
+
+    cold = QueryServer.load(spark, root)
+    baseline = cold.search_local(QUERY_SET, cfg)
+
+    warm = QueryServer.load(spark, root)
+    n = warm.prewarm(QUERY_SET, cfg)
+    assert n > 0
+    assert warm._dec_cache  # decoded BEFORE any search traffic
+    assert warm._row_cache
+    assert warm.search_local(QUERY_SET, cfg) == baseline
+    # raw-terms form and no-op input
+    other = QueryServer.load(spark, root)
+    assert other.prewarm(["cat", "salmon", "zzznope"], cfg) >= 2
+    assert other.prewarm([], cfg) == 0
+    assert other.search_local(QUERY_SET, cfg) == baseline
