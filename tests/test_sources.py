@@ -361,3 +361,33 @@ def test_iceberg_round_trip_when_jars_present(tmp_path):
         assert sorted(back.columns) == sorted(pages.columns)
     finally:
         spark.stop()
+
+
+def test_bursty_corpus_deterministic_and_dispersed():
+    """The WAND-bench corpus variant is byte-deterministic per (n, seed) —
+    bench caches and driver reruns must agree — and actually carries the
+    dispersion it exists for: within-doc tf bursts and a query-term df
+    spread of >=2 orders of magnitude (salmon common, fresh rare)."""
+    import collections
+
+    from fulltextsearch_spark.sources.webpages import generate_webpages_pdf
+
+    a = generate_webpages_pdf(3000, seed=5, bursty=True)
+    b = generate_webpages_pdf(3000, seed=5, bursty=True)
+    assert a.equals(b)
+    c = generate_webpages_pdf(3000, seed=6, bursty=True)
+    assert not a["text"].equals(c["text"])
+
+    df = collections.Counter()
+    max_tf = 0
+    for text in a["text"]:
+        toks = text.split()
+        counts = collections.Counter(toks)
+        max_tf = max(max_tf, max(counts.values()))
+        df.update(set(toks))
+    assert max_tf >= 6  # deep bursts present
+    # spread dfs: a common query term dwarfs a rare one
+    assert df["salmon"] > 50 * max(df["fresh"], 1)
+    # lognormal lengths: doc length spread beyond the flat 20-120 band
+    lens = a["text"].str.count(" ") + 1
+    assert lens.min() < 20 and lens.max() > 200
