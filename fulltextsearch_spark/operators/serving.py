@@ -376,12 +376,22 @@ class QueryServer:
         cfg: EngineConfig = DEFAULT_CONFIG,
         scoring: str = "bm25",
         k: int | None = None,
+        workers: int | None = None,
     ) -> list[tuple[str, int, int, float]]:
         """[(query_id, content)] -> [(query_id, rank, doc_id, score)] rows,
         entirely in-process (pyarrow reads + the numpy MaxScore kernel) —
         rank- and score-identical to :meth:`search` without the per-job
         scheduler overhead. ``queries`` order is preserved; queries with no
-        matching terms contribute no rows (same as the Spark path)."""
+        matching terms contribute no rows (same as the Spark path).
+
+        ``workers > 1`` scores the batch's queries concurrently in a
+        thread pool: cache/IO work stays serial (phase 1), then the pure
+        kernels — big numpy ops that release the GIL — run in parallel
+        over shared read-only buffers (each query holds its own entry-dict
+        copies, so kernel-side mutation never crosses queries). Results
+        are identical to the serial path in the same order; the default
+        stays serial so latency numbers remain comparable to the
+        reference's serial loop."""
         if scoring == "bm25" and (cfg.k1 != self.k1 or cfg.b != self.b):
             raise ValueError(
                 f"index built with (k1={self.k1}, b={self.b}); query config "
@@ -397,7 +407,8 @@ class QueryServer:
         by_term = self._matched_rows(terms)
 
         kk = k if k is not None else cfg.k
-        out: list[tuple[str, int, int, float]] = []
+        # phase 1 (serial): per-query kernel entry lists + cache attachment
+        jobs: list[tuple[str, list[dict]]] = []
         for qid, counts in parsed:
             entries = []
             for term, qtf in counts.items():
@@ -412,6 +423,10 @@ class QueryServer:
                     ent["qtf"] = int(qtf)
                     entries.append(ent)
                     self._attach_decoded(term, ri, ent)
+            jobs.append((qid, entries))
+
+        def _run(job: tuple[str, list[dict]]):
+            qid, entries = job
             doc_ids, scores = maxscore_topk(
                 entries,
                 self.n_docs,
@@ -422,6 +437,19 @@ class QueryServer:
                 b=cfg.b,
                 block_size=self.block_size,
             )
+            return qid, doc_ids, scores
+
+        # phase 2: kernels — serial by default, pooled when asked
+        if workers and workers > 1 and len(jobs) > 1:
+            from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+            with ThreadPoolExecutor(max_workers=min(workers, len(jobs))) as ex:
+                results = list(ex.map(_run, jobs))  # input order preserved
+        else:
+            results = [_run(j) for j in jobs]
+
+        out: list[tuple[str, int, int, float]] = []
+        for qid, doc_ids, scores in results:
             out.extend(
                 (qid, rank + 1, int(d), float(s))
                 for rank, (d, s) in enumerate(zip(doc_ids, scores))

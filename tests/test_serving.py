@@ -288,3 +288,33 @@ def test_prewarm_populates_caches_and_preserves_results(spark, tmp_path):
     assert other.prewarm(["cat", "salmon", "zzznope"], cfg) >= 2
     assert other.prewarm([], cfg) == 0
     assert other.search_local(QUERY_SET, cfg) == baseline
+
+
+def test_search_local_parallel_workers_identical(spark, tmp_path):
+    """workers>1 scores a batch's queries in a thread pool over shared
+    read-only cache buffers; results must be identical to the serial path
+    (same order), warm and cold."""
+    from fulltextsearch_spark.config import EngineConfig
+    from fulltextsearch_spark.operators.compressed_index import (
+        build_compressed_index,
+        save_compressed_index,
+    )
+    from fulltextsearch_spark.operators.serving import QueryServer
+    from fulltextsearch_spark.sources.ingest import assign_dense_doc_ids
+    from fulltextsearch_spark.sources.webpages import QUERY_SET, generate_webpages
+
+    cfg = EngineConfig(k1=1.2, b=0.75, k=10, stem=True)
+    corpus = assign_dense_doc_ids(
+        generate_webpages(spark, 250, seed=23, num_partitions=2), order_col="url"
+    )
+    root = str(tmp_path / "idx")
+    save_compressed_index(build_compressed_index(spark, corpus, cfg), root)
+
+    serial = QueryServer.load(spark, root)
+    base_cold = serial.search_local(QUERY_SET, cfg)
+    base_warm = serial.search_local(QUERY_SET, cfg)
+
+    pooled = QueryServer.load(spark, root)
+    assert pooled.search_local(QUERY_SET, cfg, workers=4) == base_cold
+    assert pooled.search_local(QUERY_SET, cfg, workers=4) == base_warm
+    assert pooled.search_local(QUERY_SET, cfg, workers=4) == base_warm  # cached
